@@ -1,0 +1,585 @@
+"""Row-level checks: the rule tree compiled to ONE Catalyst projection.
+
+This is the Spark-first re-expression of the reference's recursive
+zip-walk (``doValidate``, reference rule.go:143-329). Instead of
+walking one document tree in Go, we compile the whole rule tree into
+a single ``select`` over the table: every (column, rule) pair becomes
+a ``CASE WHEN`` producing a violation struct or NULL, the structs are
+concatenated into an array, nulls filtered, and the array exploded
+into violation rows. The entire evaluation is JVM-side whole-stage
+codegen — no Python in the hot path.
+
+Semantics parity with the reference walk:
+
+- checks are evaluated in rule-document order (rule.go:152, ruleList
+  order = document order);
+- a missing REQUIRED key appends one ``keyMissing`` and aborts the
+  rest of the walk (rule.go:159-165 context cancel). Columnar analog:
+  a per-row ``alive`` predicate chains the checks, so a row stops
+  accumulating violations after its first missing required value;
+  a column absent from the table schema is a *schema-level*
+  keyMissing that fail-fasts compilation itself;
+- absent + optional → subtree silently skipped (rule.go:166-167);
+- data columns not mentioned by rules are ignored (iteration is over
+  rules, not data — rule.go:152-157);
+- type checks accumulate (no abort) and do not suppress the other
+  checks on the same field (rule.go:196-240: StrRule runs length /
+  regex / of even when the tag mismatched);
+- string length is measured in BYTES (Go ``len``) — ``octet_length``;
+- regex is an unanchored search: ``rlike`` (same semantics as Go
+  ``regexp.Match``; RE2 vs Java dialect differences are documented
+  per rule, the DSL compiles the pattern at load time for fail-fast);
+- ``$of`` membership compares string renderings (Go ``%v`` vs raw
+  spelling, rule.go:230-240).
+
+Two typing modes per column:
+
+- **static** (default): the table schema is authoritative; type
+  mismatches are schema-level (caught at compile, zero per-row cost);
+- **dynamic** (``$dynamic: true``): the column holds stringly scalars
+  and is typed by YAML core-schema spelling per row — the exact
+  reference semantics, vectorized via the anchored-regex CASE chain
+  in :mod:`invalid_spark.yamlmeta` (no UDF).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from invalid_spark import model, yamlmeta
+from invalid_spark.dsl import Rule, RuleSet
+from invalid_spark.model import ErrorType
+
+# ---------------------------------------------------------------------------
+# schema helpers
+
+
+def _field_type(schema: T.StructType, path: str):
+    """Data type at dotted ``path``, or None if absent."""
+    cur: T.DataType = schema
+    for part in path.split("."):
+        if not isinstance(cur, T.StructType):
+            return None
+        f = next((f for f in cur.fields if f.name == part), None)
+        if f is None:
+            return None
+        cur = f.dataType
+    return cur
+
+
+_STATIC_OK = {
+    "$str": (T.StringType,),
+    "$int": (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    "$float": (T.FloatType, T.DoubleType, T.DecimalType),
+    "$bool": (T.BooleanType,),
+    "$obj": (T.StructType, T.MapType),
+    "$arr": (T.ArrayType,),
+    "$null": (),  # $null has no static carrier; checked per-row (isNull)
+}
+
+
+def _static_type_ok(rule_type: str, dt: T.DataType) -> bool:
+    if rule_type == "$null":
+        return True
+    return isinstance(dt, _STATIC_OK.get(rule_type, ()))
+
+
+def _null_struct() -> Column:
+    return F.lit(None).cast(model.CHECK_STRUCT)
+
+
+def _mk_struct(column: str, rule_id: str, etype: str, message, observed) -> Column:
+    message = F.lit(message) if isinstance(message, str) else message
+    observed = (
+        F.lit(observed) if isinstance(observed, (str, type(None))) else observed
+    )
+    return F.struct(
+        F.lit(column).alias("column"),
+        F.lit(rule_id).alias("rule_id"),
+        F.lit(etype).alias("error_type"),
+        message.cast("string").alias("message"),
+        observed.cast("string").alias("observed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# plan
+
+
+@dataclass
+class RowCheckPlan:
+    """Output of :func:`compile_row_checks`."""
+
+    checks: list[Column] = dc_field(default_factory=list)  # array<struct> pieces
+    schema_violations: list[dict] = dc_field(default_factory=list)
+    fail_fast: bool = False
+    # table-scale directives collected for the other stages
+    unique_cols: list[str] = dc_field(default_factory=list)
+    ref_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
+    stats_specs: list[tuple[str, list[str]]] = dc_field(default_factory=list)
+    drift_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
+    pixel_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
+    caption_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
+
+    def violations_array(self) -> Column:
+        if not self.checks:
+            return F.array().cast(T.ArrayType(model.CHECK_STRUCT))
+        arr = F.concat(*self.checks) if len(self.checks) > 1 else self.checks[0]
+        return F.filter(arr, lambda x: x.isNotNull())
+
+
+class _Compiler:
+    def __init__(self, schema: T.StructType):
+        self.schema = schema
+        self.plan = RowCheckPlan()
+        # per-row fail-fast chain (reference context-cancel analog)
+        self.alive: Column = F.lit(True)
+
+    # -- emit helpers ------------------------------------------------------
+
+    def _emit(self, cond: Column, struct: Column) -> None:
+        self.plan.checks.append(F.array(F.when(cond, struct).otherwise(_null_struct())))
+
+    def _emit_schema(self, path: str, rule_id: str, etype: str, msg: str) -> None:
+        self.plan.schema_violations.append(
+            {
+                "row_key": None,
+                "column": path,
+                "rule_id": rule_id,
+                "error_type": etype,
+                "message": msg,
+                "observed": None,
+            }
+        )
+
+    # -- scalar checks on an arbitrary expression --------------------------
+
+    def _scalar_checks(
+        self,
+        expr: Column,
+        rule: Rule,
+        path: str,
+        key: str,
+        gate: Column,
+        dynamic: bool,
+        skip_type: bool = False,
+    ) -> None:
+        """Length / regex / of (+ dynamic type) checks for one scalar
+        (reference rule.go:196-324, one branch per scalar kind)."""
+        rule_id = path
+        sval = expr.cast("string")
+
+        if dynamic and not skip_type:
+            want = yamlmeta.TYPE_BY_TAG[yamlmeta.TAG_BY_TYPE[rule.rule_type]]
+            cond = gate & (yamlmeta.infer_type_col(sval) != F.lit(want))
+            self._emit(
+                cond,
+                _mk_struct(
+                    path,
+                    rule_id,
+                    ErrorType.TYPE_MISMATCH,
+                    model.type_mismatch_msg(key, rule.rule_type),
+                    sval,
+                ),
+            )
+        elif rule.rule_type == "$null" and not skip_type:
+            # static mode: $null expects SQL NULL per row
+            cond = gate & expr.isNotNull()
+            self._emit(
+                cond,
+                _mk_struct(
+                    path,
+                    rule_id,
+                    ErrorType.TYPE_MISMATCH,
+                    model.type_mismatch_msg(key, "$null"),
+                    sval,
+                ),
+            )
+
+        # $length — byte semantics (Go len); min and max are naturally
+        # mutually exclusive per value, matching the reference's else-if
+        # (rule.go:204-216); a 0 bound disables that side.
+        if rule.length_min or rule.length_max:
+            blen = F.octet_length(sval)
+            if rule.length_min:
+                self._emit(
+                    gate & (blen < F.lit(rule.length_min)),
+                    _mk_struct(
+                        path,
+                        rule_id,
+                        ErrorType.STR_LENGTH_MISMATCH,
+                        model.str_length_min_msg(key, rule.length_min),
+                        sval,
+                    ),
+                )
+            if rule.length_max:
+                self._emit(
+                    gate & (blen > F.lit(rule.length_max)),
+                    _mk_struct(
+                        path,
+                        rule_id,
+                        ErrorType.STR_LENGTH_MISMATCH,
+                        model.str_length_max_msg(key, rule.length_max),
+                        sval,
+                    ),
+                )
+
+        if rule.reg is not None:
+            self._emit(
+                gate & ~sval.rlike(rule.reg),
+                _mk_struct(
+                    path,
+                    rule_id,
+                    ErrorType.REGX_MISMATCH,
+                    model.regx_msg(key, rule.reg),
+                    sval,
+                ),
+            )
+
+        if rule.of:
+            self._emit(
+                gate & ~sval.isin([str(v) for v in rule.of]),
+                _mk_struct(
+                    path,
+                    rule_id,
+                    ErrorType.OF_MISMATCH,
+                    model.of_msg(key, rule.of),
+                    sval,
+                ),
+            )
+
+        if rule.range is not None:
+            lo = rule.range.get("$min")
+            hi = rule.range.get("$max")
+            cond = F.lit(False)
+            if lo is not None:
+                cond = cond | (expr < F.lit(lo))
+            if hi is not None:
+                cond = cond | (expr > F.lit(hi))
+            msg = f"value of {key} must be in range [{lo}, {hi}]"
+            self._emit(
+                gate & cond,
+                _mk_struct(path, rule_id, ErrorType.RANGE_MISMATCH, msg, sval),
+            )
+
+    # -- array element checks (inside transform, still codegen'd) ----------
+
+    def _array_checks(self, col: Column, rule: Rule, path: str, gate: Column) -> None:
+        dt = _field_type(self.schema, path)
+        elem_dt = dt.elementType if isinstance(dt, T.ArrayType) else None
+        key = path.split(".")[-1]
+
+        if isinstance(rule.constraint, str):
+            cname = rule.constraint
+            # per-element type check, violation key "arr.idx"
+            # (reference rule.go:175-184)
+            if rule.dynamic and isinstance(elem_dt, T.StringType):
+                def elem_check(x: Column, i: Column) -> Column:
+                    s = x.cast("string")
+                    bad = yamlmeta.infer_type_col(s) != F.lit(
+                        yamlmeta.TYPE_BY_TAG[yamlmeta.TAG_BY_TYPE[cname]]
+                    )
+                    k = F.concat(F.lit(key + "."), i.cast("string"))
+                    return F.when(
+                        bad,
+                        F.struct(
+                            F.lit(path).alias("column"),
+                            F.lit(path).alias("rule_id"),
+                            F.lit(ErrorType.TYPE_MISMATCH).alias("error_type"),
+                            F.concat(
+                                F.lit("type for ["),
+                                k,
+                                F.lit(f"] must be [{cname}]"),
+                            ).alias("message"),
+                            s.alias("observed"),
+                        ),
+                    ).otherwise(_null_struct())
+
+                arr = F.when(gate, F.transform(col, elem_check)).otherwise(
+                    F.array().cast(T.ArrayType(model.CHECK_STRUCT))
+                )
+                self.plan.checks.append(arr)
+            else:
+                # statically typed elements: compile-time check
+                if elem_dt is not None and not _static_type_ok(cname, elem_dt):
+                    self._emit_schema(
+                        path,
+                        path,
+                        ErrorType.TYPE_MISMATCH,
+                        model.type_mismatch_msg(key, cname),
+                    )
+        elif isinstance(rule.constraint, Rule):
+            # array of objects: validate each element's fields
+            # (reference rule.go:186-192). Elements must be structs.
+            if not isinstance(elem_dt, T.StructType) and elem_dt is not None:
+                self._emit_schema(
+                    path, path, ErrorType.TYPE_MISMATCH,
+                    model.type_mismatch_msg(key, "$obj"),
+                )
+                return
+            # higher-order-function lambdas are introspected by arity:
+            # extra params would become lambda vars, so capture the
+            # child rule via a closure factory instead of default args.
+            def _make_elem_rule_check(ch: Rule, cp: str):
+                def elem_rule_check(x: Column) -> Column:
+                    v = x[ch.key].cast("string")
+                    conds: list[tuple[Column, str, Column]] = []
+                    if ch.required:
+                        conds.append(
+                            (
+                                x[ch.key].isNull(),
+                                ErrorType.KEY_MISSING,
+                                F.lit(model.key_missing_msg(ch.key)),
+                            )
+                        )
+                    if ch.dynamic:
+                        want_type = yamlmeta.TYPE_BY_TAG[
+                            yamlmeta.TAG_BY_TYPE[ch.rule_type]
+                        ]
+                        conds.append(
+                            (
+                                yamlmeta.infer_type_col(v) != F.lit(want_type),
+                                ErrorType.TYPE_MISMATCH,
+                                F.lit(model.type_mismatch_msg(ch.key, ch.rule_type)),
+                            )
+                        )
+                    if ch.reg is not None:
+                        conds.append(
+                            (
+                                ~v.rlike(ch.reg),
+                                ErrorType.REGX_MISMATCH,
+                                F.lit(model.regx_msg(ch.key, ch.reg)),
+                            )
+                        )
+                    if ch.of:
+                        conds.append(
+                            (
+                                ~v.isin([str(o) for o in ch.of]),
+                                ErrorType.OF_MISMATCH,
+                                F.lit(model.of_msg(ch.key, ch.of)),
+                            )
+                        )
+                    if ch.length_min:
+                        conds.append(
+                            (
+                                F.octet_length(v) < F.lit(ch.length_min),
+                                ErrorType.STR_LENGTH_MISMATCH,
+                                F.lit(model.str_length_min_msg(ch.key, ch.length_min)),
+                            )
+                        )
+                    if ch.length_max:
+                        conds.append(
+                            (
+                                F.octet_length(v) > F.lit(ch.length_max),
+                                ErrorType.STR_LENGTH_MISMATCH,
+                                F.lit(model.str_length_max_msg(ch.key, ch.length_max)),
+                            )
+                        )
+                    out = _null_struct()
+                    # first failing condition wins per element+field
+                    for cond, et, msg in reversed(conds):
+                        out = F.when(
+                            cond,
+                            F.struct(
+                                F.lit(cp).alias("column"),
+                                F.lit(cp).alias("rule_id"),
+                                F.lit(et).alias("error_type"),
+                                msg.alias("message"),
+                                v.alias("observed"),
+                            ),
+                        ).otherwise(out)
+                    return out
+
+                return elem_rule_check
+
+            for child in rule.constraint.children:
+                cpath = f"{path}[].{child.key}"
+                have = (
+                    elem_dt is not None
+                    and any(f.name == child.key for f in elem_dt.fields)
+                )
+                if not have:
+                    if child.required:
+                        self._emit_schema(
+                            cpath, cpath, ErrorType.KEY_MISSING,
+                            model.key_missing_msg(child.key),
+                        )
+                        self.plan.fail_fast = True
+                        return
+                    continue
+                arr = F.when(
+                    gate, F.transform(col, _make_elem_rule_check(child, cpath))
+                ).otherwise(F.array().cast(T.ArrayType(model.CHECK_STRUCT)))
+                self.plan.checks.append(arr)
+
+    # -- main walk ----------------------------------------------------------
+
+    def walk(self, rule: Rule, prefix: str = "") -> None:
+        """Depth-first over children in document order (rule.go:152)."""
+        for child in rule.children:
+            if self.plan.fail_fast:
+                return
+            path = f"{prefix}.{child.key}" if prefix else child.key
+            key = child.key
+            dt = _field_type(self.schema, path)
+
+            # collect table-scale directives regardless of mode
+            if child.unique:
+                self.plan.unique_cols.append(path)
+            if child.ref is not None:
+                self.plan.ref_specs.append((path, child.ref))
+            if child.stats is not None:
+                self.plan.stats_specs.append((path, child.stats))
+            if child.drift is not None:
+                self.plan.drift_specs.append((path, child.drift))
+            if child.pixel is not None:
+                self.plan.pixel_specs.append((path, child.pixel))
+            if child.caption_eq is not None:
+                self.plan.caption_specs.append((path, child.caption_eq))
+
+            if dt is None:
+                # column absent from the table schema
+                if child.required:
+                    # schema-level keyMissing + fail-fast
+                    # (reference rule.go:159-165)
+                    self._emit_schema(
+                        path, path, ErrorType.KEY_MISSING,
+                        model.key_missing_msg(key),
+                    )
+                    self.plan.fail_fast = True
+                    return
+                continue  # optional + absent → skip (rule.go:166-167)
+
+            col = F.col(path)
+
+            if child.rule_type == "$obj":
+                # $key-reg on MapType columns — engine-enforced
+                # (reference parses but never enforces, rule.go:446-456)
+                if child.key_reg is not None and isinstance(dt, T.MapType):
+                    bad = ~F.forall(
+                        F.map_keys(col), lambda k: k.rlike(child.key_reg)
+                    )
+                    self._emit(
+                        self.alive & bad,
+                        _mk_struct(
+                            path,
+                            path,
+                            ErrorType.KEY_NAME_MISMATCH,
+                            model.key_name_msg(key, child.key_reg),
+                            F.to_json(F.map_keys(col)),
+                        ),
+                    )
+                if isinstance(dt, T.StructType):
+                    self.walk(child, path)
+                continue
+
+            if child.rule_type == "$arr":
+                if not isinstance(dt, T.ArrayType):
+                    self._emit_schema(
+                        path, path, ErrorType.TYPE_MISMATCH,
+                        model.type_mismatch_msg(key, "$arr"),
+                    )
+                    continue
+                self._array_checks(col, child, path, self.alive)
+                continue
+
+            # scalar rules -------------------------------------------------
+            dynamic = child.dynamic and isinstance(dt, T.StringType)
+
+            if dynamic:
+                # presence: SQL NULL = key absent; a present null is the
+                # spelling "null"/"~"/"" (distinguishable, exact parity)
+                present = col.isNotNull()
+            else:
+                # static tables can't distinguish absent from null;
+                # required → NOT NULL per row ($null rules exempt)
+                present = col.isNotNull()
+                if not dynamic and not _static_type_ok(child.rule_type, dt):
+                    self._emit_schema(
+                        path, path, ErrorType.TYPE_MISMATCH,
+                        model.type_mismatch_msg(key, child.rule_type),
+                    )
+                    # reference accumulates type mismatches; keep walking
+
+            if child.required and child.rule_type != "$null":
+                miss = self.alive & ~present
+                self._emit(
+                    miss,
+                    _mk_struct(
+                        path, path, ErrorType.KEY_MISSING,
+                        model.key_missing_msg(key), None,
+                    ),
+                )
+                # rows that hit keyMissing stop accumulating
+                # (context-cancel analog)
+                self.alive = self.alive & present
+                gate = self.alive
+            else:
+                gate = self.alive & present if child.rule_type != "$null" else self.alive
+
+            self._scalar_checks(col, child, path, key, gate, dynamic)
+
+
+def compile_row_checks(df: DataFrame, rules: RuleSet) -> RowCheckPlan:
+    c = _Compiler(df.schema)
+    c.walk(rules.root)
+    return c.plan
+
+
+def run_row_checks(
+    df: DataFrame,
+    rules: RuleSet,
+    row_key: str,
+    run_id: str = "",
+    plan: RowCheckPlan | None = None,
+) -> DataFrame:
+    """Evaluate all row-local checks in one projection → violations DF
+    (schema :data:`invalid_spark.model.VIOLATION_SCHEMA`).
+
+    The physical plan is: scan (only the rule-referenced columns +
+    row key are read — column pruning reaches the parquet scan) →
+    one Project with the CASE-chain array → filter non-empty →
+    explode. No shuffle, no Python.
+    """
+    plan = plan or compile_row_checks(df, rules)
+    spark = df.sparkSession
+
+    arr = plan.violations_array()
+    out = (
+        df.select(
+            F.col(row_key).cast("string").alias("row_key"),
+            F.spark_partition_id().alias("partition_id"),
+            arr.alias("_v"),
+        )
+        .filter(F.size("_v") > 0)
+        .select(
+            "row_key",
+            F.explode("_v").alias("v"),
+            "partition_id",
+        )
+        .select(
+            "row_key",
+            F.col("v.column").alias("column"),
+            F.col("v.rule_id").alias("rule_id"),
+            F.col("v.error_type").alias("error_type"),
+            F.col("v.message").alias("message"),
+            F.col("v.observed").alias("observed"),
+            "partition_id",
+            F.lit(run_id).alias("run_id"),
+        )
+    )
+    if plan.schema_violations:
+        rows = [
+            {**sv, "partition_id": None, "run_id": run_id}
+            for sv in plan.schema_violations
+        ]
+        sdf = spark.createDataFrame(rows, schema=model.VIOLATION_SCHEMA)
+        out = sdf.unionByName(out) if not plan.fail_fast else sdf
+        # fail-fast: schema-level keyMissing aborts the whole walk —
+        # row checks compiled before it are NOT evaluated (reference
+        # returns immediately at rule.go:163)
+    return out

@@ -1,0 +1,318 @@
+"""Rule DSL: model, YAML loader, compile-time validation.
+
+The DSL is the reference's rule language (SURVEY.md §1.3) — a YAML
+document whose keys mirror the data's keys and whose ``$``-prefixed
+keys are constraint directives — extended with table-scale directives
+for the generalized engine. Rule *compilation* errors are raised at
+load time (:class:`DSLError`), distinct from validation results,
+mirroring ``NewRule`` (reference rule.go:93-120, rule_test.go:17-39).
+
+Exact reference compile errors replicated (same trigger, same text):
+
+- ``value node must be map : [k]``          (rule.go:636-638)
+- ``type not found : [k]``                  (rule.go:649-652)
+- ``type not match : [k]``                  (rule.go:718)
+- ``value node must be boolean : [k]`` / ``value for required must be
+  true``                                    (rule.go:399-409)
+- ``compile regexp error : [k]``            (rule.go:590-592)
+- ``the type of of [k] must be [t]``        (ConstraintTypeError, rule.go:721-723)
+- ``the type of [k] must be [t],which is same with field`` (OfTypeError,
+  rule.go:725-727)
+
+Documented divergences from the reference (SURVEY.md §5 quirk list):
+
+- ``$of`` stores the FULL enum (reference keeps only the first
+  element, rule.go:533-535 bug); declared semantics implemented.
+- ``$key-reg`` is enforced at validation time (reference parses but
+  never enforces it).
+
+Engine extensions (all optional, ignored by reference-parity tests):
+
+- ``$unique: true``                — uniqueness check on the column
+- ``$ref: {table: t, key: k}``     — referential check vs a dimension
+- ``$range: {$min: x, $max: y}``   — numeric bounds
+- ``$stats: [null_rate, min, max, ndv, quantiles]`` — profile metrics
+- ``$drift: {test: ks|chi2, threshold: p}`` — distribution drift
+- ``$pixel: {psnr_min: 40.0}``     — decoded-pixel invariant (binary col)
+- ``$caption-eq: {table: t, key: k, column: c}`` — byte equality vs ref
+- ``$dynamic: true``               — column holds stringly scalars;
+  type-check by YAML core-schema spelling (reference semantics) rather
+  than the table's static type.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+import yaml
+
+from invalid_spark import yamlmeta
+
+# rule-type names (reference rule.go:29-39)
+SCALAR_TYPES = ("$null", "$any", "$bool", "$int", "$float", "$str")
+COLLECTION_TYPES = ("$obj", "$seq", "$arr")
+ALL_TYPES = SCALAR_TYPES + COLLECTION_TYPES
+
+_DIRECTIVES = {
+    "$type", "$required", "$optional", "$length", "$min", "$max",
+    "$reg", "$key-reg", "$constraint", "$of",
+    # engine extensions
+    "$unique", "$ref", "$range", "$stats", "$drift", "$pixel",
+    "$caption-eq", "$dynamic",
+}
+
+
+class DSLError(ValueError):
+    """Rule-compilation error (reference: error return from NewRule)."""
+
+
+@dataclass
+class Rule:
+    """One field rule; a tree node (reference Rule struct rule.go:122-129)."""
+
+    key: str
+    rule_type: str
+    required: bool = True
+    children: list["Rule"] = field(default_factory=list)  # $obj, doc order
+    key_reg: Optional[str] = None  # $obj
+    constraint: Union[str, "Rule", None] = None  # $arr element
+    length_min: Optional[int] = None  # $str ($length.$min)
+    length_max: Optional[int] = None  # $str ($length.$max)
+    reg: Optional[str] = None  # $str
+    of: Optional[list[str]] = None  # scalars: raw string spellings
+    # engine extensions
+    unique: bool = False
+    ref: Optional[dict] = None
+    range: Optional[dict] = None
+    stats: Optional[list[str]] = None
+    drift: Optional[dict] = None
+    pixel: Optional[dict] = None
+    caption_eq: Optional[dict] = None
+    dynamic: bool = False
+
+    def get(self, key: str) -> Optional["Rule"]:
+        for c in self.children:
+            if c.key == key:
+                return c
+        return None
+
+    def path_iter(self, prefix: str = ""):
+        """Yield (dotted_path, rule) depth-first in document order."""
+        p = f"{prefix}.{self.key}" if prefix else self.key
+        yield p, self
+        for c in self.children:
+            yield from c.path_iter(p)
+
+
+@dataclass
+class RuleSet:
+    """Compiled rule document: the implicit ``$obj`` root
+    (reference rule.go:640-647)."""
+
+    root: Rule
+
+    @property
+    def columns(self) -> list[Rule]:
+        return self.root.children
+
+    def get(self, key: str) -> Optional[Rule]:
+        return self.root.get(key)
+
+
+def _scalar_str(node) -> Optional[str]:
+    if isinstance(node, yaml.ScalarNode):
+        return node.value
+    return None
+
+
+def _node_tag(node) -> str:
+    """Core-schema tag using our resolver (reference yaml semantics),
+    not pyyaml's YAML 1.1 resolver."""
+    if isinstance(node, yaml.MappingNode):
+        return "!!map"
+    if isinstance(node, yaml.SequenceNode):
+        return "!!seq"
+    quoted = node.style is not None
+    return yamlmeta.infer_tag(node.value, quoted)
+
+
+def _mapping_get(node: yaml.MappingNode, key: str):
+    for k, v in node.value:
+        if isinstance(k, yaml.ScalarNode) and k.value == key:
+            return v
+    return None
+
+
+def _parse_int_directive(container: yaml.MappingNode, key: str) -> int:
+    v = _mapping_get(container, key)
+    if v is None:
+        # reference: GetIntValue error when $min/$max absent (util.go:62-77)
+        raise DSLError(f"key not found : [{key}]")
+    if _node_tag(v) != "!!int":
+        raise DSLError(f"value node must be integer : [{key}]")
+    return int(v.value, 0)
+
+
+def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
+    """Mirror of newRuler + restructure (rule.go:635-719, 396-412)."""
+    if not isinstance(value, yaml.MappingNode):
+        raise DSLError(f"value node must be map : [{key}]")
+
+    if document:
+        rule = Rule(key=key, rule_type="$obj")
+    else:
+        tnode = _mapping_get(value, "$type")
+        if tnode is None:
+            raise DSLError(f"type not found : [{key}]")
+        rtype = _scalar_str(tnode)
+        if rtype not in ALL_TYPES or rtype in ("$seq", "$any"):
+            # $seq/$any declared but unimplemented in the reference
+            # (rule.go:662-663 TODO) — keep them compile errors here.
+            raise DSLError(f"type not match : [{key}]")
+        rule = Rule(key=key, rule_type=rtype)
+
+    # presence: default required; $optional must be boolean true
+    # (rule.go:396-412)
+    opt = _mapping_get(value, "$optional")
+    if opt is not None:
+        if _node_tag(opt) != "!!bool":
+            raise DSLError(f"value node must be boolean : [$optional]")
+        if opt.value not in ("true", "True", "TRUE"):
+            raise DSLError("value for required must be true")
+        rule.required = False
+    req = _mapping_get(value, "$required")
+    if req is not None:
+        if _node_tag(req) != "!!bool":
+            raise DSLError(f"value node must be boolean : [$required]")
+        rule.required = req.value in ("true", "True", "TRUE")
+
+    # $length {$min,$max} (rule.go:570-584)
+    ln = _mapping_get(value, "$length")
+    if ln is not None:
+        if not isinstance(ln, yaml.MappingNode):
+            raise DSLError("value node must be map : [$length]")
+        rule.length_min = _parse_int_directive(ln, "$min")
+        rule.length_max = _parse_int_directive(ln, "$max")
+
+    # $reg (rule.go:587-594) — compiled once here for fail-fast parity
+    rg = _mapping_get(value, "$reg")
+    if rg is not None and _node_tag(rg) == "!!str":
+        import re as _re
+
+        try:
+            _re.compile(rg.value)
+        except _re.error:
+            raise DSLError(f"compile regexp error : [$reg]")
+        rule.reg = rg.value
+
+    # $key-reg (rule.go:446-456)
+    kr = _mapping_get(value, "$key-reg")
+    if kr is not None and _node_tag(kr) == "!!str":
+        import re as _re
+
+        try:
+            _re.compile(kr.value)
+        except _re.error:
+            raise DSLError(f"compile regexp error : [$key-reg]")
+        rule.key_reg = kr.value
+
+    # $of (rule.go:522-538): must be a sequence; every element's tag
+    # must equal the field's own type tag, else OfTypeError.
+    of = _mapping_get(value, "$of")
+    if of is not None:
+        if not isinstance(of, yaml.SequenceNode):
+            raise DSLError(
+                f"the type of of [{key}] must be [$seq]"
+            )  # ConstraintTypeError rule.go:721-723
+        want_tag = yamlmeta.TAG_BY_TYPE.get(rule.rule_type)
+        vals: list[str] = []
+        for i, el in enumerate(of.value):
+            if _node_tag(el) != want_tag:
+                raise DSLError(
+                    f"the type of [{key}.{i}] must be [{rule.rule_type}]"
+                    ",which is same with field"
+                )  # OfTypeError rule.go:725-727
+            vals.append(el.value)
+        # divergence: store ALL values (reference bug keeps first only,
+        # rule.go:533-535)
+        rule.of = vals
+
+    # $constraint for $arr (rule.go:480-506)
+    if rule.rule_type == "$arr":
+        cn = _mapping_get(value, "$constraint")
+        if cn is None:
+            raise DSLError(f"constraint not found : [{key}]")
+        if isinstance(cn, yaml.MappingNode):
+            rule.constraint = _parse_rule(key, cn, document=True)
+        else:
+            cname = _scalar_str(cn)
+            if cname not in SCALAR_TYPES:
+                raise DSLError(f"the type of of [{key}] must be [$map]")
+            rule.constraint = cname
+
+    # engine extensions
+    dyn = _mapping_get(value, "$dynamic")
+    rule.dynamic = dyn is not None and dyn.value in ("true", "True", "TRUE")
+    uq = _mapping_get(value, "$unique")
+    rule.unique = uq is not None and uq.value in ("true", "True", "TRUE")
+    for dname, attr in (
+        ("$ref", "ref"),
+        ("$range", "range"),
+        ("$drift", "drift"),
+        ("$pixel", "pixel"),
+        ("$caption-eq", "caption_eq"),
+    ):
+        dn = _mapping_get(value, dname)
+        if dn is not None:
+            if not isinstance(dn, yaml.MappingNode):
+                raise DSLError(f"value node must be map : [{dname}]")
+            d = {}
+            for k, v in dn.value:
+                sv = v.value
+                tag = _node_tag(v)
+                if tag == "!!int":
+                    sv = int(sv, 0)
+                elif tag == "!!float":
+                    sv = float(sv)
+                elif tag == "!!bool":
+                    sv = sv in ("true", "True", "TRUE")
+                d[k.value] = sv
+            setattr(rule, attr, d)
+    st = _mapping_get(value, "$stats")
+    if st is not None:
+        if not isinstance(st, yaml.SequenceNode):
+            raise DSLError("the type of of [$stats] must be [$seq]")
+        rule.stats = [e.value for e in st.value]
+
+    # children: all non-$ keys, in document order (rule.go:429-443)
+    for k, v in value.value:
+        kname = k.value if isinstance(k, yaml.ScalarNode) else None
+        if kname is None or kname.startswith("$"):
+            if kname is not None and kname not in _DIRECTIVES:
+                raise DSLError(f"unknown directive : [{kname}]")
+            continue
+        rule.children.append(_parse_rule(kname, v))
+
+    return rule
+
+
+def load_rules(text: str) -> RuleSet:
+    """Parse a rule document → :class:`RuleSet`.
+
+    Reference lifecycle B (``NewRule``, rule.go:93-120): unmarshal,
+    root must be a mapping, two-phase construct+restructure. All DSL
+    errors surface here, never at validation time.
+    """
+    node = yaml.compose(text, Loader=yaml.SafeLoader)
+    if node is None:
+        raise DSLError("empty rule document")
+    if not isinstance(node, yaml.MappingNode):
+        raise DSLError("value node must be map : []")
+    root = _parse_rule("", node, document=True)
+    return RuleSet(root=root)
+
+
+def load_rules_file(path: str) -> RuleSet:
+    with open(path, "r", encoding="utf-8") as f:
+        return load_rules(f.read())

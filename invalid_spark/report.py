@@ -1,0 +1,62 @@
+"""Verdicts and metrics over a violations DataFrame.
+
+Generalizes the reference's per-document pass/fail (``len(results)
+== 0``, reference valid_test.go:72-75) to per-partition verdicts
+(SURVEY.md §2.3): a partition passes iff it contributed zero
+violation rows. Schema-level violations (``partition_id`` NULL)
+fail every partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def partition_verdicts(
+    df: DataFrame, violations: DataFrame, run_id: str = ""
+) -> DataFrame:
+    """One row per input partition: (partition_id, n_rows,
+    n_violations, passed). Both sides aggregate before the join, so
+    the shuffle is over at most #partitions rows."""
+    rows_per_part = df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    schema_fail = (
+        violations.filter(F.col("partition_id").isNull()).limit(1).count() > 0
+    )
+    v_per_part = (
+        violations.filter(F.col("partition_id").isNotNull())
+        .groupBy("partition_id")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    out = (
+        rows_per_part.join(v_per_part, "partition_id", "left")
+        .select(
+            "partition_id",
+            "n_rows",
+            F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+        )
+        .withColumn(
+            "passed",
+            (F.col("n_violations") == 0) & F.lit(not schema_fail),
+        )
+        .withColumn("run_id", F.lit(run_id))
+    )
+    return out
+
+
+def rule_metrics(violations: DataFrame, run_id: str = "") -> DataFrame:
+    """Violation counts per (rule_id, error_type) — the metrics rows
+    the north rule requires alongside verdicts."""
+    return (
+        violations.groupBy("rule_id", "error_type")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .withColumn("run_id", F.lit(run_id))
+    )
+
+
+def overall_pass(violations: DataFrame) -> bool:
+    """Reference ``Validate`` contract: empty result = pass
+    (rule.go:131-141)."""
+    return violations.limit(1).count() == 0
