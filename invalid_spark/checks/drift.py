@@ -1,0 +1,107 @@
+"""Distribution-drift checks across snapshots (SURVEY.md §2.3).
+
+Numeric columns: fixed-width histograms built with a bucketed
+``groupBy().count()`` per snapshot (one aggregation each, partial
+combine applies), KS statistic on the binned CDFs computed driver-side
+over ≤``bins`` numbers. Categorical columns: value counts per
+snapshot, chi-square on the contingency table. p-values from
+:mod:`invalid_spark.mathutil` (no scipy).
+
+Only histograms cross to the driver — never rows — so the stage costs
+two scans + two tiny shuffles regardless of table size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from invalid_spark import mathutil
+
+
+@dataclass
+class DriftResult:
+    column: str
+    test: str  # ks | chi2
+    statistic: float
+    p_value: float
+    drifted: bool
+    threshold: float
+    n_current: int
+    n_prior: int
+
+
+def _histogram(df: DataFrame, col: str, lo: float, hi: float, bins: int):
+    width = (hi - lo) / bins or 1.0
+    b = (
+        F.least(
+            F.lit(bins - 1),
+            F.greatest(F.lit(0), F.floor((F.col(col) - F.lit(lo)) / F.lit(width))),
+        )
+    ).alias("bucket")
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .select(b)
+        .groupBy("bucket")
+        .count()
+        .collect()
+    )
+    counts = [0] * bins
+    for r in rows:
+        counts[int(r.bucket)] = r["count"]
+    return counts
+
+
+def ks_drift(
+    cur: DataFrame,
+    prev: DataFrame,
+    col: str,
+    bins: int = 256,
+    threshold: float = 0.01,
+) -> DriftResult:
+    """Two-sample KS over binned CDFs. ``threshold`` is the p-value
+    below which drift is flagged."""
+    mm = (
+        cur.select(F.col(col).cast("double").alias("v"))
+        .unionByName(prev.select(F.col(col).cast("double").alias("v")))
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()[0]
+    )
+    lo, hi = mm.lo, mm.hi
+    h1 = _histogram(cur.filter(F.col(col).isNotNull()), col, lo, hi, bins)
+    h2 = _histogram(prev.filter(F.col(col).isNotNull()), col, lo, hi, bins)
+    n, m = sum(h1), sum(h2)
+    cdf1, cdf2, a, b2 = [], [], 0.0, 0.0
+    for x, y in zip(h1, h2):
+        a += x / n if n else 0.0
+        b2 += y / m if m else 0.0
+        cdf1.append(a)
+        cdf2.append(b2)
+    d = mathutil.ks_statistic(cdf1, cdf2)
+    p = mathutil.ks_pvalue(d, n, m)
+    return DriftResult(col, "ks", d, p, p < threshold, threshold, n, m)
+
+
+def chi2_drift(
+    cur: DataFrame, prev: DataFrame, col: str, threshold: float = 0.01
+) -> DriftResult:
+    """Chi-square homogeneity test on categorical value counts."""
+    c1 = {r[col]: r["count"] for r in cur.groupBy(col).count().collect()}
+    c2 = {r[col]: r["count"] for r in prev.groupBy(col).count().collect()}
+    cats = sorted(set(c1) | set(c2), key=str)
+    n, m = sum(c1.values()), sum(c2.values())
+    total = n + m
+    stat = 0.0
+    for cat in cats:
+        o1, o2 = c1.get(cat, 0), c2.get(cat, 0)
+        e1 = (o1 + o2) * n / total
+        e2 = (o1 + o2) * m / total
+        if e1 > 0:
+            stat += (o1 - e1) ** 2 / e1
+        if e2 > 0:
+            stat += (o2 - e2) ** 2 / e2
+    dof = max(len(cats) - 1, 1)
+    p = mathutil.chi2_pvalue(stat, dof)
+    return DriftResult(col, "chi2", stat, p, p < threshold, threshold, n, m)

@@ -1,0 +1,138 @@
+"""Aggregate/join/UDF check stages against planted synth violations."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from invalid_spark import synth
+from invalid_spark.checks import drift, image, refint, stats, unique
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    df = synth.images_df(spark, N, partitions=4)
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+def test_uniqueness_violations(spark, images):
+    v = unique.uniqueness_violations(images, "image_id", "image_id")
+    rows = v.collect()
+    # each planted dup contributes 2 violating rows (both copies)
+    planted = synth.violation_indices(N, "dup_id")
+    assert len(rows) == 2 * len(planted)
+    assert all(r.error_type == "uniqueMismatch" for r in rows)
+    dup_ids = {f"img-{i-1:012d}" for i in planted}
+    assert {r.observed for r in rows} == dup_ids
+
+
+def test_uniqueness_skewed_hot_key(spark):
+    df = synth.images_df(spark, 300, skew=True)
+    dups = unique.duplicate_keys(df, "phash").collect()
+    hot = [r for r in dups if r.k == synth.HOT_PHASH]
+    assert len(hot) == 1 and hot[0].cnt == 30
+
+
+def test_ref_violations(spark, images):
+    dim = synth.licenses_df(spark)
+    v = refint.ref_violations(images, "license_id", dim, "license_id", "image_id")
+    rows = v.collect()
+    assert len(rows) == len(synth.violation_indices(N, "ref_license"))
+    assert all(r.observed == "unknown-license" for r in rows)
+    assert all(r.error_type == "refMismatch" for r in rows)
+
+
+def test_column_profile_single_pass(spark, images):
+    prof = stats.column_profile(
+        images,
+        [("w", ["null_rate", "min", "max", "ndv"]),
+         ("caption", ["null_rate"])],
+        exact=True,
+    )
+    d = {(r.column, r.stat): r.value for r in prof.collect()}
+    assert d[("w", "null_rate")] == 0.0
+    assert d[("w", "min")] == 0.0  # planted w=0
+    assert d[("w", "max")] == 100001.0  # planted w=100001
+    assert d[("caption", "null_rate")] == 0.0
+    assert d[("w", "ndv")] >= 9  # 8..16 sides + 2 planted extremes
+
+
+def test_tdigest_vs_exact_quantiles(spark):
+    df = spark.range(10000).select(
+        (F.col("id").cast("double") / 100.0).alias("v")
+    )
+    got = stats.tdigest_quantiles(df, "v", (0.1, 0.5, 0.9))
+    for q, expect in [(0.1, 10.0), (0.5, 50.0), (0.9, 90.0)]:
+        assert abs(got[q] - expect) < 1.5, (q, got[q])
+
+
+def test_ks_drift_flags_shift(spark):
+    cur = synth.images_df(spark, 300)
+    prev_drifted = synth.images_prev_df(spark, 300, drifted=True)
+    prev_same = synth.images_prev_df(spark, 300, drifted=False)
+    r1 = drift.ks_drift(cur, prev_drifted, "h")
+    assert r1.drifted, (r1.statistic, r1.p_value)
+    r2 = drift.ks_drift(cur, prev_same, "h")
+    assert not r2.drifted, (r2.statistic, r2.p_value)
+
+
+def test_chi2_drift_flags_fmt_mix(spark):
+    cur = synth.images_df(spark, 300)
+    prev_drifted = synth.images_prev_df(spark, 300, drifted=True)
+    prev_same = synth.images_prev_df(spark, 300, drifted=False)
+    assert drift.chi2_drift(cur, prev_drifted, "fmt").drifted
+    assert not drift.chi2_drift(cur, prev_same, "fmt").drifted
+
+
+def test_pixel_violations(spark, images):
+    v = image.pixel_violations(images, run_id="t")
+    rows = v.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.error_type, set()).add(r.row_key)
+
+    corrupt = synth.violation_indices(N, "corrupt")
+    decode_fail = by_type.get("decodeError", set())
+    # every planted-corrupt row fails decode (ids may be dup-renamed)
+    assert len(decode_fail) == len(corrupt)
+
+    # phash-bit rows flagged, except those that are ALSO corrupt
+    phash_rows = {
+        i for i in synth.violation_indices(N, "phash_bit")
+    } - set(corrupt)
+    phash_viol = {
+        r.row_key for r in rows if r.column == "phash"
+    }
+    assert len(phash_viol) == len(phash_rows)
+
+    # w-range rows flagged as dims mismatches
+    wrows = set(synth.violation_indices(N, "range_w")) - set(corrupt)
+    dim_viol = {r.row_key for r in rows if r.column == "w"}
+    assert len(dim_viol) == len(wrows)
+
+    # nothing else: no pixelMismatch on clean rows (lossless exact,
+    # lossy PSNR ~48 dB > 40)
+    assert not any(
+        r.error_type == "pixelMismatch" and r.column == "bytes" for r in rows
+    )
+
+
+def test_caption_violations(spark, images):
+    # exclude planted duplicate ids: with a duplicated join key the
+    # 2x2 cross-match flags their divergent captions (by design — a
+    # real data-quality signal, but noise for this golden)
+    dup_ids = {f"img-{i-1:012d}" for i in synth.violation_indices(N, "dup_id")}
+    base = images.filter(~F.col("image_id").isin(list(dup_ids)))
+    ref = base.select("image_id", "caption").withColumn(
+        "caption",
+        F.when(F.col("image_id") == "img-000000000005",
+               F.concat(F.col("caption"), F.lit("!"))).otherwise(F.col("caption")),
+    )
+    v = image.caption_violations(base, ref, "image_id", "caption")
+    rows = v.collect()
+    assert {r.row_key for r in rows} == {"img-000000000005"}
+    assert all(r.error_type == "captionMismatch" for r in rows)
