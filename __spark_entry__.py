@@ -1,10 +1,20 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is one operator of the engine (SURVEY.md §2
+inventory + the training-data pipeline ops) run against the driver's
+parquet tables; ``oracle_sql()`` replays the same computation in
+DuckDB SQL. Column names are aligned on both sides; Spark-only
+lineage columns (partition_id, run_id) are dropped before compare.
+
+Oracle-parity rules used throughout (see pipeline module docstrings):
+
+- hashes are md5 (portable), not xxhash64;
+- ratios are int/int double divisions (bit-exact across engines);
+- floating aggregates are strict left folds on both sides, rounded
+  to 6 decimals where interpolation/accumulation order could differ;
+- queries with no ANSI-SQL equivalent (LSH-ANN with seeded numpy
+  hyperplanes, t-digest sketches, image decode UDFs) have no oracle
+  entry → driver records the weaker rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +22,626 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from invalid_spark.checks import drift, refint, rows, stats, unique
+from invalid_spark.dsl import load_rules
+from invalid_spark.pipeline import dedup, similarity, text
+from invalid_spark import report
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _viol(df: DataFrame) -> DataFrame:
+    """Project violation rows to the engine-portable columns."""
+    return df.select(
+        "row_key",
+        F.col("column").alias("col_name"),
+        "rule_id",
+        "error_type",
+        "message",
+        "observed",
+    )
+
+
+ORDERS_RULES = """
+o_orderkey: {$type: $int}
+o_orderstatus: {$type: $str, $of: [O, F]}
+o_totalprice: {$type: $float, $range: {$min: 1500, $max: 450000}}
+o_orderpriority: {$type: $str, $reg: '^[1-3]-'}
+"""
+
+DOCS_RULES = """
+doc_id: {$type: $int}
+text: {$type: $str, $length: {$min: 60, $max: 540}}
+lang: {$type: $str, $of: [en, de, fr, es, zh]}
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+def q_rowcheck_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "orders")
+    return _viol(rows.run_row_checks(df, load_rules(ORDERS_RULES), "o_orderkey"))
+
+
+def q_rowcheck_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    return _viol(rows.run_row_checks(df, load_rules(DOCS_RULES), "doc_id"))
+
+
+def q_verdicts_documents_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    v = rows.run_row_checks(df, load_rules(DOCS_RULES), "doc_id")
+    return report.group_verdicts(df, v, "source", "doc_id").drop("run_id")
+
+
+def q_stats_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem")
+    specs = [
+        ("l_quantity", ["null_rate", "min", "max", "ndv"]),
+        ("l_extendedprice", ["null_rate", "min", "max"]),
+        ("l_discount", ["min", "max", "quantiles"]),
+    ]
+    prof = stats.column_profile(df, specs, exact=True)
+    return prof.select(
+        F.col("column").alias("col_name"),
+        "stat",
+        F.round("value", 6).alias("value"),
+        "n_rows",
+    )
+
+
+def q_unique_part_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "part")
+    return _viol(unique.uniqueness_violations(df, "p_name", "p_partkey"))
+
+
+def q_ref_lineitem_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 0)
+    v = refint.ref_violations(
+        li.withColumn("li_key", F.concat_ws("-", "l_orderkey", "l_linenumber")),
+        "l_suppkey",
+        dim,
+        "s_suppkey",
+        "li_key",
+    )
+    return _viol(v)
+
+
+def q_drift_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    prev = ev.filter(F.col("event_id") % 2 == 0)
+    out = drift.ks_statistic_df(cur, prev, "value", bins=256)
+    return out.select(
+        "column_name", F.round("statistic", 6).alias("statistic"), "n_cur", "n_prior"
+    )
+
+
+def q_text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    q = text.quality_features(df)
+    return q.select(
+        "doc_id", "n_chars", "n_tokens", "n_stopwords", "n_punct", "n_digit",
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        "quality_ok",
+    )
+
+
+def q_text_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    # plant exact duplicates: re-append every 10th doc (shifted key)
+    extra = df.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return dedup.exact_dup_groups(df.unionByName(extra))
+
+
+def q_dedup_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    p = dedup.jaccard_pairs(df, threshold=0.8)
+    return p.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    p = dedup.minhash_lsh_dedup(df, threshold=0.8, bands=4, rows=4)
+    return p.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    return dedup.simhash(df, bits=32).withColumnRenamed("id", "doc_id")
+
+
+def q_ann_brute_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = similarity.brute_topk(emb, q, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_ann_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = similarity.lsh_ann(emb, q, k=5, planes=4, probe_hamming=1)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_tdigest_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem")
+    qs = stats.tdigest_quantiles(df, "l_extendedprice", (0.25, 0.5, 0.75))
+    return spark.createDataFrame(
+        sorted(qs.items()), "quantile double, value double"
+    )
+
+
+def q_image_validate_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full image+caption validation on the deterministic synthetic
+    table (north-rule input_hint schema) — rules, uniqueness, ref,
+    pixel/phash UDF checks — reported as per-rule metrics. No SQL
+    oracle: the image stage is Arrow-UDF Python; pytest goldens
+    (tests/) assert exact planted counts instead."""
+    from invalid_spark import synth
+    from invalid_spark.checks import image as image_checks
+
+    df = synth.images_df(spark, 400, partitions=8).cache()
+    rules = load_rules(
+        """
+image_id: {$type: $str, $reg: '^img-[0-9]{12}$', $unique: true}
+w: {$type: $int, $range: {$min: 1, $max: 100000}}
+h: {$type: $int, $range: {$min: 1, $max: 100000}}
+fmt: {$type: $str, $of: [png, jpeg, webp]}
+caption: {$type: $str, $length: {$min: 1, $max: 10000}}
+license_id: {$type: $str, $ref: {table: licenses, key: license_id}}
+"""
+    )
+    v_rows = rows.run_row_checks(df, rules, "image_id")
+    v_uni = unique.uniqueness_violations(df, "image_id", "image_id")
+    v_ref = refint.ref_violations(
+        df, "license_id", synth.licenses_df(spark), "license_id", "image_id"
+    )
+    v_img = image_checks.pixel_violations(df)
+    all_v = v_rows.unionByName(v_uni).unionByName(v_ref).unionByName(v_img)
+    return report.rule_metrics(all_v).drop("run_id").orderBy("rule_id", "error_type")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the compiled rule engine over the documents table."""
+    return q_rowcheck_documents(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rowcheck_orders": q_rowcheck_orders,
+        "rowcheck_documents": q_rowcheck_documents,
+        "verdicts_documents_source": q_verdicts_documents_source,
+        "stats_profile_lineitem": q_stats_profile_lineitem,
+        "unique_part_name": q_unique_part_name,
+        "ref_lineitem_suppkey": q_ref_lineitem_suppkey,
+        "drift_ks_events": q_drift_ks_events,
+        "text_quality_documents": q_text_quality_documents,
+        "text_langid_documents": q_text_langid_documents,
+        "text_fingerprint_documents": q_text_fingerprint_documents,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "dedup_jaccard_documents": q_dedup_jaccard_documents,
+        "dedup_minhash_lsh_documents": q_dedup_minhash_lsh_documents,
+        "dedup_simhash_documents": q_dedup_simhash_documents,
+        "ann_brute_topk_embeddings": q_ann_brute_topk_embeddings,
+        "ann_lsh_embeddings": q_ann_lsh_embeddings,
+        "tdigest_quantiles_lineitem": q_tdigest_quantiles_lineitem,
+        "image_validate_synth": q_image_validate_synth,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; views pre-registered by the driver)
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+_NTOKS = f"list_filter(regexp_split_to_array({_NORM}, '\\s+'), x -> x <> '')"
+
+_SHINGLES = (
+    "CASE WHEN len(t) >= 3 THEN "
+    "list_distinct([array_to_string(t[i+1:i+3], ' ') FOR i IN range(len(t)-2)]) "
+    "ELSE [] END"
+)
+
+_STOPLIST = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+_PUNCT_RE = r"[.,;:!?()\x27\x22-]"
+
+
+def _sql_rowcheck_orders() -> str:
+    base = "CAST(o_orderkey AS VARCHAR) AS row_key"
+    return f"""
+SELECT {base}, 'o_orderstatus' AS col_name, 'o_orderstatus' AS rule_id,
+       'ofMismatch' AS error_type,
+       'value of o_orderstatus must be one of [[O F]]' AS message,
+       o_orderstatus AS observed
+FROM orders WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+  AND o_orderstatus NOT IN ('O', 'F')
+UNION ALL
+SELECT {base}, 'o_totalprice', 'o_totalprice', 'rangeMismatch',
+       'value of o_totalprice must be in range [1500, 450000]',
+       CAST(o_totalprice AS VARCHAR)
+FROM orders WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+  AND o_totalprice IS NOT NULL AND (o_totalprice < 1500 OR o_totalprice > 450000)
+UNION ALL
+SELECT {base}, 'o_orderpriority', 'o_orderpriority', 'regxMismatch',
+       'value for [o_orderpriority] must match regexp : ^[1-3]-',
+       o_orderpriority
+FROM orders WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+  AND o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+  AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+"""
+
+
+def _sql_rowcheck_documents() -> str:
+    base = "CAST(doc_id AS VARCHAR) AS row_key"
+    return f"""
+SELECT {base}, 'text' AS col_name, 'text' AS rule_id,
+       'strLengthMismatch' AS error_type,
+       'length of value in [text] must < 60' AS message, text AS observed
+FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL AND strlen(text) < 60
+UNION ALL
+SELECT {base}, 'text', 'text', 'strLengthMismatch',
+       'length of value in [text] must > 540', text
+FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL AND strlen(text) > 540
+UNION ALL
+SELECT {base}, 'lang', 'lang', 'ofMismatch',
+       'value of lang must be one of [[en de fr es zh]]', lang
+FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+  AND lang NOT IN ('en', 'de', 'fr', 'es', 'zh')
+"""
+
+
+def _sql_verdicts_documents_source() -> str:
+    return f"""
+WITH v AS (SELECT row_key FROM ({_sql_rowcheck_documents()})),
+keyed AS (SELECT CAST(doc_id AS VARCHAR) AS row_key, source FROM documents),
+vp AS (SELECT source, count(*) AS n_violations
+       FROM v JOIN keyed USING (row_key) GROUP BY source)
+SELECT d.source, count(*) AS n_rows,
+       COALESCE(any_value(vp.n_violations), 0) AS n_violations,
+       COALESCE(any_value(vp.n_violations), 0) = 0 AS passed
+FROM documents d LEFT JOIN vp ON d.source = vp.source
+GROUP BY d.source
+"""
+
+
+def _sql_stats_profile_lineitem() -> str:
+    pieces = [
+        ("l_quantity", "null_rate",
+         "avg(CAST(l_quantity IS NULL AS DOUBLE))"),
+        ("l_quantity", "min", "CAST(min(l_quantity) AS DOUBLE)"),
+        ("l_quantity", "max", "CAST(max(l_quantity) AS DOUBLE)"),
+        ("l_quantity", "ndv", "CAST(count(DISTINCT l_quantity) AS DOUBLE)"),
+        ("l_extendedprice", "null_rate",
+         "avg(CAST(l_extendedprice IS NULL AS DOUBLE))"),
+        ("l_extendedprice", "min", "CAST(min(l_extendedprice) AS DOUBLE)"),
+        ("l_extendedprice", "max", "CAST(max(l_extendedprice) AS DOUBLE)"),
+        ("l_discount", "min", "CAST(min(l_discount) AS DOUBLE)"),
+        ("l_discount", "max", "CAST(max(l_discount) AS DOUBLE)"),
+        ("l_discount", "q0.25", "quantile_cont(l_discount, 0.25)"),
+        ("l_discount", "q0.5", "quantile_cont(l_discount, 0.5)"),
+        ("l_discount", "q0.75", "quantile_cont(l_discount, 0.75)"),
+    ]
+    selects = [
+        f"SELECT '{c}' AS col_name, '{s}' AS stat, round({e}, 6) AS value, "
+        f"count(*) AS n_rows FROM lineitem"
+        for c, s, e in pieces
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+def _sql_unique_part_name() -> str:
+    return """
+WITH d AS (SELECT p_name, count(*) AS cnt FROM part GROUP BY p_name
+           HAVING count(*) > 1)
+SELECT CAST(p_partkey AS VARCHAR) AS row_key, 'p_name' AS col_name,
+       'p_name' AS rule_id, 'uniqueMismatch' AS error_type,
+       'value of [p_name] must be unique, seen ' || CAST(cnt AS VARCHAR)
+         || ' times' AS message,
+       p_name AS observed
+FROM part JOIN d USING (p_name)
+"""
+
+
+def _sql_ref_lineitem_suppkey() -> str:
+    return """
+SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+         AS row_key,
+       'l_suppkey' AS col_name, 'l_suppkey' AS rule_id,
+       'refMismatch' AS error_type,
+       'value of [l_suppkey] has no match in reference [s_suppkey]' AS message,
+       CAST(l_suppkey AS VARCHAR) AS observed
+FROM lineitem
+WHERE l_suppkey NOT IN
+  (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+"""
+
+
+def _sql_drift_ks_events() -> str:
+    return """
+WITH b AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS is_cur
+  FROM events WHERE value IS NOT NULL
+), mm AS (
+  SELECT min(v) AS lo, max(v) AS hi,
+         CASE WHEN (max(v) - min(v)) / 256 = 0 THEN 1.0
+              ELSE (max(v) - min(v)) / 256 END AS width
+  FROM b
+), hist AS (
+  SELECT least(255, greatest(0, CAST(floor((v - lo) / width) AS BIGINT)))
+           AS bucket,
+         sum(is_cur) AS c_cur, sum(1 - is_cur) AS c_prev
+  FROM b, mm GROUP BY 1
+), cdf AS (
+  SELECT CAST(sum(c_cur) OVER (ORDER BY bucket) AS DOUBLE)
+           / CAST(sum(c_cur) OVER () AS DOUBLE) AS cdf_cur,
+         CAST(sum(c_prev) OVER (ORDER BY bucket) AS DOUBLE)
+           / CAST(sum(c_prev) OVER () AS DOUBLE) AS cdf_prev,
+         sum(c_cur) OVER () AS n_cur, sum(c_prev) OVER () AS n_prior
+  FROM hist
+)
+SELECT 'value' AS column_name,
+       round(max(abs(cdf_cur - cdf_prev)), 6) AS statistic,
+       any_value(n_cur) AS n_cur, any_value(n_prior) AS n_prior
+FROM cdf
+"""
+
+
+def _sql_text_quality() -> str:
+    return f"""
+WITH f AS (
+  SELECT doc_id, length(text) AS n_chars, {_TOKS} AS toks,
+         len(regexp_extract_all(text, '{_PUNCT_RE}')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(text, '\\S')) AS n_nonspace
+  FROM documents
+), g AS (
+  SELECT doc_id, n_chars, len(toks) AS n_tokens,
+         len(list_filter(toks, x -> list_contains([{_STOPLIST}], lower(x))))
+           AS n_stopwords,
+         n_punct, n_digit, n_nonspace
+  FROM f
+)
+SELECT doc_id, n_chars, n_tokens, n_stopwords, n_punct, n_digit,
+  round(CASE WHEN n_tokens > 0
+        THEN CAST(n_nonspace AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        ELSE 0.0 END, 6) AS mean_token_len,
+  round(CASE WHEN n_tokens > 0
+        THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        ELSE 0.0 END, 6) AS stopword_ratio,
+  round(CASE WHEN n_chars > 0
+        THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+        ELSE 0.0 END, 6) AS punct_ratio,
+  round(CASE WHEN n_chars > 0
+        THEN CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE)
+        ELSE 0.0 END, 6) AS digit_ratio,
+  (n_tokens >= 10 AND n_tokens <= 10000
+   AND (CASE WHEN n_tokens > 0
+        THEN CAST(n_nonspace AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        ELSE 0.0 END) >= 2.0
+   AND (CASE WHEN n_tokens > 0
+        THEN CAST(n_nonspace AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        ELSE 0.0 END) <= 12.0
+   AND (CASE WHEN n_chars > 0
+        THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+        ELSE 0.0 END) <= 0.2
+   AND (CASE WHEN n_chars > 0
+        THEN CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE)
+        ELSE 0.0 END) <= 0.3) AS quality_ok
+FROM g
+"""
+
+
+def _sql_text_langid() -> str:
+    scores = {
+        lang: f"len(regexp_extract_all(lower(text), '{pat}'))"
+        for lang, pat in text.LANG_MARKERS.items()
+    }
+    scores["zh"] = f"len(regexp_extract_all(text, '{text.CJK_PATTERN}'))"
+    best = f"greatest({scores['en']}, {scores['de']}, {scores['fr']}, {scores['es']}, {scores['zh']})"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         {scores['en']} AS score_en, {scores['de']} AS score_de,
+         {scores['fr']} AS score_fr, {scores['es']} AS score_es,
+         {scores['zh']} AS score_zh,
+         {best} AS best
+  FROM documents
+)
+SELECT doc_id, score_en, score_de, score_fr, score_es, score_zh,
+  CASE WHEN best = 0 THEN 'und'
+       WHEN score_zh = best THEN 'zh'
+       WHEN score_en = best THEN 'en'
+       WHEN score_de = best THEN 'de'
+       WHEN score_fr = best THEN 'fr'
+       ELSE 'es' END AS lang_guess
+FROM s
+"""
+
+
+def _sql_text_fingerprint() -> str:
+    return f"""
+SELECT doc_id, md5({_NORM}) AS fingerprint, len({_TOKS}) AS n_tokens
+FROM documents
+"""
+
+
+def _sql_dedup_exact() -> str:
+    return f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5({_NORM}) AS fingerprint, count(*) AS n_dups,
+       min(doc_id) AS keep_id
+FROM u GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+_SQL_SHINGLE_CTE = f"""
+sh AS (
+  SELECT doc_id, {_SHINGLES} AS s
+  FROM (SELECT doc_id, {_NTOKS} AS t FROM documents)
+)
+"""
+
+
+def _sql_dedup_jaccard() -> str:
+    return f"""
+WITH {_SQL_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(s) AS g, len(s) AS ns FROM sh),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common,
+         any_value(x.ns) AS na, any_value(y.ns) AS nb
+  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b,
+       round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
+         AS jaccard
+FROM pairs
+WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.8
+"""
+
+
+def _sql_dedup_minhash_lsh() -> str:
+    return f"""
+WITH {_SQL_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, s,
+         [list_min(list_transform(s,
+            x -> md5(CAST(j AS VARCHAR) || '|' || x)))
+          FOR j IN range(16)] AS sig
+  FROM sh WHERE len(s) > 0
+),
+bands AS (
+  SELECT doc_id, bi,
+         md5(array_to_string(sig[bi*4+1 : bi*4+4], '')) AS band_hash
+  FROM sig, unnest(range(4)) AS u(bi)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.bi = y.bi AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+),
+ver AS (
+  SELECT a, b, len(list_intersect(sa.s, sb.s)) AS common,
+         len(sa.s) AS na, len(sb.s) AS nb
+  FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+)
+SELECT a, b,
+       round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
+         AS jaccard
+FROM ver
+WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.8
+"""
+
+
+def _sql_dedup_simhash() -> str:
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(32)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(32)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_NTOKS})) AS tok FROM documents
+),
+hashes AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+  FROM toks
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM hashes GROUP BY doc_id
+)
+SELECT doc_id, {sig} AS simhash FROM votes
+"""
+
+
+def _sql_ann_brute_topk() -> str:
+    return """
+WITH nv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), un AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_reduce(
+           list_transform(v, y -> y * y), (a, b) -> a + b))) AS nv
+  FROM nv
+  WHERE sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b)) > 0
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(len(c.nv)),
+           i -> c.nv[i+1] * q.nv[i+1]), (a, b) -> a + b) AS cosine
+  FROM un c, un q
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rowcheck_orders": _sql_rowcheck_orders(),
+        "rowcheck_documents": _sql_rowcheck_documents(),
+        "verdicts_documents_source": _sql_verdicts_documents_source(),
+        "stats_profile_lineitem": _sql_stats_profile_lineitem(),
+        "unique_part_name": _sql_unique_part_name(),
+        "ref_lineitem_suppkey": _sql_ref_lineitem_suppkey(),
+        "drift_ks_events": _sql_drift_ks_events(),
+        "text_quality_documents": _sql_text_quality(),
+        "text_langid_documents": _sql_text_langid(),
+        "text_fingerprint_documents": _sql_text_fingerprint(),
+        "dedup_exact_documents": _sql_dedup_exact(),
+        "dedup_jaccard_documents": _sql_dedup_jaccard(),
+        "dedup_minhash_lsh_documents": _sql_dedup_minhash_lsh(),
+        "dedup_simhash_documents": _sql_dedup_simhash(),
+        "ann_brute_topk_embeddings": _sql_ann_brute_topk(),
+        # ann_lsh_embeddings: seeded numpy hyperplanes — rows-only
+        # tdigest_quantiles_lineitem: sketch, not SQL-exact — rows-only
+        # image_validate_synth: Arrow-UDF image decode — rows-only
+    }

@@ -54,6 +54,55 @@ def _histogram(df: DataFrame, col: str, lo: float, hi: float, bins: int):
     return counts
 
 
+def ks_statistic_df(
+    cur: DataFrame,
+    prev: DataFrame,
+    col: str,
+    bins: int = 256,
+) -> DataFrame:
+    """Fully-distributed KS statistic: one row
+    (column, statistic, n_cur, n_prior).
+
+    Unlike :func:`ks_drift` (driver-side loop over collected
+    histograms), everything stays in DataFrames: union-tagged scan →
+    bucketed groupBy → cumulative window over ≤``bins`` rows → max
+    abs CDF gap. CDF values are exact rationals (cumulative int
+    count / total), so the statistic is bit-reproducible in any SQL
+    engine. This is also the shape that scales: the window runs over
+    the tiny histogram, never the data."""
+    both = cur.select(F.col(col).cast("double").alias("v"), F.lit(1).alias("is_cur")).unionByName(
+        prev.select(F.col(col).cast("double").alias("v"), F.lit(0).alias("is_cur"))
+    ).filter(F.col("v").isNotNull())
+    mm = both.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    lo, hi = mm.lo, mm.hi
+    width = (hi - lo) / bins or 1.0
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col("v") - F.lit(lo)) / F.lit(width))),
+    ).alias("bucket")
+    hist = both.select(bucket, "is_cur").groupBy("bucket").agg(
+        F.sum("is_cur").alias("c_cur"),
+        F.sum(1 - F.col("is_cur")).alias("c_prev"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cdfs = hist.select(
+        "bucket",
+        (F.sum("c_cur").over(w).cast("double") / F.sum("c_cur").over(tot).cast("double")).alias("cdf_cur"),
+        (F.sum("c_prev").over(w).cast("double") / F.sum("c_prev").over(tot).cast("double")).alias("cdf_prev"),
+        F.sum("c_cur").over(tot).alias("n_cur"),
+        F.sum("c_prev").over(tot).alias("n_prior"),
+    )
+    return cdfs.groupBy().agg(
+        F.first(F.lit(col)).alias("column_name"),
+        F.max(F.abs(F.col("cdf_cur") - F.col("cdf_prev"))).alias("statistic"),
+        F.first("n_cur").alias("n_cur"),
+        F.first("n_prior").alias("n_prior"),
+    )
+
+
 def ks_drift(
     cur: DataFrame,
     prev: DataFrame,

@@ -1,0 +1,328 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Scale design (the point of each operator at 100 TB):
+
+- **exact**: hash-groupBy on the md5 fingerprint — one shuffle of
+  (16-byte key, id); partial combine collapses per-partition dups.
+- **n-gram Jaccard**: explode distinct shingles → self-join on the
+  shingle → count common per pair. Quadratic in shingle *document
+  frequency*, so :func:`shingle_pairs` drops shingles whose df
+  exceeds ``max_df`` (stop-shingles: every pair they connect is
+  noise; standard suffix-array/minhash-paper trick). The join key is
+  the shingle string — high cardinality, well distributed, AQE
+  handles residual skew.
+- **MinHash + LSH**: the scale path. Per doc, a k-element signature
+  (min of md5(seed || shingle) per seed — string min is portable to
+  any engine); band the signature (b bands × r rows), hash each
+  band, bucket-join on (band, hash). Only documents sharing a band
+  bucket are candidates → candidate verification computes the exact
+  Jaccard on the (tiny) candidate set. Cost: one explode of b rows
+  per doc + one groupBy — linear, no all-pairs.
+- **SimHash**: 32-bit signature via per-bit majority vote over token
+  hashes (explode tokens → one groupBy(doc) with 32 conditional
+  sums). Hamming-close signatures → near-dup candidates.
+- **embedding cosine**: exact all-pairs for small corpora /
+  verification; production path is the LSH bucketing in
+  :mod:`invalid_spark.pipeline.similarity`.
+
+Hash choice: md5 (not xxhash64) so every signature is reproducible
+in the DuckDB oracle — at production scale swap HASH_FN for
+xxhash64 (same plan shape, ~3x cheaper).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from invalid_spark.pipeline import text as T
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     key_col: str = "doc_id") -> DataFrame:
+    """Fingerprint groups with >1 member: (fingerprint, n_dups,
+    keep_id) — keeper is the min key, the rest are droppable."""
+    fp = T.fingerprint(F.col(text_col))
+    return (
+        df.select(fp.alias("fingerprint"), F.col(key_col).alias("k"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("k").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dup_rows(df: DataFrame, text_col: str = "text",
+                   key_col: str = "doc_id") -> DataFrame:
+    """Rows to drop: every member of a dup group except the keeper."""
+    groups = exact_dup_groups(df, text_col, key_col)
+    fp = T.fingerprint(F.col(text_col))
+    return (
+        df.select(F.col(key_col), fp.alias("fingerprint"))
+        .join(groups, "fingerprint", "inner")
+        .filter(F.col(key_col) != F.col("keep_id"))
+        .select(key_col, "fingerprint", "keep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + n-gram Jaccard
+
+def shingle_col(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = T.tokens(T.normalize(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_pairs(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """All candidate pairs with common-shingle counts:
+    (a, b, common, na, nb). ``max_df`` drops stop-shingles before
+    the self-join (essential at scale; None = keep all)."""
+    sh = df.select(
+        F.col(key_col).alias("id"), shingle_col(F.col(text_col), n).alias("sh")
+    )
+    ex = sh.select("id", F.size("sh").alias("ns"), F.explode("sh").alias("g"))
+    if max_df is not None:
+        hot = ex.groupBy("g").count().filter(F.col("count") > max_df).select("g")
+        ex = ex.join(F.broadcast(hot), "g", "left_anti")
+    a = ex.select(F.col("id").alias("a"), F.col("ns").alias("na"), "g")
+    b = ex.select(F.col("id").alias("b"), F.col("ns").alias("nb"), "g")
+    return (
+        a.join(b, "g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard ≥ threshold:
+    (a, b, jaccard). Jaccard is an exact rational (int/int) —
+    bit-identical across engines."""
+    p = shingle_pairs(df, n, text_col, key_col, max_df)
+    j = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    ).cast("double")
+    return p.select("a", "b", j.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+def minhash_signature(text_col: Column, k: int = 16, n: int = 3) -> Column:
+    """k-element MinHash signature: element j is the lexicographic
+    min of md5(j || '|' || shingle). String-min of a uniform hash is
+    a valid min-wise permutation and reproducible in plain SQL."""
+    sh = shingle_col(text_col, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(j.cast("string"), F.lit("|"), s)))
+        ),
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    bands: int = 4,
+    rows: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """One row per (doc, band): (id, band, band_hash). k = bands*rows."""
+    sig = minhash_signature(F.col(text_col), bands * rows, n)
+    out = df.select(F.col(key_col).alias("id"), sig.alias("sig")).filter(
+        F.size(F.filter(F.col("sig"), lambda x: x.isNull())) == 0
+    )
+    band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    out = out.select("id", "sig", band)
+    return out.select(
+        "id",
+        "band",
+        F.md5(
+            F.concat_ws("", F.slice(F.col("sig"), F.col("band") * rows + 1, rows))
+        ).alias("band_hash"),
+    )
+
+
+def lsh_candidates(
+    df: DataFrame,
+    bands: int = 4,
+    rows: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct candidate pairs (a, b) sharing ≥1 LSH band bucket.
+    The bucket join is on (band, band_hash) — a pre-hashed key, so
+    the shuffle is uniform unless many docs are near-identical; AQE
+    skew-join splits those buckets."""
+    b = minhash_bands(df, bands, rows, n, text_col, key_col)
+    l = b.select(F.col("id").alias("a"), "band", "band_hash")
+    r = b.select(F.col("id").alias("b"), "band", "band_hash")
+    return (
+        l.join(r, ["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    threshold: float = 0.8,
+    bands: int = 4,
+    rows: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard ≥ threshold:
+    (a, b, jaccard). The verification join touches only candidate
+    docs (semi-join pushdown), never the full corpus."""
+    cand = lsh_candidates(df, bands, rows, n, text_col, key_col)
+    sh = df.select(
+        F.col(key_col).alias("id"), shingle_col(F.col(text_col), n).alias("sh")
+    )
+    av = sh.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
+    bv = sh.select(F.col("id").alias("b"), F.col("sh").alias("shb"))
+    joined = cand.join(av, "a").join(bv, "b")
+    common = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - common
+    j = common.cast("double") / union.cast("double")
+    return joined.select("a", "b", j.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+def simhash(
+    df: DataFrame,
+    bits: int = 32,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc SimHash over distinct normalized tokens: bit i of the
+    signature is the majority vote of bit i of md5(token). One
+    explode + one groupBy (partial combine applies); ``bits ≤ 32``
+    reads the first 8 hex chars of the md5.
+
+    Returns (id, simhash) with the signature as a non-negative long.
+    """
+    assert bits <= 32
+    toks = F.array_distinct(T.tokens(T.normalize(F.col(text_col))))
+    ex = df.select(F.col(key_col).alias("id"), F.explode(toks).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    ex = ex.select("id", h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation uses the standard block trick: split the
+    signature into (max_hamming+1) blocks — any pair within the
+    Hamming radius agrees exactly on ≥1 block (pigeonhole), so the
+    join is on (block_idx, block_value), never all-pairs.
+    """
+    s = simhash(df, bits, text_col, key_col)
+    nblocks = max_hamming + 1
+    width = bits // nblocks
+    blocks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("val"),
+                )
+                for i in range(nblocks)
+            ]
+        )
+    ).alias("b")
+    e = s.select("id", "simhash", blocks).select(
+        "id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+    l = e.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "blk", "val")
+    r = e.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "blk", "val")
+    cand = (
+        l.join(r, ["blk", "val"]).filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb").distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("a", "b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+
+def embedding_neardup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold: (a, b, cosine). Exact
+    all-pairs — correct but quadratic; the LSH path in
+    :mod:`similarity` is the 100 TB route. Norms are precomputed so
+    the cross join multiplies normalized vectors only."""
+    from invalid_spark.pipeline.similarity import with_norm, dot
+
+    v = with_norm(df, vec_col, key_col)
+    a = v.select(F.col("id").alias("a"), F.col("nv").alias("va"))
+    b = v.select(F.col("id").alias("b"), F.col("nv").alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    return pairs.select("a", "b", dot(F.col("va"), F.col("vb")).alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

@@ -1,0 +1,145 @@
+"""Similarity search over an embedding column (array<float>).
+
+- :func:`brute_topk` — exact cosine top-k: broadcast the (small)
+  query set against the corpus, one windowed rank. The correctness
+  baseline and the right plan whenever |queries| is broadcastable.
+- :func:`lsh_ann` — random-hyperplane LSH: bucket the corpus by the
+  sign pattern of ``planes`` fixed hyperplanes, search only the
+  query's bucket. Linear build, per-query cost = bucket size. The
+  100 TB path: buckets are the shuffle key, uniformly distributed
+  by construction; recall tuned by ``planes`` (fewer planes = bigger
+  buckets = higher recall) and multi-probe (``probe_hamming``).
+
+All arithmetic is double-precision with a strict left-fold sum
+(``F.aggregate``) so scores are deterministic for a given element
+order. Hyperplanes are seeded (numpy default_rng) — the whole index
+is reproducible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Strict sequential dot product of two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def with_norm(df: DataFrame, vec_col: str, key_col: str) -> DataFrame:
+    """(id, nv): unit-normalized double vector; zero vectors dropped."""
+    v = as_double(F.col(vec_col))
+    n = F.sqrt(dot(v, v))
+    return (
+        df.select(F.col(key_col).alias("id"), v.alias("v"), n.alias("n"))
+        .filter(F.col("n") > 0)
+        .select("id", F.transform("v", lambda x: x / F.col("n")).alias("nv"))
+    )
+
+
+def brute_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, rank,
+    cosine). Ties broken by neighbor id; self-match excluded."""
+    c = with_norm(corpus, vec_col, key_col)
+    q = with_norm(queries, vec_col, key_col)
+    pairs = c.crossJoin(
+        F.broadcast(q.select(F.col("id").alias("qid"), F.col("nv").alias("qv")))
+    ).filter(F.col("id") != F.col("qid"))
+    scored = pairs.select(
+        F.col("qid").alias("query_id"),
+        F.col("id").alias("neighbor_id"),
+        dot(F.col("nv"), F.col("qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplanes(dim: int, planes: int, seed: int = 7) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes — the reproducible LSH index key."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((planes, dim)).tolist()
+
+
+def lsh_bucket(nv: Column, planes_arr: list[list[float]]) -> Column:
+    """Sign-pattern bucket id of a normalized vector."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes_arr):
+        pl = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(nv, pl) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 4,
+    probe_hamming: int = 1,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: join queries to corpus buckets within
+    Hamming distance ``probe_hamming`` of the query's bucket
+    (multi-probe), rank by exact cosine inside the probed buckets.
+
+    Plan shape: corpus bucketing is one projection; the probe join
+    is an equi-join on bucket id (queries exploded ×(1+planes) for
+    Hamming-1); ranking is a window over per-bucket candidates.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    pl = hyperplanes(dim, planes, seed)
+    c = with_norm(corpus, vec_col, key_col).withColumn(
+        "bucket", lsh_bucket(F.col("nv"), pl)
+    )
+    q = with_norm(queries, vec_col, key_col).withColumn(
+        "bucket", lsh_bucket(F.col("nv"), pl)
+    )
+    # multi-probe: the query's own bucket + every bucket 1 bit away
+    probes = [F.col("bucket")]
+    if probe_hamming >= 1:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(planes)
+        ]
+    q = q.select(
+        F.col("id").alias("qid"),
+        F.col("nv").alias("qv"),
+        F.explode(F.array(*probes)).alias("bucket"),
+    )
+    cand = c.join(F.broadcast(q), "bucket").filter(F.col("id") != F.col("qid"))
+    scored = cand.select(
+        F.col("qid").alias("query_id"),
+        F.col("id").alias("neighbor_id"),
+        dot(F.col("nv"), F.col("qv")).alias("cosine"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

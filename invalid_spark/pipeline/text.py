@@ -1,0 +1,152 @@
+"""Text analysis operators: tokenization, quality scoring, language
+ID, fingerprinting.
+
+All operators are single-projection (no shuffle), whole-stage-codegen
+column expressions — at 100 TB each is one map-side pass over the
+scan with column pruning (only ``text`` + the key column are read).
+Heuristics follow the public Gopher/C4 quality-filtering recipes
+(length, stop-word density, symbol ratios) re-expressed as Catalyst
+expressions; none require Python UDFs.
+
+Every function is deliberately expressible in ANSI SQL so the DuckDB
+oracle can replay it bit-for-bit (`__spark_entry__.oracle_sql`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Language marker words (public stop-word lists, tiny prefixes).
+# Scores are whole-word hit counts; the argmax (fixed tie order
+# en>de>fr>es, 'zh' by CJK codepoints, 'und' if all zero) is the
+# language guess. This is the classic n-gram/stopword heuristic —
+# cheap enough to run inline at ingest scale.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|a)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|zu|mit|von)\b",
+    "fr": r"\b(le|la|les|et|est|une|des|pour|dans|que)\b",
+    "es": r"\b(el|los|las|es|una|para|con|por|del|como)\b",
+}
+CJK_PATTERN = r"[一-鿿]"
+
+EN_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that "
+    "for with as on at by from"
+).split()
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens; empty string → empty array (not [''])."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def normalize(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip every
+    non-alphanumeric-non-space char, collapse whitespace runs."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized
+    text. Stable across engines (the DuckDB oracle reproduces it),
+    and the key for exact dedup at scale (hash-groupBy)."""
+    return F.md5(normalize(text))
+
+
+def quality_features(df: DataFrame, text_col: str = "text",
+                     key_col: str = "doc_id") -> DataFrame:
+    """Gopher/C4-style quality metrics, one projection.
+
+    Integer counts + exact-rational ratios only (int/int division),
+    so results are bit-identical across engines. ``quality_ok`` is
+    the composite keep/drop verdict a filtering pipeline would use.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    n_punct = F.regexp_count(t, F.lit(r"[.,;:!?()'\x22-]"))
+    n_digit = F.regexp_count(t, F.lit(r"[0-9]"))
+    n_nonspace = F.regexp_count(t, F.lit(r"\S"))
+    n_stop = F.size(F.filter(toks, lambda w: F.lower(w).isin(EN_STOPWORDS)))
+    mean_tok = F.when(
+        n_tokens > 0,
+        n_nonspace.cast("double") / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens.cast("double")).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, n_digit.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
+
+    quality_ok = (
+        (n_tokens >= 10)
+        & (n_tokens <= 10000)
+        & (mean_tok >= 2.0)
+        & (mean_tok <= 12.0)
+        & (punct_ratio <= 0.2)
+        & (digit_ratio <= 0.3)
+    )
+    return df.select(
+        F.col(key_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+        n_digit.alias("n_digit"),
+        mean_tok.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        quality_ok.alias("quality_ok"),
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    scores = {
+        lang: F.regexp_count(F.lower(text), F.lit(pat))
+        for lang, pat in LANG_MARKERS.items()
+    }
+    scores["zh"] = F.regexp_count(text, F.lit(CJK_PATTERN))
+    return scores
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            key_col: str = "doc_id") -> DataFrame:
+    """Stop-word-hit language ID with deterministic tie-breaking
+    (zh by CJK count first, then en>de>fr>es, 'und' when no hits)."""
+    s = lang_scores(F.col(text_col))
+    best = F.greatest(*s.values())
+    guess = (
+        F.when(best == 0, F.lit("und"))
+        .when(s["zh"] == best, F.lit("zh"))
+        .when(s["en"] == best, F.lit("en"))
+        .when(s["de"] == best, F.lit("de"))
+        .when(s["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return df.select(
+        F.col(key_col),
+        s["en"].alias("score_en"),
+        s["de"].alias("score_de"),
+        s["fr"].alias("score_fr"),
+        s["es"].alias("score_es"),
+        s["zh"].alias("score_zh"),
+        guess.alias("lang_guess"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text",
+                 key_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        F.col(key_col),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )

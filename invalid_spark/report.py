@@ -46,6 +46,42 @@ def partition_verdicts(
     return out
 
 
+def group_verdicts(
+    df: DataFrame,
+    violations: DataFrame,
+    group_col: str,
+    row_key: str,
+    run_id: str = "",
+) -> DataFrame:
+    """Per data-partition verdicts keyed by a *data* column (the
+    production semantics: at 100 TB the audit unit is an Iceberg
+    partition value — a date bucket, a source shard — not a Spark
+    task partition). Violations are attributed to their group via a
+    key join; both sides aggregate before joining, so the final join
+    moves at most |groups| rows."""
+    keyed = df.select(
+        F.col(row_key).cast("string").alias("row_key"),
+        F.col(group_col).alias("grp"),
+    )
+    rows_per = keyed.groupBy("grp").agg(F.count(F.lit(1)).alias("n_rows"))
+    v_per = (
+        violations.select("row_key")
+        .join(keyed, "row_key")
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    return (
+        rows_per.join(v_per, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_rows",
+            F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+        )
+        .withColumn("passed", F.col("n_violations") == 0)
+        .withColumn("run_id", F.lit(run_id))
+    )
+
+
 def rule_metrics(violations: DataFrame, run_id: str = "") -> DataFrame:
     """Violation counts per (rule_id, error_type) — the metrics rows
     the north rule requires alongside verdicts."""
