@@ -536,19 +536,33 @@ WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.8
 
 
 def _sql_dedup_minhash_lsh() -> str:
+    p = dedup.MINHASH_P
+    sig_cols = ", ".join(
+        f"min((h1 + {j} * h2) % {p}) AS s{j}" for j in range(16)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS bi, "
+        f"md5(CAST(s{b*4} AS VARCHAR) || ',' || CAST(s{b*4+1} AS VARCHAR)"
+        f" || ',' || CAST(s{b*4+2} AS VARCHAR) || ',' || CAST(s{b*4+3} AS VARCHAR))"
+        f" AS band_hash FROM sig"
+        for b in range(4)
+    )
     return f"""
 WITH {_SQL_SHINGLE_CTE},
+ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0
+),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(g), 9, 8) AS BIGINT) AS h2
+  FROM ex
+),
 sig AS (
-  SELECT doc_id, s,
-         [list_min(list_transform(s,
-            x -> md5(CAST(j AS VARCHAR) || '|' || x)))
-          FOR j IN range(16)] AS sig
-  FROM sh WHERE len(s) > 0
+  SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, bi,
-         md5(array_to_string(sig[bi*4+1 : bi*4+4], '')) AS band_hash
-  FROM sig, unnest(range(4)) AS u(bi)
+  {band_selects}
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b

@@ -1,0 +1,275 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness.
+
+Runs the headline operators at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+  {"metric": "validated_rows_per_sec", "value": N, "unit": "rows/sec",
+   "queries": {...per-query seconds...}, "sf": 0.1}
+
+The headline metric is constraint-eval throughput (BASELINE.md): rows
+validated per second by the compiled row-check projection over the
+largest table (lineitem) plus the synthetic image+caption validation
+(decode/PSNR/phash UDF stage included) — the north-rule workload.
+
+Scaling mode (the north rule's two-cluster-size criterion, proxied
+per driver instructions by two parallelism levels on one host)::
+
+  python bench.py --scaling     # local[8] vs local[32], same input
+
+prints one JSON line with throughput at both levels and the scaling
+efficiency, and is recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+LINEITEM_RULES = """
+l_orderkey: {$type: $int}
+l_quantity: {$type: $float, $range: {$min: 1, $max: 50}}
+l_extendedprice: {$type: $float, $range: {$min: 0, $max: 2000000}}
+l_discount: {$type: $float, $range: {$min: 0, $max: 0.11}}
+l_tax: {$type: $float, $range: {$min: 0, $max: 0.09}}
+l_returnflag: {$type: $str, $of: [A, N, R]}
+l_linestatus: {$type: $str, $of: [O, F]}
+"""
+
+IMG_RULES = """
+image_id: {$type: $str, $reg: '^img-[0-9]{12}$'}
+w: {$type: $int, $range: {$min: 1, $max: 100000}}
+h: {$type: $int, $range: {$min: 1, $max: 100000}}
+fmt: {$type: $str, $of: [png, jpeg, webp]}
+caption: {$type: $str, $length: {$min: 1, $max: 10000}}
+"""
+
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "16000"))
+
+
+def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
+    """Run the headline jobs; return (rows validated, per-query secs)."""
+    import __spark_entry__ as entry
+    from invalid_spark.checks import image as image_checks
+    from invalid_spark.checks import rows as rowchecks
+    from invalid_spark.checks import unique
+    from invalid_spark.dsl import load_rules
+    from invalid_spark import synth
+    from pyspark.sql import functions as F
+
+    timings: dict[str, float] = {}
+    validated = 0
+
+    def timed(name, fn):
+        nonlocal validated
+        t0 = time.perf_counter()
+        n = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        validated += n
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li_rules = load_rules(LINEITEM_RULES)
+    n_li = li.count()
+    timed(
+        "rowcheck_lineitem",
+        lambda: (rowchecks.run_row_checks(li, li_rules, "l_orderkey").count(), n_li)[1],
+    )
+
+    timed(
+        "stats_profile_lineitem",
+        lambda: (entry.q_stats_profile_lineitem(spark, sf_dir).count(), n_li)[1],
+    )
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    n_part = part.count()
+    timed(
+        "unique_part_name",
+        lambda: (unique.uniqueness_violations(part, "p_name", "p_partkey").count(), n_part)[1],
+    )
+
+    timed(
+        "ref_lineitem_suppkey",
+        lambda: (entry.q_ref_lineitem_suppkey(spark, sf_dir).count(), n_li)[1],
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    timed(
+        "dedup_minhash_lsh",
+        lambda: (entry.q_dedup_minhash_lsh_documents(spark, sf_dir).count(), n_docs)[1],
+    )
+    timed(
+        "text_quality",
+        lambda: (entry.q_text_quality_documents(spark, sf_dir).count(), n_docs)[1],
+    )
+
+    timed(
+        "ann_brute_topk",
+        lambda: (entry.q_ann_brute_topk_embeddings(spark, sf_dir).count(),
+                 spark.read.parquet(f"{sf_dir}/embeddings.parquet").count())[1],
+    )
+
+    timed(
+        "drift_ks_events",
+        lambda: (entry.q_drift_ks_events(spark, sf_dir).count(),
+                 spark.read.parquet(f"{sf_dir}/events.parquet").count())[1],
+    )
+
+    # image validation: synthetic north-rule table, includes the
+    # Arrow-UDF decode/PSNR/phash stage (the expensive per-row work)
+    img = synth.images_df(spark, N_IMAGES, partitions=CPUS * 2)
+    img_rules = load_rules(IMG_RULES)
+
+    def image_job():
+        v = rowchecks.run_row_checks(img, img_rules, "image_id")
+        v2 = image_checks.pixel_violations(img)
+        v.unionByName(
+            v2.select(*[c for c in v.columns])
+        ).count()
+        return N_IMAGES
+
+    timed("image_validate", image_job)
+    return validated, timings
+
+
+def run_once(cores: int, sf_dir: str):
+    from invalid_spark.session import get_spark
+
+    spark = get_spark(f"bench_{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    # warm JVM codegen + Python worker pool before timing
+    spark.range(10_000_000).selectExpr("sum(id)").collect()
+    from invalid_spark import synth as _synth
+
+    _synth.images_df(spark, 8 * cores, partitions=cores).count()
+    t0 = time.perf_counter()
+    validated, timings = _validated_rows(spark, sf_dir)
+    total = time.perf_counter() - t0
+    return validated, total, timings, spark
+
+
+# ---------------------------------------------------------------------------
+# scaling mode
+
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALING_IMAGES", "256000"))
+# N and 4N parallelism levels. On this 32-core host we use 4 -> 16 so
+# that JVM task threads + Python UDF workers (2 threads/processes per
+# task slot for a Python-stage) never oversubscribe the machine at the
+# 4N level -- at local[32] the job would compete with its own executor
+# threads and measure contention, not scaling. Override via env.
+SCALE_N_CORES = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+
+
+def _scaling_worker(cores: int) -> None:
+    """One timed run of the constraint-eval pipeline at `cores` task
+    slots; prints a JSON line.
+
+    Methodology (each point is load-bearing for an honest number):
+
+    - **Fresh process per level** — a restarted in-process
+      SparkContext shows degraded scheduling.
+    - **CPU affinity** — the process (and every JVM/Python child) is
+      PINNED to `cores` CPUs. Without pinning, a local[N] run on an
+      idle machine leaks beyond its N task slots (each Python-stage
+      task overlaps ~1 core of JVM Arrow pipelining with ~1 core of
+      Python decode), inflating the small-N baseline. Affinity makes
+      N cores mean N cores, the way N executors mean N machines.
+    - **Map-only measured job** — per-partition synthetic generation
+      → compiled row-check projection + Arrow-UDF decode/PSNR/phash,
+      no parquet scan, no shuffle. On a cluster, scans and shuffles
+      spread across every node's disks and NICs; on one laptop they
+      serialize on a single disk, so including them would measure
+      that disk, not the engine. The map pipeline is exactly the
+      per-executor work whose scaling the north rule cares about
+      (shuffle-stage operators are benchmarked separately in the
+      throughput mode).
+    """
+    os.sched_setaffinity(0, set(range(cores)))
+    from invalid_spark.checks import image as image_checks
+    from invalid_spark.checks import rows as rowchecks
+    from invalid_spark.dsl import load_rules
+    from invalid_spark.session import get_spark
+    from invalid_spark import synth
+
+    spark = get_spark(f"scale_{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    spark.range(10_000_000).selectExpr("sum(id)").collect()
+    synth.images_df(spark, 8 * cores, partitions=cores).count()  # warm workers
+    rules = load_rules(IMG_RULES)
+    img = synth.images_df(spark, SCALE_N, partitions=cores * 3)
+    t0 = time.perf_counter()
+    v = rowchecks.run_row_checks(img, rules, "image_id")
+    vp = image_checks.pixel_violations(img)
+    n_viol = v.unionByName(vp.select(*v.columns)).count()
+    total = time.perf_counter() - t0
+    print(json.dumps({
+        "cores": cores,
+        "wall_sec": round(total, 2),
+        "rows_per_sec": round(SCALE_N / total, 1),
+        "violations": n_viol,
+    }))
+
+
+def _scaling_main() -> None:
+    """North-rule scaling criterion, proxied by two parallelism levels
+    on one host (per driver instructions): run the SAME constraint-eval
+    job at N and 4N cores in fresh pinned processes and report
+    throughput at both plus efficiency."""
+    import subprocess
+
+    results = {}
+    for cores in (SCALE_N_CORES, SCALE_N_CORES * 4):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores)],
+            capture_output=True, text=True, check=True,
+        )
+        results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+    lo, hi = SCALE_N_CORES, SCALE_N_CORES * 4
+    eff = results[hi]["rows_per_sec"] / (4 * results[lo]["rows_per_sec"])
+    print(json.dumps({
+        "metric": f"scaling_efficiency_{lo}_to_{hi}_cores",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {f"local[{c}]": results[c] for c in results},
+        "sf": None,
+        "n_images": SCALE_N,
+    }))
+
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+
+    if "--scaling-worker" in sys.argv:
+        _scaling_worker(int(sys.argv[sys.argv.index("--scaling-worker") + 1]))
+        return
+
+    if "--scaling" in sys.argv:
+        _scaling_main()
+        return
+
+    validated, total, timings, _ = run_once(CPUS, SF_DIR)
+    print(json.dumps({
+        "metric": "validated_rows_per_sec",
+        "value": round(validated / total, 1),
+        "unit": "rows/sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()

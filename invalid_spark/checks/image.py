@@ -49,104 +49,87 @@ def pixel_violations(
     phash_col: str | None = "phash",
     psnr_min: float = 40.0,
     run_id: str = "",
+    parallelism: int | None = None,
 ) -> DataFrame:
-    """Decode/PSNR/dims/phash checks over Arrow batches."""
+    """Decode/PSNR/dims/phash checks over Arrow batches.
+
+    ``parallelism``: repartition the pruned input to this many tasks
+    before the Python stage. The decode work is ~ms/row CPU while a
+    scan partition is sized for JVM throughput (128 MB ≈ thousands of
+    rows), so without an explicit repartition a binary-heavy table
+    bin-packs into a handful of tasks and the UDF stage serializes.
+    Granularity is worth the shuffle: set to ~2-4x total cores."""
     cols = [row_key, bytes_col, fmt_col, w_col, h_col]
     if phash_col:
         cols.append(phash_col)
     pruned = df.select(*cols, F.spark_partition_id().alias("pid"))
+    if parallelism:
+        pruned = pruned.repartition(parallelism)
+
+    out_cols = [
+        "row_key", "column", "rule_id", "error_type",
+        "message", "observed", "partition_id", "run_id",
+    ]
 
     def check_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # hot loop: zipped column lists, tuple appends — no per-row
+        # namedtuple construction or string-keyed getattr
+        decode, encode = codecs.decode_image, codecs.encode_image
+        lossless, psnr_fn, phash_fn = codecs.is_lossless, codecs.psnr, codecs.phash64
         for pdf in batches:
-            out: list[dict] = []
-            for t in pdf.itertuples(index=False):
-                rk = str(getattr(t, row_key))
-                pid = int(getattr(t, "pid"))
-                raw = getattr(t, bytes_col)
-                fmt = getattr(t, fmt_col)
-
-                def emit(etype: str, msg: str, obs: str | None, col: str) -> None:
-                    out.append(
-                        {
-                            "row_key": rk,
-                            "column": col,
-                            "rule_id": col,
-                            "error_type": etype,
-                            "message": msg,
-                            "observed": obs,
-                            "partition_id": pid,
-                            "run_id": run_id,
-                        }
-                    )
-
+            out: list[tuple] = []
+            emit = out.append
+            rks = pdf[row_key].tolist()
+            raws = pdf[bytes_col].tolist()
+            fmts = pdf[fmt_col].tolist()
+            sws = pdf[w_col].tolist()
+            shs = pdf[h_col].tolist()
+            pids = pdf["pid"].tolist()
+            phs = pdf[phash_col].tolist() if phash_col else [None] * len(rks)
+            for rk, raw, fmt, sw, sh, pid, stored in zip(
+                rks, raws, fmts, sws, shs, pids, phs
+            ):
+                rk = str(rk)
                 try:
-                    px = codecs.decode_image(bytes(raw))
+                    px = decode(bytes(raw))
                 except codecs.DecodeError as e:
-                    emit(
-                        ErrorType.DECODE_ERROR,
-                        f"bytes of [{rk}] failed to decode: {e}",
-                        None,
-                        bytes_col,
-                    )
+                    emit((rk, bytes_col, bytes_col, ErrorType.DECODE_ERROR,
+                          f"bytes of [{rk}] failed to decode: {e}", None,
+                          pid, run_id))
                     continue
 
                 dh, dw = px.shape[:2]
-                sw, sh = getattr(t, w_col), getattr(t, h_col)
                 if sw is not None and int(sw) != dw or sh is not None and int(sh) != dh:
-                    emit(
-                        ErrorType.TYPE_MISMATCH,
-                        f"stored dims [{sw}x{sh}] != decoded [{dw}x{dh}]",
-                        f"{sw}x{sh}",
-                        w_col,
-                    )
+                    emit((rk, w_col, w_col, ErrorType.TYPE_MISMATCH,
+                          f"stored dims [{sw}x{sh}] != decoded [{dw}x{dh}]",
+                          f"{sw}x{sh}", pid, run_id))
 
                 # pixel invariant: re-encode + decode
                 try:
-                    re_dec = codecs.decode_image(codecs.encode_image(px, fmt))
+                    re_dec = decode(encode(px, fmt))
                 except (codecs.DecodeError, ValueError) as e:
-                    emit(
-                        ErrorType.PIXEL_MISMATCH,
-                        f"re-encode failed: {e}",
-                        None,
-                        bytes_col,
-                    )
+                    emit((rk, bytes_col, bytes_col, ErrorType.PIXEL_MISMATCH,
+                          f"re-encode failed: {e}", None, pid, run_id))
                     continue
-                if codecs.is_lossless(fmt):
+                if lossless(fmt):
                     if not np.array_equal(px, re_dec):
-                        emit(
-                            ErrorType.PIXEL_MISMATCH,
-                            "lossless round-trip not byte-exact",
-                            None,
-                            bytes_col,
-                        )
+                        emit((rk, bytes_col, bytes_col, ErrorType.PIXEL_MISMATCH,
+                              "lossless round-trip not byte-exact", None,
+                              pid, run_id))
                 else:
-                    p = codecs.psnr(px, re_dec)
+                    p = psnr_fn(px, re_dec)
                     if p < psnr_min:
-                        emit(
-                            ErrorType.PIXEL_MISMATCH,
-                            f"PSNR {p:.2f} dB below {psnr_min} dB",
-                            f"{p:.2f}",
-                            bytes_col,
-                        )
+                        emit((rk, bytes_col, bytes_col, ErrorType.PIXEL_MISMATCH,
+                              f"PSNR {p:.2f} dB below {psnr_min} dB",
+                              f"{p:.2f}", pid, run_id))
 
-                if phash_col:
-                    stored = getattr(t, phash_col)
-                    if stored is not None:
-                        ph = codecs.phash64(px)
-                        if int(stored) != ph:
-                            emit(
-                                ErrorType.PIXEL_MISMATCH,
-                                f"stored phash != recomputed ({ph})",
-                                str(stored),
-                                phash_col,
-                            )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "row_key", "column", "rule_id", "error_type",
-                    "message", "observed", "partition_id", "run_id",
-                ],
-            )
+                if stored is not None:
+                    ph = phash_fn(px)
+                    if int(stored) != ph:
+                        emit((rk, phash_col, phash_col, ErrorType.PIXEL_MISMATCH,
+                              f"stored phash != recomputed ({ph})",
+                              str(stored), pid, run_id))
+            yield pd.DataFrame(out, columns=out_cols)
 
     return pruned.mapInPandas(check_batches, schema=_OUT_SCHEMA)
 

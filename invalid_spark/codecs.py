@@ -184,14 +184,15 @@ def _pool_to(gray: np.ndarray, n: int = 32) -> np.ndarray:
     xb = np.arange(n + 1) * w // n
     c = np.zeros((h + 1, w + 1))
     c[1:, 1:] = gray.astype(np.float64).cumsum(0).cumsum(1)
-    out = np.empty((n, n), dtype=np.float64)
-    for yi in range(n):
-        y0, y1 = yb[yi], max(yb[yi + 1], yb[yi] + 1)
-        for xi in range(n):
-            x0, x1 = xb[xi], max(xb[xi + 1], xb[xi] + 1)
-            area = (y1 - y0) * (x1 - x0)
-            out[yi, xi] = (c[y1, x1] - c[y0, x1] - c[y1, x0] + c[y0, x0]) / area
-    return out
+    y0, y1 = yb[:-1], np.maximum(yb[1:], yb[:-1] + 1)
+    x0, x1 = xb[:-1], np.maximum(xb[1:], xb[:-1] + 1)
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return (
+        c[y1[:, None], x1[None, :]]
+        - c[y0[:, None], x1[None, :]]
+        - c[y1[:, None], x0[None, :]]
+        + c[y0[:, None], x0[None, :]]
+    ) / area
 
 
 def phash64(arr: np.ndarray) -> int:

@@ -71,16 +71,43 @@ def exact_dup_rows(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 # shingles + n-gram Jaccard
 
-def shingle_col(text_col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
-    toks = T.tokens(T.normalize(text_col))
-    grams = F.transform(
+def _grams(toks: Column, n: int) -> Column:
+    """Word n-grams via O(1) element lookups (no per-index slice copy)."""
+    return F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
     )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+
+
+def shingle_col(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text, as an
+    array column. Per-row ``array_distinct`` is O(m²) — use only on
+    small/candidate sets; the corpus-scale path is
+    :func:`shingle_terms` (distributed dedup)."""
+    toks = T.tokens(T.normalize(text_col))
+    return F.when(F.size(toks) >= n, F.array_distinct(_grams(toks, n))).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingle_terms(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct (id, g) shingle occurrences — the corpus-scale form.
+
+    Dedup happens in the ``distinct()`` hash-aggregate (map-side
+    partial combine), not per row, so shingle construction stays
+    O(tokens) per document."""
+    toks = T.tokens(T.normalize(F.col(text_col)))
+    ex = (
+        df.select(F.col(key_col).alias("id"), toks.alias("t"))
+        .filter(F.size("t") >= n)
+        .select("id", F.explode(_grams(F.col("t"), n)).alias("g"))
+    )
+    return ex.distinct()
 
 
 def shingle_pairs(
@@ -93,25 +120,22 @@ def shingle_pairs(
     """All candidate pairs with common-shingle counts:
     (a, b, common, na, nb). ``max_df`` drops stop-shingles before
     the self-join (essential at scale; None = keep all)."""
-    sh = df.select(
-        F.col(key_col).alias("id"), shingle_col(F.col(text_col), n).alias("sh")
-    )
-    ex = sh.select("id", F.size("sh").alias("ns"), F.explode("sh").alias("g"))
+    ex = shingle_terms(df, n, text_col, key_col)
+    counts = ex.groupBy("id").agg(F.count(F.lit(1)).alias("ns"))
     if max_df is not None:
         hot = ex.groupBy("g").count().filter(F.col("count") > max_df).select("g")
         ex = ex.join(F.broadcast(hot), "g", "left_anti")
-    a = ex.select(F.col("id").alias("a"), F.col("ns").alias("na"), "g")
-    b = ex.select(F.col("id").alias("b"), F.col("ns").alias("nb"), "g")
-    return (
+    a = ex.select(F.col("id").alias("a"), "g")
+    b = ex.select(F.col("id").alias("b"), "g")
+    pairs = (
         a.join(b, "g")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
-        .agg(
-            F.count(F.lit(1)).alias("common"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
-        )
+        .agg(F.count(F.lit(1)).alias("common"))
     )
+    ca = counts.select(F.col("id").alias("a"), F.col("ns").alias("na"))
+    cb = counts.select(F.col("id").alias("b"), F.col("ns").alias("nb"))
+    return pairs.join(ca, "a").join(cb, "b")
 
 
 def jaccard_pairs(
@@ -137,17 +161,38 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
-def minhash_signature(text_col: Column, k: int = 16, n: int = 3) -> Column:
-    """k-element MinHash signature: element j is the lexicographic
-    min of md5(j || '|' || shingle). String-min of a uniform hash is
-    a valid min-wise permutation and reproducible in plain SQL."""
-    sh = shingle_col(text_col, n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda j: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(j.cast("string"), F.lit("|"), s)))
-        ),
+# Carter-Wegman universal hashing: one md5 per shingle yields two
+# 32-bit values (h1, h2); the j-th min-wise permutation is
+# (h1 + j*h2) mod MINHASH_P. One hash computation per shingle
+# occurrence regardless of k, and plain integer math any SQL engine
+# reproduces exactly.
+MINHASH_P = 4294967311  # smallest prime > 2^32
+
+
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(id, s0..s{k-1}): MinHash signature columns.
+
+    Plan shape (the scale path): materialize-shingles projection →
+    explode → ONE hash-aggregate with k ``min`` columns. Partial
+    (map-side) combine reduces each partition to one row per doc
+    before the shuffle; no nested lambda re-evaluation."""
+    ex = shingle_terms(df, n, text_col, key_col)
+    h = ex.select(
+        "id",
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("g"), 9, 8), 16, 10).cast("long").alias("h2"),
     )
+    aggs = [
+        F.min((F.col("h1") + j * F.col("h2")) % MINHASH_P).alias(f"s{j}")
+        for j in range(k)
+    ]
+    return h.groupBy("id").agg(*aggs)
 
 
 def minhash_bands(
@@ -159,18 +204,22 @@ def minhash_bands(
     key_col: str = "doc_id",
 ) -> DataFrame:
     """One row per (doc, band): (id, band, band_hash). k = bands*rows."""
-    sig = minhash_signature(F.col(text_col), bands * rows, n)
-    out = df.select(F.col(key_col).alias("id"), sig.alias("sig")).filter(
-        F.size(F.filter(F.col("sig"), lambda x: x.isNull())) == 0
+    sig = minhash_signatures(df, bands * rows, n, text_col, key_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"s{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
     )
-    band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    out = out.select("id", "sig", band)
-    return out.select(
-        "id",
-        "band",
-        F.md5(
-            F.concat_ws("", F.slice(F.col("sig"), F.col("band") * rows + 1, rows))
-        ).alias("band_hash"),
+    return sig.select("id", F.explode(band_structs).alias("bh")).select(
+        "id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")
     )
 
 
@@ -210,8 +259,17 @@ def minhash_lsh_dedup(
     (a, b, jaccard). The verification join touches only candidate
     docs (semi-join pushdown), never the full corpus."""
     cand = lsh_candidates(df, bands, rows, n, text_col, key_col)
-    sh = df.select(
-        F.col(key_col).alias("id"), shingle_col(F.col(text_col), n).alias("sh")
+    # restrict shingle-array construction to candidate docs BEFORE
+    # computing the arrays: a broadcast semi-join prunes the corpus,
+    # so the O(m²) array_distinct runs on candidates only.
+    ids = (
+        cand.select(F.col("a").alias("cid"))
+        .unionByName(cand.select(F.col("b").alias("cid")))
+        .distinct()
+    )
+    sh = (
+        df.join(F.broadcast(ids), F.col(key_col) == F.col("cid"), "left_semi")
+        .select(F.col(key_col).alias("id"), shingle_col(F.col(text_col), n).alias("sh"))
     )
     av = sh.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
     bv = sh.select(F.col("id").alias("b"), F.col("sh").alias("shb"))

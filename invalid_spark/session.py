@@ -13,10 +13,12 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Conservative Arrow batch size: rows carry binary image payloads of
-# up to ~50 KB in the synthetic profile (MBs in production), so a
-# 10k-row default batch would hold hundreds of MB per Python worker.
-ARROW_BATCH_ROWS = 512
+# Arrow batch size: each batch crosses JVM→Python once, so bigger
+# batches amortize the round trip; but rows carry binary image
+# payloads (KBs synthetic, MBs production), so the production profile
+# should scale this down to keep batches ≲100 MB per Python worker
+# (SPARK_GRAFT_ARROW_BATCH env).
+ARROW_BATCH_ROWS = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"))
 
 
 def get_spark(
