@@ -79,6 +79,7 @@ _STATIC_OK = {
     "$obj": (T.StructType, T.MapType),
     "$arr": (T.ArrayType,),
     "$null": (),  # $null has no static carrier; checked per-row (isNull)
+    "$bin": (T.BinaryType,),  # engine extension (dsl.EXT_TYPES)
 }
 
 

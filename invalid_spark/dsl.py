@@ -52,7 +52,11 @@ from invalid_spark import yamlmeta
 # rule-type names (reference rule.go:29-39)
 SCALAR_TYPES = ("$null", "$any", "$bool", "$int", "$float", "$str")
 COLLECTION_TYPES = ("$obj", "$seq", "$arr")
-ALL_TYPES = SCALAR_TYPES + COLLECTION_TYPES
+# engine extension: $bin types a binary payload column (the reference
+# is YAML-only and has no binary concept); carries no scalar checks —
+# it exists so $pixel/$required can attach to a BinaryType column.
+EXT_TYPES = ("$bin",)
+ALL_TYPES = SCALAR_TYPES + COLLECTION_TYPES + EXT_TYPES
 
 _DIRECTIVES = {
     "$type", "$required", "$optional", "$length", "$min", "$max",
@@ -166,7 +170,7 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
         if tnode is None:
             raise DSLError(f"type not found : [{key}]")
         rtype = _scalar_str(tnode)
-        if rtype not in ALL_TYPES or rtype in ("$seq", "$any"):
+        if rtype not in ALL_TYPES or rtype in ("$seq", "$any"):  # noqa: PLR6201
             # $seq/$any declared but unimplemented in the reference
             # (rule.go:662-663 TODO) — keep them compile errors here.
             raise DSLError(f"type not match : [{key}]")

@@ -1,0 +1,317 @@
+"""Stage orchestration: one rule file → all check stages → violation /
+verdict / metrics sinks, resumable from a checkpoint manifest.
+
+Lifecycle (the Spark re-expression of the reference's
+``NewRule``/``Validate`` pair, SURVEY.md §3):
+
+1. rules load + compile on the driver (:mod:`invalid_spark.dsl` →
+   :func:`invalid_spark.checks.rows.compile_row_checks`); DSL errors
+   surface here, never on executors (reference ``NewRule`` parity);
+2. the row-check plan also yields the table-scale directives
+   (``$unique`` / ``$ref`` / ``$stats`` / ``$drift`` / ``$pixel`` /
+   ``$caption-eq``) which become the aggregate / join / UDF stages;
+3. stages run over the input restricted to NOT-yet-done work units
+   (see below), violations union into one DataFrame written per unit;
+   verdicts + metrics aggregate from the written violations;
+4. each completed unit is marked in the :class:`~invalid_spark.io.
+   Manifest` AFTER its outputs are written — a kill mid-run loses at
+   most the in-flight unit, and the re-run recomputes exactly that.
+
+**Work units**: the values of ``partition_col`` (a data column — at
+production scale the Iceberg partition key, e.g. a date bucket or
+shard id), processed in batches of ``unit_batch`` values per Spark
+job. Batching keeps cluster parallelism high (one job covers many
+units — each unit is NOT a separate tiny job) while bounding how much
+work a crash can lose. With no ``partition_col`` the whole table is
+one unit (still resumable at the run level).
+
+Every output row carries lineage: ``run_id``, ``snapshot_id`` of the
+input (Iceberg snapshot in production; a content fingerprint here),
+and the unit value.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from invalid_spark import report
+from invalid_spark.checks import drift as drift_checks
+from invalid_spark.checks import image as image_checks
+from invalid_spark.checks import refint, stats, unique
+from invalid_spark.checks import rows as rowchecks
+from invalid_spark.dsl import RuleSet
+from invalid_spark.io import Manifest, snapshot_id
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    snapshot: str
+    out_dir: str
+    units_done: list[str] = field(default_factory=list)
+    units_skipped: list[str] = field(default_factory=list)
+
+    def violations(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.out_dir, "violations"))
+
+    def verdicts(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.out_dir, "verdicts"))
+
+    def metrics(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.out_dir, "metrics"))
+
+
+def _stage_violations(
+    df: DataFrame,
+    rules: RuleSet,
+    row_key: str,
+    plan: rowchecks.RowCheckPlan,
+    dims: dict[str, DataFrame],
+    run_id: str,
+    psnr_min: float = 40.0,
+    udf_parallelism: int | None = None,
+) -> DataFrame:
+    """Union of every check stage's violations for one input slice."""
+    v = rowchecks.run_row_checks(df, rules, row_key, run_id, plan=plan)
+    cols = v.columns
+    if plan.fail_fast:
+        # schema-level keyMissing aborts everything else
+        # (reference rule.go:159-165 context cancel)
+        return v
+    for col, spec in plan.ref_specs:
+        dim_name = spec.get("table")
+        if dim_name not in dims:
+            raise ValueError(f"$ref table [{dim_name}] not provided to runner")
+        r = refint.ref_violations(
+            df, col, dims[dim_name], spec.get("key", col), row_key, run_id
+        )
+        v = v.unionByName(r.select(*cols))
+    for col, spec in plan.pixel_specs:
+        p = image_checks.pixel_violations(
+            df,
+            row_key=row_key,
+            bytes_col=col,
+            psnr_min=float(spec.get("psnr_min", psnr_min)),
+            run_id=run_id,
+            parallelism=udf_parallelism,
+        )
+        v = v.unionByName(p.select(*cols))
+    for col, spec in plan.caption_specs:
+        ref_name = spec.get("table")
+        if ref_name not in dims:
+            raise ValueError(f"$caption-eq table [{ref_name}] not provided")
+        c = image_checks.caption_violations(
+            df, dims[ref_name], key=spec.get("key", row_key), col=col, run_id=run_id
+        )
+        v = v.unionByName(c.select(*cols))
+    return v
+
+
+def validate(
+    spark: SparkSession,
+    df: DataFrame,
+    rules: RuleSet,
+    row_key: str,
+    out_dir: str,
+    dims: dict[str, DataFrame] | None = None,
+    snapshot: str | None = None,
+    run_id: str | None = None,
+    partition_col: str | None = None,
+    unit_batch: int = 16,
+    prev_df: DataFrame | None = None,
+    udf_parallelism: int | None = None,
+    max_batches: int | None = None,
+) -> RunResult:
+    """Run the full validation suite, resumably.
+
+    ``max_batches`` bounds how many unit batches this call processes
+    (for tests and incremental operation); a later call with the same
+    ``out_dir`` resumes where it stopped.
+    """
+    dims = dims or {}
+    run_id = run_id or uuid.uuid4().hex[:12]
+    snapshot = snapshot or ""
+    plan = rowchecks.compile_row_checks(df, rules)
+    manifest = Manifest(os.path.join(out_dir, "manifest"))
+    v_dir = os.path.join(out_dir, "violations")
+    result = RunResult(run_id=run_id, snapshot=snapshot, out_dir=out_dir)
+
+    # ---- schema-level violations: once per run, their own unit ---------
+    # (per-batch emission would duplicate them across resumes)
+    if plan.schema_violations and not manifest.is_done("__schema__"):
+        from invalid_spark import model as _model
+
+        sdf = spark.createDataFrame(
+            [
+                {**sv, "partition_id": None, "run_id": run_id}
+                for sv in plan.schema_violations
+            ],
+            schema=_model.VIOLATION_SCHEMA,
+        ).select(
+            "*",
+            F.lit("__schema__").alias("unit"),
+        )
+        sdf = sdf.drop("run_id").select(
+            "*", F.lit(run_id).alias("run_id"), F.lit(snapshot).alias("snapshot_id")
+        )
+        sdf.write.mode("append").parquet(v_dir)
+        manifest.mark_done("__schema__", {"run_id": run_id, "snapshot_id": snapshot})
+        result.units_done.append("__schema__")
+    if plan.fail_fast:
+        # a missing REQUIRED column aborts the whole run (reference
+        # keyMissing context-cancel, rule.go:159-165): no batch marked
+        # done, so a rerun against a fixed schema starts clean
+        return result
+    plan.schema_violations = []  # batches emit row-level checks only
+
+    # ---- determine work units ------------------------------------------
+    if partition_col is None:
+        units = [["__all__"]]
+        unit_of = None
+    else:
+        vals = [
+            str(r[0])
+            for r in df.select(partition_col).distinct().orderBy(partition_col).collect()
+        ]
+        done = manifest.done_units()
+        pending = [v for v in vals if v not in done]
+        result.units_skipped = [v for v in vals if v in done]
+        units = [
+            pending[i : i + unit_batch] for i in range(0, len(pending), unit_batch)
+        ]
+        unit_of = partition_col
+
+    if unit_of is None and manifest.is_done("__all__"):
+        result.units_skipped = ["__all__"]
+        units = []
+
+    # ---- per-batch jobs -------------------------------------------------
+    lineage = [
+        F.lit(run_id).alias("run_id"),
+        F.lit(snapshot).alias("snapshot_id"),
+    ]
+    n_batches = 0
+    for batch in units:
+        if max_batches is not None and n_batches >= max_batches:
+            break
+        n_batches += 1
+        if unit_of is None:
+            slice_df = df
+            unit_expr = F.lit("__all__")
+        else:
+            slice_df = df.filter(
+                F.col(unit_of).cast("string").isin(batch)
+            )
+            unit_expr = F.col(unit_of).cast("string")
+
+        v = _stage_violations(
+            slice_df, rules, row_key, plan, dims, run_id,
+            udf_parallelism=udf_parallelism,
+        )
+        # attribute each violation to its unit for lineage + verdicts
+        if unit_of is None:
+            unit_map = None
+            v_out = v.select("*", unit_expr.alias("unit"))
+        else:
+            # one row per key: duplicate row keys (the thing the
+            # uniqueness check flags!) must not fan out the join
+            unit_map = slice_df.select(
+                F.col(row_key).cast("string").alias("row_key"),
+                unit_expr.alias("unit"),
+            ).dropDuplicates(["row_key"])
+            v_out = (
+                v.join(unit_map, "row_key", "left")
+                .withColumn("unit", F.coalesce("unit", F.lit("__schema__")))
+            )
+        v_out = v_out.drop("run_id").select("*", *lineage)
+        v_out.write.mode("append").parquet(v_dir)
+        for u in batch:
+            manifest.mark_done(u, {"run_id": run_id, "snapshot_id": snapshot})
+            result.units_done.append(u)
+
+    # ---- global stages --------------------------------------------------
+    # Uniqueness is a WHOLE-TABLE invariant: a key duplicated across
+    # two units would be invisible to per-batch evaluation. It runs as
+    # its own resumable unit over the full table (two-stage salted
+    # aggregate — the shuffle carries (key, count) pairs, never rows).
+    if not plan.fail_fast:
+        full_unit_map = (
+            None
+            if unit_of is None
+            else df.select(
+                F.col(row_key).cast("string").alias("row_key"),
+                F.col(unit_of).cast("string").alias("unit"),
+            ).dropDuplicates(["row_key"])
+        )
+        for col in plan.unique_cols:
+            gu = f"__unique__{col}"
+            if manifest.is_done(gu):
+                result.units_skipped.append(gu)
+                continue
+            if max_batches is not None and n_batches >= max_batches:
+                break
+            n_batches += 1
+            u_v = unique.uniqueness_violations(df, col, row_key, run_id)
+            if full_unit_map is None:
+                u_out = u_v.select("*", F.lit("__all__").alias("unit"))
+            else:
+                u_out = u_v.join(full_unit_map, "row_key", "left").withColumn(
+                    "unit", F.coalesce("unit", F.lit("__schema__"))
+                )
+            u_out.drop("run_id").select("*", *lineage).write.mode(
+                "append"
+            ).parquet(v_dir)
+            manifest.mark_done(gu, {"run_id": run_id, "snapshot_id": snapshot})
+            result.units_done.append(gu)
+
+    # ---- verdicts + metrics from the written violations ----------------
+    # verdicts cover COMPLETED units only: a pending unit has no
+    # violation rows yet and must not read as a pass
+    all_v = spark.read.parquet(v_dir) if os.path.exists(v_dir) else None
+    if all_v is not None:
+        if unit_of is None:
+            verd = report.partition_verdicts(df, all_v, run_id)
+        else:
+            done_now = sorted(manifest.done_units())
+            df_done = df.filter(F.col(unit_of).cast("string").isin(done_now))
+            verd = report.group_verdicts(df_done, all_v, unit_of, row_key, run_id)
+        verd.write.mode("overwrite").parquet(os.path.join(out_dir, "verdicts"))
+        met = report.rule_metrics(all_v, run_id)
+        met.write.mode("overwrite").parquet(os.path.join(out_dir, "metrics"))
+
+    # ---- drift stage (snapshot-vs-snapshot, outside unit loop) ---------
+    if prev_df is not None and plan.drift_specs:
+        rows = []
+        for col, spec in plan.drift_specs:
+            test = spec.get("test", "ks")
+            thr = float(spec.get("threshold", 0.01))
+            if test == "chi2":
+                r = drift_checks.chi2_drift(df, prev_df, col, thr)
+            else:
+                r = drift_checks.ks_drift(df, prev_df, col, threshold=thr)
+            rows.append(
+                (col, r.test, float(r.statistic), float(r.p_value),
+                 bool(r.drifted), run_id, snapshot)
+            )
+        spark.createDataFrame(
+            rows,
+            "column string, test string, statistic double, p_value double, "
+            "drifted boolean, run_id string, snapshot_id string",
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "drift"))
+
+    return result
+
+
+def profile(
+    df: DataFrame, rules: RuleSet, run_id: str = ""
+) -> DataFrame | None:
+    """Column statistics for every ``$stats`` directive (one pass)."""
+    plan = rowchecks.compile_row_checks(df, rules)
+    if not plan.stats_specs:
+        return None
+    return stats.column_profile(df, plan.stats_specs, run_id=run_id)

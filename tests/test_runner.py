@@ -1,0 +1,159 @@
+"""Runner orchestration: full-suite run, checkpoint manifest, resume
+with no duplicate violations, lineage columns (north-rule
+resumability requirements)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from invalid_spark import synth
+from invalid_spark.dsl import load_rules
+from invalid_spark.io import Manifest, snapshot_id
+from invalid_spark import runner
+
+RULES = load_rules(
+    """
+image_id: {$type: $str, $reg: '^img-[0-9]{12}$', $unique: true}
+w: {$type: $int, $range: {$min: 1, $max: 100000}}
+fmt: {$type: $str, $of: [png, jpeg, webp]}
+caption: {$type: $str, $length: {$min: 1, $max: 10000}}
+license_id: {$type: $str, $ref: {table: licenses, key: license_id}}
+bytes: {$type: $bin, $pixel: {psnr_min: 40.0}}
+"""
+)
+
+N = 220
+
+
+@pytest.fixture(scope="module")
+def img_table(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("imgs") / "tbl")
+    # stable shard key independent of planted violations
+    df = synth.images_df(spark, N, partitions=4).withColumn(
+        "shard",
+        F.concat(F.lit("s"), F.pmod(F.xxhash64("image_id"), F.lit(4)).cast("string")),
+    )
+    df.write.mode("overwrite").parquet(p)
+    return p
+
+
+def _expected_counts():
+    return {
+        "range_w": len(synth.violation_indices(N, "range_w")),
+        "enum_fmt": len(synth.violation_indices(N, "enum_fmt")),
+        "len_caption": len(synth.violation_indices(N, "len_caption")),
+        "ref_license": len(synth.violation_indices(N, "ref_license")),
+        "corrupt": len(synth.violation_indices(N, "corrupt")),
+        "dup_id": 2 * len(synth.violation_indices(N, "dup_id")),
+    }
+
+
+def test_full_run_and_goldens(spark, img_table, tmp_path):
+    df = spark.read.parquet(img_table)
+    out = str(tmp_path / "run1")
+    res = runner.validate(
+        spark, df, RULES, "image_id", out,
+        dims={"licenses": synth.licenses_df(spark)},
+        snapshot=snapshot_id(img_table),
+        partition_col="shard",
+        unit_batch=2,
+    )
+    assert len(res.units_done) == 5 and not res.units_skipped  # 4 shards + global unique
+    v = res.violations(spark)
+    exp = _expected_counts()
+    by = {r["error_type"]: r["cnt"] for r in
+          v.groupBy("error_type").agg(F.count("*").alias("cnt")).collect()}
+    assert by["rangeMismatch"] == exp["range_w"]
+    assert by["ofMismatch"] == exp["enum_fmt"]
+    assert by["strLengthMismatch"] == exp["len_caption"]
+    assert by["refMismatch"] == exp["ref_license"]
+    assert by["decodeError"] == exp["corrupt"]
+    assert by["uniqueMismatch"] == exp["dup_id"]
+    # phash planted violations minus those also corrupt
+    phash_idx = set(synth.violation_indices(N, "phash_bit"))
+    corrupt_idx = set(synth.violation_indices(N, "corrupt"))
+    assert by["pixelMismatch"] == len(phash_idx - corrupt_idx)
+    # lineage columns present and populated
+    row = v.limit(1).collect()[0]
+    assert row["run_id"] == res.run_id
+    assert row["snapshot_id"] == res.snapshot
+    assert "unit" in v.columns
+    # verdicts cover all 4 shards; all fail (violations everywhere)
+    verd = res.verdicts(spark)
+    assert verd.count() == 4
+    assert verd.filter("passed").count() == 0
+    assert res.metrics(spark).count() > 0
+
+
+def test_resume_no_duplicates(spark, img_table, tmp_path):
+    df = spark.read.parquet(img_table)
+    out = str(tmp_path / "run2")
+    dims = {"licenses": synth.licenses_df(spark)}
+    snap = snapshot_id(img_table)
+    # first call: only 1 batch of 2 units → simulated kill
+    r1 = runner.validate(
+        spark, df, RULES, "image_id", out, dims=dims, snapshot=snap,
+        partition_col="shard", unit_batch=2, max_batches=1,
+    )
+    assert len(r1.units_done) == 2
+    m = Manifest(os.path.join(out, "manifest"))
+    assert m.done_units() == set(r1.units_done)
+    v_partial = spark.read.parquet(os.path.join(out, "violations"))
+    partial_units = {r[0] for r in v_partial.select("unit").distinct().collect()}
+    assert partial_units <= set(r1.units_done) | {"__schema__"}
+    # verdicts only for completed units
+    verd1 = r1.verdicts(spark)
+    shard_units = {u for u in r1.units_done if not u.startswith("__")}
+    assert {r["shard"] for r in verd1.collect()} == shard_units
+
+    # resume: remaining 2 units
+    r2 = runner.validate(
+        spark, df, RULES, "image_id", out, dims=dims, snapshot=snap,
+        partition_col="shard", unit_batch=2,
+    )
+    assert set(r2.units_skipped) == set(r1.units_done)
+    assert len(r2.units_done) == 3  # 2 shards + global unique
+
+    # combined output identical to a clean full run: no dups, no gaps
+    out_full = str(tmp_path / "run_full")
+    rf = runner.validate(
+        spark, df, RULES, "image_id", out_full, dims=dims, snapshot=snap,
+        partition_col="shard", unit_batch=4,
+    )
+    a = spark.read.parquet(os.path.join(out, "violations"))
+    b = spark.read.parquet(os.path.join(out_full, "violations"))
+    cols = ["row_key", "column", "rule_id", "error_type", "message", "unit"]
+    key = lambda t: tuple("" if x is None else str(x) for x in t)
+    assert sorted(map(tuple, a.select(*cols).collect()), key=key) == sorted(
+        map(tuple, b.select(*cols).collect()), key=key
+    )
+    # third call: everything already done → no-op
+    r3 = runner.validate(
+        spark, df, RULES, "image_id", out, dims=dims, snapshot=snap,
+        partition_col="shard", unit_batch=2,
+    )
+    assert not r3.units_done and len(r3.units_skipped) == 5
+
+
+def test_whole_table_unit_resume(spark, img_table, tmp_path):
+    df = spark.read.parquet(img_table)
+    out = str(tmp_path / "run3")
+    dims = {"licenses": synth.licenses_df(spark)}
+    r1 = runner.validate(spark, df, RULES, "image_id", out, dims=dims)
+    assert r1.units_done == ["__all__", "__unique__image_id"]
+    r2 = runner.validate(spark, df, RULES, "image_id", out, dims=dims)
+    assert set(r2.units_skipped) == {"__all__", "__unique__image_id"} and not r2.units_done
+
+
+def test_profile(spark, img_table):
+    df = spark.read.parquet(img_table)
+    rules = load_rules(
+        "w: {$type: $int, $stats: [null_rate, min, max, ndv]}\n"
+        "caption: {$type: $str}\n"
+    )
+    prof = runner.profile(df, rules)
+    stats_seen = {(r["column"], r["stat"]) for r in prof.collect()}
+    assert ("w", "null_rate") in stats_seen and ("w", "ndv") in stats_seen
