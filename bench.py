@@ -81,7 +81,8 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
     n_li = li.count()
     timed(
         "rowcheck_lineitem",
-        lambda: (rowchecks.run_row_checks(li, li_rules, "l_orderkey").count(), n_li)[1],
+        lambda: (rowchecks.run_row_checks(li, li_rules, "l_orderkey",
+                                          parallelism=CPUS * 2).count(), n_li)[1],
     )
 
     timed(
