@@ -125,6 +125,51 @@ def q_drift_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_chi2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    prev = ev.filter(F.col("event_id") % 2 == 0)
+    out = drift.chi2_statistic_df(cur, prev, "event_type")
+    return out.select(
+        "column_name", F.round("statistic", 6).alias("statistic"),
+        "dof", "n_cur", "n_prior",
+    )
+
+
+def q_streaming_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming path: readStream over the events parquet,
+    the same compiled row-check projection per micro-batch, violations
+    written through an exactly-once checkpointed sink and read back.
+    Rows-only (streaming lifecycle is not SQL-replayable); values are
+    deterministic so the driver's row-count/schema check is stable."""
+    import tempfile
+
+    from invalid_spark import streaming
+
+    rules = load_rules(
+        """
+event_id: {$type: $int}
+event_type: {$type: $str, $of: [click, view, purchase, signup]}
+value: {$type: $float, $range: {$min: 0, $max: 1000000}}
+"""
+    )
+    schema = _t(spark, sf_dir, "events").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")  # sf tables are single files
+        .parquet(sf_dir)
+    )
+    v = streaming.validate_stream(sdf, rules, "event_id")
+    with tempfile.TemporaryDirectory() as tmp:
+        q = streaming.write_stream(v, f"{tmp}/out", f"{tmp}/ckpt")
+        q.awaitTermination(300)
+        out = spark.read.parquet(f"{tmp}/out")
+        return spark.createDataFrame(
+            out.select("row_key", "rule_id", "error_type", "observed").collect(),
+            "row_key string, rule_id string, error_type string, observed string",
+        )
+
+
 def q_text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "documents")
     q = text.quality_features(df)
@@ -242,6 +287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_part_name": q_unique_part_name,
         "ref_lineitem_suppkey": q_ref_lineitem_suppkey,
         "drift_ks_events": q_drift_ks_events,
+        "drift_chi2_events": q_drift_chi2_events,
+        "streaming_validate_events": q_streaming_validate_events,
         "text_quality_documents": q_text_quality_documents,
         "text_langid_documents": q_text_langid_documents,
         "text_fingerprint_documents": q_text_fingerprint_documents,
@@ -414,6 +461,52 @@ SELECT 'value' AS column_name,
        round(max(abs(cdf_cur - cdf_prev)), 6) AS statistic,
        any_value(n_cur) AS n_cur, any_value(n_prior) AS n_prior
 FROM cdf
+"""
+
+
+def _sql_drift_chi2_events() -> str:
+    return """
+WITH b AS (
+  SELECT event_type AS cat,
+         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS is_cur
+  FROM events
+), tab AS (
+  SELECT cat, sum(is_cur) AS o1, sum(1 - is_cur) AS o2 FROM b GROUP BY cat
+), t AS (
+  SELECT cat, o1, o2, sum(o1) OVER () AS n, sum(o2) OVER () AS m FROM tab
+), terms AS (
+  SELECT cat, n, m,
+    (CASE WHEN (o1+o2)*n/(n+m) > 0
+          THEN (o1 - (o1+o2)*n/(n+m)) * (o1 - (o1+o2)*n/(n+m)) / ((o1+o2)*n/(n+m))
+          ELSE 0.0 END)
+    + (CASE WHEN (o1+o2)*m/(n+m) > 0
+          THEN (o2 - (o1+o2)*m/(n+m)) * (o2 - (o1+o2)*m/(n+m)) / ((o1+o2)*m/(n+m))
+          ELSE 0.0 END) AS term
+  FROM t
+)
+SELECT 'event_type' AS column_name, round(sum(term), 6) AS statistic,
+       greatest(count(*) - 1, 1) AS dof,
+       any_value(n) AS n_cur, any_value(m) AS n_prior
+FROM terms
+"""
+
+
+def _sql_streaming_validate_events() -> str:
+    # the streaming query's OUTPUT is the deterministic row-check
+    # result, so the oracle replays the checks in SQL even though the
+    # streaming lifecycle itself is Spark-only
+    return """
+SELECT CAST(event_id AS VARCHAR) AS row_key, 'event_type' AS rule_id,
+       'ofMismatch' AS error_type, event_type AS observed
+FROM events
+WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+  AND event_type NOT IN ('click', 'view', 'purchase', 'signup')
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), 'value', 'rangeMismatch',
+       CAST(value AS VARCHAR)
+FROM events
+WHERE event_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+  AND (value < 0 OR value > 1000000)
 """
 
 
@@ -647,6 +740,8 @@ def oracle_sql() -> dict[str, str]:
         "unique_part_name": _sql_unique_part_name(),
         "ref_lineitem_suppkey": _sql_ref_lineitem_suppkey(),
         "drift_ks_events": _sql_drift_ks_events(),
+        "drift_chi2_events": _sql_drift_chi2_events(),
+        "streaming_validate_events": _sql_streaming_validate_events(),
         "text_quality_documents": _sql_text_quality(),
         "text_langid_documents": _sql_text_langid(),
         "text_fingerprint_documents": _sql_text_fingerprint(),

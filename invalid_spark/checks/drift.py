@@ -103,6 +103,46 @@ def ks_statistic_df(
     )
 
 
+def chi2_statistic_df(
+    cur: DataFrame,
+    prev: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Fully-distributed chi-square homogeneity statistic: one row
+    (column_name, statistic, dof, n_cur, n_prior). Same contract as
+    :func:`ks_statistic_df` — contingency counts aggregate
+    distributed (partial combine), the O(|categories|) statistic is
+    a second tiny aggregation, all exact int/double math any SQL
+    engine reproduces."""
+    both = cur.select(F.col(col).alias("cat"), F.lit(1).alias("is_cur")).unionByName(
+        prev.select(F.col(col).alias("cat"), F.lit(0).alias("is_cur"))
+    )
+    tab = both.groupBy("cat").agg(
+        F.sum("is_cur").alias("o1"), F.sum(1 - F.col("is_cur")).alias("o2")
+    )
+    from pyspark.sql import Window
+
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t = tab.select(
+        "cat", "o1", "o2",
+        F.sum("o1").over(tot).alias("n"),
+        F.sum("o2").over(tot).alias("m"),
+    )
+    e1 = (F.col("o1") + F.col("o2")) * F.col("n") / (F.col("n") + F.col("m"))
+    e2 = (F.col("o1") + F.col("o2")) * F.col("m") / (F.col("n") + F.col("m"))
+    term = (
+        F.when(e1 > 0, (F.col("o1") - e1) * (F.col("o1") - e1) / e1).otherwise(0.0)
+        + F.when(e2 > 0, (F.col("o2") - e2) * (F.col("o2") - e2) / e2).otherwise(0.0)
+    )
+    return t.select("cat", term.alias("term"), "n", "m").groupBy().agg(
+        F.first(F.lit(col)).alias("column_name"),
+        F.sum("term").alias("statistic"),
+        F.greatest(F.count(F.lit(1)) - 1, F.lit(1)).alias("dof"),
+        F.first("n").alias("n_cur"),
+        F.first("m").alias("n_prior"),
+    )
+
+
 def ks_drift(
     cur: DataFrame,
     prev: DataFrame,

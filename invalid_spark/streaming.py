@@ -1,0 +1,143 @@
+"""Streaming validation (Structured Streaming).
+
+The engine's compiled plan is declarative, so the SAME row-check
+projection, referential anti-join, and Arrow-UDF image checks apply
+to a streaming DataFrame unchanged — this module only adds the
+streaming-specific wiring:
+
+- :func:`validate_stream` — violations as an unbounded stream
+  (row checks + optional stream-static referential joins + pixel
+  checks). Stream-static joins are Spark-native: the dimension is a
+  batch DataFrame re-read per micro-batch.
+- :func:`windowed_metrics` — violations per (event-time window,
+  rule_id, error_type) with a watermark, so late rows are counted
+  until the watermark passes and state is bounded — the streaming
+  analog of the batch per-partition verdict.
+- :func:`write_stream` — parquet sink + checkpointLocation:
+  exactly-once micro-batch commits, the streaming counterpart of the
+  batch runner's manifest resume.
+
+At 100 TB-rate ingest the natural deployment is validate-on-arrival:
+readStream from the landing zone (or Kafka), violations to an audit
+table, windowed metrics driving alerting; the batch runner then
+backfills/re-audits snapshots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from invalid_spark.checks import refint
+from invalid_spark.checks import rows as rowchecks
+from invalid_spark.dsl import RuleSet
+
+
+def validate_stream(
+    stream_df: DataFrame,
+    rules: RuleSet,
+    row_key: str,
+    dims: dict[str, DataFrame] | None = None,
+    run_id: str = "",
+    with_pixel_checks: bool = False,
+    udf_parallelism: int | None = None,
+) -> DataFrame:
+    """Violations stream for a streaming input DataFrame.
+
+    The row-check projection compiles once on the driver and runs
+    per micro-batch inside whole-stage codegen — identical physical
+    shape to the batch path (scan → project → explode), so there is
+    no separate streaming semantics to test for the checks
+    themselves. ``$ref`` rules become stream-static left-anti joins.
+    """
+    dims = dims or {}
+    plan = rowchecks.compile_row_checks(stream_df, rules)
+    if plan.fail_fast:
+        raise ValueError(
+            "required column missing from stream schema: "
+            + "; ".join(sv["message"] for sv in plan.schema_violations)
+        )
+    v = rowchecks.run_row_checks(stream_df, rules, row_key, run_id, plan=plan)
+    cols = v.columns
+    for col, spec in plan.ref_specs:
+        dim_name = spec.get("table")
+        if dim_name not in dims:
+            raise ValueError(f"$ref table [{dim_name}] not provided")
+        r = refint.ref_violations(
+            stream_df, col, dims[dim_name], spec.get("key", col), row_key, run_id
+        )
+        v = v.unionByName(r.select(*cols))
+    if with_pixel_checks and plan.pixel_specs:
+        from invalid_spark.checks import image as image_checks
+
+        for col, spec in plan.pixel_specs:
+            p = image_checks.pixel_violations(
+                stream_df,
+                row_key=row_key,
+                bytes_col=col,
+                psnr_min=float(spec.get("psnr_min", 40.0)),
+                run_id=run_id,
+                parallelism=udf_parallelism,
+            )
+            v = v.unionByName(p.select(*cols))
+    return v
+
+
+def with_event_time(
+    violations: DataFrame, source: DataFrame, row_key: str, ts_col: str
+) -> DataFrame:
+    """Attach the source's event-time column to violation rows (the
+    violation schema carries only the row key)."""
+    ts = source.select(
+        F.col(row_key).cast("string").alias("row_key"), F.col(ts_col).alias("ts")
+    )
+    return violations.join(ts, "row_key", "left")
+
+
+def windowed_metrics(
+    violations_with_ts: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Violation counts per (event-time window, rule_id, error_type).
+
+    The watermark bounds state: a window closes (and its counts
+    finalize) once event time passes window end + watermark; later
+    rows are dropped — the documented late-data contract."""
+    return (
+        violations_with_ts.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "rule_id", "error_type")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "rule_id",
+            "error_type",
+            "n_violations",
+        )
+    )
+
+
+def write_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start a parquet sink with exactly-once checkpointing.
+
+    ``available_now=True`` processes everything currently available
+    and stops — the deterministic mode used by tests and backfills;
+    pass False for a continuously running query."""
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1,0 +1,137 @@
+"""Streaming validation: micro-batch violations match the batch run,
+checkpoint resume processes only new files, windowed metrics respect
+the watermark contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from invalid_spark import streaming, synth
+from invalid_spark.checks import rows as rowchecks
+from invalid_spark.dsl import load_rules
+
+RULES = load_rules(
+    """
+image_id: {$type: $str, $reg: '^img-[0-9]{12}$'}
+w: {$type: $int, $range: {$min: 1, $max: 100000}}
+fmt: {$type: $str, $of: [png, jpeg, webp]}
+license_id: {$type: $str, $ref: {table: licenses, key: license_id}}
+"""
+)
+
+
+@pytest.fixture()
+def landing(spark, tmp_path):
+    """A landing-zone dir receiving files over time; returns
+    (dir, schema, write_batch(indices) fn)."""
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    full = synth.images_df(spark, 200, partitions=2).drop("bytes")
+    schema = full.schema
+
+    def write_batch(lo: int, hi: int, name: str) -> None:
+        full.filter(
+            F.substring("image_id", 5, 12).cast("long").between(lo, hi - 1)
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, name))
+
+    return d, schema, write_batch
+
+
+def _read_stream(spark, d, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+
+
+def test_stream_matches_batch(spark, landing, tmp_path):
+    d, schema, write_batch = landing
+    write_batch(0, 100, "b0")
+    write_batch(100, 200, "b1")
+
+    dims = {"licenses": synth.licenses_df(spark)}
+    sdf = _read_stream(spark, d, schema)
+    v = streaming.validate_stream(sdf, RULES, "image_id", dims=dims)
+    out = str(tmp_path / "viol")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming.write_stream(v, out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch_df = spark.read.option("recursiveFileLookup", "true").parquet(d)
+    bv = rowchecks.run_row_checks(batch_df, RULES, "image_id")
+    from invalid_spark.checks import refint
+
+    bv = bv.unionByName(
+        refint.ref_violations(
+            batch_df, "license_id", dims["licenses"], "license_id", "image_id"
+        ).select(*bv.columns)
+    )
+    cols = ["row_key", "rule_id", "error_type", "message"]
+    key = lambda t: tuple(map(str, t))
+    assert sorted(map(tuple, got.select(*cols).collect()), key=key) == sorted(
+        map(tuple, bv.select(*cols).collect()), key=key
+    )
+    assert got.count() > 0
+
+
+def test_stream_resume_processes_only_new(spark, landing, tmp_path):
+    d, schema, write_batch = landing
+    dims = {"licenses": synth.licenses_df(spark)}
+    out = str(tmp_path / "viol")
+    ckpt = str(tmp_path / "ckpt")
+
+    write_batch(0, 100, "b0")
+    v = streaming.validate_stream(
+        _read_stream(spark, d, schema), RULES, "image_id", dims=dims
+    )
+    streaming.write_stream(v, out, ckpt).awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+
+    # new file lands; restart from the same checkpoint
+    write_batch(100, 200, "b1")
+    v2 = streaming.validate_stream(
+        _read_stream(spark, d, schema), RULES, "image_id", dims=dims
+    )
+    streaming.write_stream(v2, out, ckpt).awaitTermination(120)
+    got = spark.read.parquet(out)
+    # no duplicates from batch 0: per-row_key counts all 1 for rule rows
+    dup = (
+        got.groupBy("row_key", "rule_id", "error_type")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup == 0
+    assert got.count() > n1
+
+
+def test_windowed_metrics_watermark(spark, tmp_path):
+    events = spark.createDataFrame(
+        [
+            ("r1", "late", "x", "2024-01-01 00:00:30"),
+            ("r2", "ok", "x", "2024-01-01 00:05:00"),
+            ("r3", "ok", "x", "2024-01-01 00:05:30"),
+        ],
+        "row_key string, rule_id string, error_type string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    m = streaming.windowed_metrics(events, window="1 minute", watermark="2 minutes")
+    rows = {(str(r["window_start"]), r["rule_id"]): r["n_violations"] for r in m.collect()}
+    assert rows[("2024-01-01 00:00:00", "late")] == 1
+    assert rows[("2024-01-01 00:05:00", "ok")] == 2
+    # schema contract
+    assert set(m.columns) == {
+        "window_start", "window_end", "rule_id", "error_type", "n_violations"
+    }
+
+
+def test_fail_fast_on_missing_stream_column(spark, tmp_path, landing):
+    d, schema, write_batch = landing
+    write_batch(0, 50, "b0")
+    bad_rules = load_rules("nonexistent: {$type: $str}\n")
+    with pytest.raises(ValueError, match="nonexistent"):
+        streaming.validate_stream(_read_stream(spark, d, schema), bad_rules, "image_id")
