@@ -539,9 +539,23 @@ class _Compiler:
             self._scalar_checks(col, child, path, key, gate, dynamic)
 
 
-def compile_row_checks(df: DataFrame, rules: RuleSet) -> RowCheckPlan:
+def compile_row_checks(
+    df: DataFrame, rules: RuleSet, strict: bool = False
+) -> RowCheckPlan:
+    """``strict=True`` additionally flags top-level data columns no
+    rule covers (schema-level ``extraKey`` violations). The reference
+    is permissive by design — its walk iterates rules, not data
+    (rule.go:152-157) — so strict mode is off by default."""
     c = _Compiler(df.schema)
     c.walk(rules.root)
+    if strict:
+        ruled = {r.key for r in rules.root.children}
+        for f in df.schema.fields:
+            if f.name not in ruled:
+                c._emit_schema(
+                    f.name, f.name, ErrorType.EXTRA_KEY,
+                    model.extra_key_msg(f.name),
+                )
     return c.plan
 
 

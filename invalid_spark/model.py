@@ -33,6 +33,7 @@ class ErrorType:
     UNIQUE_MISMATCH = "uniqueMismatch"
     REF_MISMATCH = "refMismatch"
     STAT_DRIFT = "statDrift"
+    EXTRA_KEY = "extraKey"  # strict mode only (reference tolerates extras)
     PIXEL_MISMATCH = "pixelMismatch"
     DECODE_ERROR = "decodeError"
     CAPTION_MISMATCH = "captionMismatch"
@@ -67,6 +68,13 @@ def regx_msg(key: str, regx: str) -> str:
 def key_name_msg(key: str, regx: str) -> str:
     """result.go:44-46 (note: full-width colon in the reference)."""
     return f"key name for [{key}] must match regexp ： {regx}"
+
+
+def extra_key_msg(key: str) -> str:
+    """Engine extension (strict mode): the reference ignores data keys
+    its rules don't mention (rule.go:152-157 iterates rules, not
+    data); ``strict=True`` flags them instead."""
+    return f"key [{key}] is not covered by any rule"
 
 
 def of_msg(key: str, of: list) -> str:

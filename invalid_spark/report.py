@@ -92,6 +92,22 @@ def rule_metrics(violations: DataFrame, run_id: str = "") -> DataFrame:
     )
 
 
+def violation_samples(
+    violations: DataFrame, k: int = 10, order_col: str = "row_key"
+) -> DataFrame:
+    """Top-K example violations per (rule_id, error_type) — bounded
+    output for dashboards/alerting no matter how many rows failed.
+    One window over the (already small relative to input) violations
+    stream; deterministic order by ``order_col``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("rule_id", "error_type").orderBy(F.col(order_col).asc())
+    return (
+        violations.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def overall_pass(violations: DataFrame) -> bool:
     """Reference ``Validate`` contract: empty result = pass
     (rule.go:131-141)."""

@@ -370,3 +370,37 @@ def test_partition_verdicts(spark):
     assert sum(r.n_violations for r in verd) == 10
     mets = report.rule_metrics(viol).collect()
     assert mets[0].n_violations == 10 and mets[0].error_type == "ofMismatch"
+
+
+def test_strict_mode_flags_uncovered_columns(spark):
+    from invalid_spark.checks.rows import compile_row_checks, run_row_checks
+    from invalid_spark.dsl import load_rules
+
+    df = spark.createDataFrame([(1, "a", 2.0)], "id long, name string, x double")
+    rules = load_rules("id: {$type: $int}\nname: {$type: $str}\n")
+    # default: permissive (reference rule.go:152-157)
+    assert run_row_checks(df, rules, "id").count() == 0
+    plan = compile_row_checks(df, rules, strict=True)
+    extras = [sv for sv in plan.schema_violations if sv["error_type"] == "extraKey"]
+    assert [sv["column"] for sv in extras] == ["x"]
+    v = run_row_checks(df, rules, "id", plan=plan)
+    got = v.filter("error_type = 'extraKey'").collect()
+    assert len(got) == 1 and got[0]["message"] == "key [x] is not covered by any rule"
+
+
+def test_violation_samples_bounded(spark):
+    from invalid_spark import report
+    from invalid_spark.checks.rows import run_row_checks
+    from invalid_spark.dsl import load_rules
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id"), F.lit("zz").alias("flag")
+    )
+    rules = load_rules("flag: {$type: $str, $of: [ok]}\n")
+    v = run_row_checks(df, rules, "id")
+    s = report.violation_samples(v, k=7)
+    assert s.count() == 7
+    assert [r["row_key"] for r in s.orderBy("sample_rank").collect()] == [
+        "0", "1", "10", "11", "12", "13", "14"
+    ]
