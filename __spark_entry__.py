@@ -217,6 +217,45 @@ def q_dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(df, bits=32).withColumnRenamed("id", "doc_id")
 
 
+def q_rowcheck_dynamic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic (YAML core-schema) per-row typing: ``props`` carries
+    stringly scalars with mixed spellings; the rule demands ``$int``
+    and each row is typed by the vectorized inference CASE chain —
+    the reference's tag-based typing (yaml.go:256-276) at table
+    scale. The derived column plants every inference class."""
+    ev = _t(spark, sf_dir, "events")
+    derived = ev.withColumn(
+        "val",
+        F.when(F.col("event_id") % 6 == 0, F.col("event_id").cast("string"))
+        .when(F.col("event_id") % 6 == 1, F.lit("1.5e3"))
+        .when(F.col("event_id") % 6 == 2, F.lit("true"))
+        .when(F.col("event_id") % 6 == 3, F.lit("~"))
+        .when(F.col("event_id") % 6 == 4, F.lit("0x1F"))
+        .otherwise(F.lit("hello")),
+    )
+    rules = load_rules(
+        "event_id: {$type: $int}\nval: {$type: $int, $dynamic: true}\n"
+    )
+    return _viol(rows.run_row_checks(derived, rules, "event_id"))
+
+
+def q_emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    p = dedup.embedding_neardup(emb, threshold=0.3)
+    return p.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_ann_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (seeded k-means codebook → probe nprobe
+    lists). Rows-only: the codebook comes from driver-side numpy."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_ann(emb, q, k=5, n_lists=16, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_ann_brute_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
@@ -296,8 +335,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_lsh_documents": q_dedup_minhash_lsh_documents,
         "dedup_simhash_documents": q_dedup_simhash_documents,
+        "rowcheck_dynamic_events": q_rowcheck_dynamic_events,
+        "emb_neardup_cosine": q_emb_neardup_cosine,
         "ann_brute_topk_embeddings": q_ann_brute_topk_embeddings,
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
+        "ann_ivf_embeddings": q_ann_ivf_embeddings,
         "tdigest_quantiles_lineitem": q_tdigest_quantiles_lineitem,
         "image_validate_synth": q_image_validate_synth,
     }
@@ -702,6 +744,57 @@ SELECT doc_id, {sig} AS simhash FROM votes
 """
 
 
+def _sql_rowcheck_dynamic_events() -> str:
+    from invalid_spark import yamlmeta
+
+    null_re = yamlmeta._RE_NULL
+    bool_re = yamlmeta._RE_BOOL
+    int_re = yamlmeta._RE_INT
+    inferred_int = (
+        f"(NOT regexp_full_match(val, '{null_re}') "
+        f"AND NOT regexp_full_match(val, '{bool_re}') "
+        f"AND regexp_full_match(val, '{int_re}'))"
+    )
+    return f"""
+WITH derived AS (
+  SELECT event_id,
+    CASE WHEN event_id % 6 = 0 THEN CAST(event_id AS VARCHAR)
+         WHEN event_id % 6 = 1 THEN '1.5e3'
+         WHEN event_id % 6 = 2 THEN 'true'
+         WHEN event_id % 6 = 3 THEN '~'
+         WHEN event_id % 6 = 4 THEN '0x1F'
+         ELSE 'hello' END AS val
+  FROM events
+)
+SELECT CAST(event_id AS VARCHAR) AS row_key, 'val' AS col_name,
+       'val' AS rule_id, 'typeMismatch' AS error_type,
+       'type for [val] must be [$int]' AS message, val AS observed
+FROM derived
+WHERE event_id IS NOT NULL AND val IS NOT NULL AND NOT {inferred_int}
+"""
+
+
+def _sql_emb_neardup() -> str:
+    return """
+WITH nv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), un AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_reduce(
+           list_transform(v, y -> y * y), (a, b) -> a + b))) AS nv
+  FROM nv
+  WHERE sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b)) > 0
+), pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         list_reduce(list_transform(range(len(x.nv)),
+           i -> x.nv[i+1] * y.nv[i+1]), (p, q) -> p + q) AS cosine
+  FROM un x JOIN un y ON x.vec_id < y.vec_id
+)
+SELECT a, b, round(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.3
+"""
+
+
 def _sql_ann_brute_topk() -> str:
     return """
 WITH nv AS (
@@ -749,6 +842,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_documents": _sql_dedup_jaccard(),
         "dedup_minhash_lsh_documents": _sql_dedup_minhash_lsh(),
         "dedup_simhash_documents": _sql_dedup_simhash(),
+        "rowcheck_dynamic_events": _sql_rowcheck_dynamic_events(),
+        "emb_neardup_cosine": _sql_emb_neardup(),
         "ann_brute_topk_embeddings": _sql_ann_brute_topk(),
         # ann_lsh_embeddings: seeded numpy hyperplanes — rows-only
         # tdigest_quantiles_lineitem: sketch, not SQL-exact — rows-only

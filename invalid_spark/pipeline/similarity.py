@@ -143,3 +143,92 @@ def lsh_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    iters: int = 5,
+    sample: int = 2048,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means centroids trained driver-side on
+    a seeded sample (classic IVF builds its codebook on a sample —
+    the corpus-scale work is only the assignment pass)."""
+    rows = (
+        with_norm(corpus, vec_col, key_col)
+        .orderBy("id")
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r["nv"] for r in rows])
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def _nearest_lists(nv: Column, cent: "np.ndarray", nprobe: int) -> Column:
+    """Array of the nprobe centroid ids closest to the vector."""
+    sims = F.array(
+        *[dot(nv, F.array(*[F.lit(float(v)) for v in c])) for c in cent]
+    )
+    idx = F.sequence(F.lit(0), F.lit(len(cent) - 1))
+    pairs = F.arrays_zip(sims.alias("s"), idx.alias("i"))
+    ordered = F.reverse(F.array_sort(pairs))
+    return F.slice(F.transform(ordered, lambda p: p["i"]), 1, nprobe)
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: assign every corpus
+    vector to its nearest coarse centroid (one projection — the
+    codebook broadcasts as literals), then each query probes only its
+    ``nprobe`` nearest lists. Recall/cost trade via nprobe; the
+    assignment shuffle key is the list id, roughly uniform by
+    k-means construction. The scale shape: build once, probe per
+    query batch."""
+    cent = ivf_centroids(
+        corpus, n_lists, seed=seed, vec_col=vec_col, key_col=key_col
+    )
+    c = with_norm(corpus, vec_col, key_col).withColumn(
+        "list_id", _nearest_lists(F.col("nv"), cent, 1)[0]
+    )
+    q = with_norm(queries, vec_col, key_col).select(
+        F.col("id").alias("qid"),
+        F.col("nv").alias("qv"),
+        F.explode(_nearest_lists(F.col("nv"), cent, nprobe)).alias("list_id"),
+    )
+    cand = c.join(F.broadcast(q), "list_id").filter(F.col("id") != F.col("qid"))
+    scored = cand.select(
+        F.col("qid").alias("query_id"),
+        F.col("id").alias("neighbor_id"),
+        dot(F.col("nv"), F.col("qv")).alias("cosine"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -120,6 +120,48 @@ def windowed_metrics(
     )
 
 
+def running_rule_totals(
+    violations: DataFrame,
+) -> DataFrame:
+    """Cumulative violation totals per (rule_id, error_type) across
+    the lifetime of the stream — a custom stateful operator via
+    ``applyInPandasWithState``.
+
+    Windowed aggregation forgets closed windows; alerting wants
+    "how many rows has rule X rejected since the stream started",
+    which needs explicit keyed state. State per key is one long —
+    bounded by |rules| x |error types|, not by data — and survives
+    restarts through the sink checkpoint."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "rule_id string, error_type string, total long"
+    state_schema = "total long"
+
+    def update(key, pdfs, state: GroupState):
+        new = 0
+        for pdf in pdfs:
+            new += len(pdf)
+        (prev,) = state.get if state.exists else (0,)
+        total = prev + new
+        state.update((total,))
+        yield pd.DataFrame(
+            {"rule_id": [key[0]], "error_type": [key[1]], "total": [total]}
+        )
+
+    # "append" mode: each micro-batch appends the key's new running
+    # total as a log entry (parquet sinks only support append); the
+    # latest entry per key is the current counter
+    return (
+        violations.groupBy("rule_id", "error_type")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def write_stream(
     df: DataFrame,
     path: str,

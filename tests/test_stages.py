@@ -136,3 +136,34 @@ def test_caption_violations(spark, images):
     rows = v.collect()
     assert {r.row_key for r in rows} == {"img-000000000005"}
     assert all(r.error_type == "captionMismatch" for r in rows)
+
+
+def test_ivf_ann_recall(spark):
+    from invalid_spark.pipeline import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 20")
+    exact = similarity.brute_topk(emb, q, k=5).collect()
+    approx = similarity.ivf_ann(emb, q, k=5, n_lists=16, nprobe=6).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # every query answered with k results
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in approx)
+    assert all(v == 5 for v in per_q.values())
+
+
+def test_lsh_ann_recall(spark):
+    from invalid_spark.pipeline import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 20")
+    exact = similarity.brute_topk(emb, q, k=5).collect()
+    approx = similarity.lsh_ann(emb, q, k=5, planes=4, probe_hamming=1).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"LSH recall too low: {recall}"

@@ -135,3 +135,50 @@ def test_fail_fast_on_missing_stream_column(spark, tmp_path, landing):
     bad_rules = load_rules("nonexistent: {$type: $str}\n")
     with pytest.raises(ValueError, match="nonexistent"):
         streaming.validate_stream(_read_stream(spark, d, schema), bad_rules, "image_id")
+
+
+def test_running_rule_totals_stateful(spark, landing, tmp_path):
+    d, schema, write_batch = landing
+    dims = {"licenses": synth.licenses_df(spark)}
+    out = str(tmp_path / "totals")
+    ckpt = str(tmp_path / "ckpt_totals")
+
+    def run_once():
+        v = streaming.validate_stream(
+            _read_stream(spark, d, schema), RULES, "image_id", dims=dims
+        )
+        totals = streaming.running_rule_totals(v)
+        q = streaming.write_stream(totals, out, ckpt, output_mode="append")
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        # latest total per key = max (stateful cumulative counter)
+        return {
+            (r["rule_id"], r["error_type"]): r["mx"]
+            for r in got.groupBy("rule_id", "error_type")
+            .agg(F.max("total").alias("mx"))
+            .collect()
+        }
+
+    write_batch(0, 100, "b0")
+    t1 = run_once()
+    write_batch(100, 200, "b1")
+    t2 = run_once()
+    # state persisted: totals after batch 2 are cumulative over both
+    assert set(t1) <= set(t2)
+    assert all(t2[k] >= t1[k] for k in t1)
+    assert sum(t2.values()) > sum(t1.values())
+    # cross-check against the batch pipeline over all files
+    batch_df = spark.read.option("recursiveFileLookup", "true").parquet(d)
+    bv = rowchecks.run_row_checks(batch_df, RULES, "image_id")
+    from invalid_spark.checks import refint
+
+    bv = bv.unionByName(
+        refint.ref_violations(
+            batch_df, "license_id", dims["licenses"], "license_id", "image_id"
+        ).select(*bv.columns)
+    )
+    exp = {
+        (r["rule_id"], r["error_type"]): r["c"]
+        for r in bv.groupBy("rule_id", "error_type").agg(F.count("*").alias("c")).collect()
+    }
+    assert t2 == exp
