@@ -312,6 +312,38 @@ license_id: {$type: $str, $ref: {table: licenses, key: license_id}}
     return report.rule_metrics(all_v).drop("run_id").orderBy("rule_id", "error_type")
 
 
+def q_caption_eq_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption byte-equality invariant (input_hint): current table vs
+    a reference snapshot whose captions were perturbed on a
+    deterministic subset. Pure DataFrame algebra (join + binary
+    compare), no UDF. Rows-only: captions come from the seeded
+    synthetic generator."""
+    from invalid_spark import synth
+    from invalid_spark.checks import image as image_checks
+
+    df = synth.images_df(spark, 300, partitions=4).select("image_id", "caption")
+    idx = F.substring("image_id", 5, 12).cast("long")
+    ref = df.withColumn(
+        "caption",
+        F.when(idx % 7 == 6, F.concat(F.col("caption"), F.lit(" [edited]")))
+        .otherwise(F.col("caption")),
+    )
+    v = image_checks.caption_violations(df, ref, key="image_id", col="caption")
+    return _viol(v).orderBy("row_key")
+
+
+def q_unique_phash_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted uniqueness under a planted hot key (~10% of rows share
+    one phash): the two-stage aggregate spreads the hot key across
+    salt buckets so no single reducer sees it whole. Rows-only
+    (synthetic input); returns per-key duplicate counts."""
+    from invalid_spark import synth
+
+    df = synth.images_df(spark, 2000, partitions=8, skew=True)
+    d = unique.duplicate_keys(df, "phash", salt_buckets=64)
+    return d.select(F.col("k").alias("phash"), "cnt").orderBy("phash")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the compiled rule engine over the documents table."""
     return q_rowcheck_documents(spark, "/root/testdata/sf0.001")
@@ -342,6 +374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_embeddings": q_ann_ivf_embeddings,
         "tdigest_quantiles_lineitem": q_tdigest_quantiles_lineitem,
         "image_validate_synth": q_image_validate_synth,
+        "caption_eq_synth": q_caption_eq_synth,
+        "unique_phash_skew": q_unique_phash_skew,
     }
 
 

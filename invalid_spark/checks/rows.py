@@ -136,15 +136,26 @@ class RowCheckPlan:
     pixel_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     caption_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
 
-    def violations_array(self) -> Column:
+    def raw_violations_array(self) -> Column:
+        """Fixed-length array of CASE structs, NULL element = pass.
+        The hot path explodes this RAW and filters nulls post-explode:
+        both Generate and Filter codegen, whereas any null-stripping
+        HOF on the array (``array_compact`` desugars to a lambda
+        ``filter``) knocks the projection off codegen (~2x slower,
+        measured sf0.1 lineitem)."""
         parts = []
         if self.checks:
             parts.append(F.array(*self.checks))
         parts.extend(self.array_checks)
         if not parts:
             return F.array().cast(T.ArrayType(model.CHECK_STRUCT))
-        arr = F.concat(*parts) if len(parts) > 1 else parts[0]
-        return F.array_compact(arr)
+        return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+    def violations_array(self) -> Column:
+        """Null-stripped violations array (for callers that want the
+        array itself; the engine's row pipeline uses
+        :meth:`raw_violations_array` + post-explode filter)."""
+        return F.array_compact(self.raw_violations_array())
 
 
 class _Compiler:
@@ -596,19 +607,14 @@ def run_row_checks(
     else:
         pid = F.spark_partition_id()
 
-    arr = plan.violations_array()
+    arr = plan.raw_violations_array()
     out = (
         df.select(
             F.col(row_key).cast("string").alias("row_key"),
             pid.alias("partition_id"),
-            arr.alias("_v"),
+            F.explode(arr).alias("v"),
         )
-        .filter(F.size("_v") > 0)
-        .select(
-            "row_key",
-            F.explode("_v").alias("v"),
-            "partition_id",
-        )
+        .filter(F.col("v").isNotNull())
         .select(
             "row_key",
             F.col("v.column").alias("column"),

@@ -95,19 +95,22 @@ def shingle_terms(
     n: int = 3,
     text_col: str = "text",
     key_col: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct (id, g) shingle occurrences — the corpus-scale form.
+    """(id, g) shingle occurrences — the corpus-scale form.
 
-    Dedup happens in the ``distinct()`` hash-aggregate (map-side
-    partial combine), not per row, so shingle construction stays
-    O(tokens) per document."""
+    ``distinct=True`` dedups in a distributed hash-aggregate
+    (map-side partial combine), not per row, so shingle construction
+    stays O(tokens) per document. Pass ``distinct=False`` when the
+    consumer is dup-insensitive (MinHash: min over a multiset equals
+    min over its set) — that skips the dedup shuffle entirely."""
     toks = T.tokens(T.normalize(F.col(text_col)))
     ex = (
         df.select(F.col(key_col).alias("id"), toks.alias("t"))
         .filter(F.size("t") >= n)
         .select("id", F.explode(_grams(F.col("t"), n)).alias("g"))
     )
-    return ex.distinct()
+    return ex.distinct() if distinct else ex
 
 
 def shingle_pairs(
@@ -182,7 +185,7 @@ def minhash_signatures(
     explode → ONE hash-aggregate with k ``min`` columns. Partial
     (map-side) combine reduces each partition to one row per doc
     before the shuffle; no nested lambda re-evaluation."""
-    ex = shingle_terms(df, n, text_col, key_col)
+    ex = shingle_terms(df, n, text_col, key_col, distinct=False)
     h = ex.select(
         "id",
         F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long").alias("h1"),
@@ -258,7 +261,9 @@ def minhash_lsh_dedup(
     """LSH candidates verified with exact Jaccard ≥ threshold:
     (a, b, jaccard). The verification join touches only candidate
     docs (semi-join pushdown), never the full corpus."""
-    cand = lsh_candidates(df, bands, rows, n, text_col, key_col)
+    # candidate pairs are tiny (near-dup rate << corpus); persist so
+    # the LSH banding pipeline runs once, not once per downstream use
+    cand = lsh_candidates(df, bands, rows, n, text_col, key_col).persist()
     # restrict shingle-array construction to candidate docs BEFORE
     # computing the arrays: a broadcast semi-join prunes the corpus,
     # so the O(m²) array_distinct runs on candidates only.
