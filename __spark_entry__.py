@@ -659,8 +659,10 @@ FROM s
 
 
 def _sql_text_fingerprint() -> str:
+    bpe = text.BPE_SPLIT_PATTERN.replace("'", "''")
     return f"""
-SELECT doc_id, md5({_NORM}) AS fingerprint, len({_TOKS}) AS n_tokens
+SELECT doc_id, md5({_NORM}) AS fingerprint, len({_TOKS}) AS n_tokens,
+       len(regexp_extract_all(text, '{bpe}')) AS n_tokens_bpe
 FROM documents
 """
 

@@ -45,6 +45,19 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer pattern (public): contraction suffixes,
+# letter runs, digit runs, punctuation runs, whitespace runs — counts
+# approximate BPE token counts without a merges table (each regex
+# token splits into >=1 BPE tokens; for plain English text the ratio
+# is ~1.0-1.3). Pure regex → JVM-side, and replayable in any RE2 SQL.
+BPE_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Approximate BPE token count via the GPT-2 pre-tokenizer regex."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_PATTERN))
+
+
 def normalize(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, strip every
     non-alphanumeric-non-space char, collapse whitespace runs."""
@@ -149,4 +162,5 @@ def fingerprints(df: DataFrame, text_col: str = "text",
         F.col(key_col),
         fingerprint(F.col(text_col)).alias("fingerprint"),
         token_count(F.col(text_col)).alias("n_tokens"),
+        token_count_bpe(F.col(text_col)).alias("n_tokens_bpe"),
     )
