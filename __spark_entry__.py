@@ -316,6 +316,34 @@ license_id: {$type: $str, $ref: {table: licenses, key: license_id}}
     return report.rule_metrics(all_v).drop("run_id").orderBy("rule_id", "error_type")
 
 
+def q_rowcheck_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON ingestion + nested $obj recursion: ``props`` (a JSON
+    string column) parses via ``from_json`` into a struct and a
+    nested rule validates ``props.k`` — the JSON source the
+    reference planned but never built (json_field.go stub), free in
+    Spark."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "props", F.from_json("props", "k int")
+    )
+    rules = load_rules(
+        """
+event_id: {$type: $int}
+props:
+  $type: $obj
+  k: {$type: $int, $range: {$min: 0, $max: 89}}
+"""
+    )
+    return _viol(rows.run_row_checks(ev, rules, "event_id"))
+
+
+def q_violation_samples_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K bounded violation examples per (rule_id, error_type) —
+    the alerting-dashboard primitive (window rank over violations)."""
+    df = _t(spark, sf_dir, "orders")
+    v = _viol(rows.run_row_checks(df, load_rules(ORDERS_RULES), "o_orderkey"))
+    return report.violation_samples(v, k=5)
+
+
 def q_caption_eq_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption byte-equality invariant (input_hint): current table vs
     a reference snapshot whose captions were perturbed on a
@@ -380,6 +408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_validate_synth": q_image_validate_synth,
         "caption_eq_synth": q_caption_eq_synth,
         "unique_phash_skew": q_unique_phash_skew,
+        "rowcheck_json_events": q_rowcheck_json_events,
+        "violation_samples_orders": q_violation_samples_orders,
     }
 
 
@@ -864,6 +894,32 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _sql_rowcheck_json_events() -> str:
+    k = "CAST(json_extract(props, '$.k') AS BIGINT)"
+    return f"""
+SELECT CAST(event_id AS VARCHAR) AS row_key, 'props.k' AS col_name,
+       'props.k' AS rule_id, 'rangeMismatch' AS error_type,
+       'value of k must be in range [0, 89]' AS message,
+       CAST({k} AS VARCHAR) AS observed
+FROM events
+WHERE event_id IS NOT NULL AND props IS NOT NULL AND {k} IS NOT NULL
+  AND ({k} < 0 OR {k} > 89)
+"""
+
+
+def _sql_violation_samples_orders() -> str:
+    return f"""
+WITH v AS ({_sql_rowcheck_orders()}),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY rule_id, error_type ORDER BY row_key ASC
+         ) AS sample_rank
+  FROM v
+)
+SELECT * FROM r WHERE sample_rank <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "rowcheck_orders": _sql_rowcheck_orders(),
@@ -883,6 +939,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh_documents": _sql_dedup_minhash_lsh(),
         "dedup_simhash_documents": _sql_dedup_simhash(),
         "rowcheck_dynamic_events": _sql_rowcheck_dynamic_events(),
+        "rowcheck_json_events": _sql_rowcheck_json_events(),
+        "violation_samples_orders": _sql_violation_samples_orders(),
         "emb_neardup_cosine": _sql_emb_neardup(),
         "ann_brute_topk_embeddings": _sql_ann_brute_topk(),
         # ann_lsh_embeddings: seeded numpy hyperplanes — rows-only
