@@ -344,6 +344,26 @@ def q_violation_samples_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.violation_samples(v, k=5)
 
 
+def q_vector_check_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$vector invariants (dim / NaN / zero-vector) over an embedding
+    column, with corruptions planted on deterministic ids (the table
+    itself is clean)."""
+    from invalid_spark.checks import vector as vector_checks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = F.col("vec_id")
+    v = F.col("embedding")
+    corrupted = emb.withColumn(
+        "embedding",
+        F.when(idx % 17 == 0, F.slice(v, 1, 32))
+        .when(idx % 19 == 0, F.concat(F.array(F.lit(float("nan"))), F.slice(v, 2, 63)))
+        .when(idx % 23 == 0, F.transform(v, lambda x: x * 0))
+        .otherwise(v),
+    )
+    out = vector_checks.vector_violations(corrupted, "embedding", "vec_id", dim=64)
+    return _viol(out)
+
+
 def q_caption_eq_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption byte-equality invariant (input_hint): current table vs
     a reference snapshot whose captions were perturbed on a
@@ -410,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_phash_skew": q_unique_phash_skew,
         "rowcheck_json_events": q_rowcheck_json_events,
         "violation_samples_orders": q_violation_samples_orders,
+        "vector_check_embeddings": q_vector_check_embeddings,
     }
 
 
@@ -907,6 +928,35 @@ WHERE event_id IS NOT NULL AND props IS NOT NULL AND {k} IS NOT NULL
 """
 
 
+def _sql_vector_check_embeddings() -> str:
+    return """
+WITH corrupted AS (
+  SELECT vec_id,
+    CASE WHEN vec_id % 17 = 0 THEN embedding[1:32]
+         WHEN vec_id % 19 = 0 THEN
+              list_concat(['NaN'::FLOAT], embedding[2:64])
+         WHEN vec_id % 23 = 0 THEN list_transform(embedding, x -> x * 0)
+         ELSE embedding END AS v
+  FROM embeddings
+)
+SELECT CAST(vec_id AS VARCHAR) AS row_key, 'embedding' AS col_name,
+       'embedding' AS rule_id, 'vectorMismatch' AS error_type,
+       'vector [embedding] must have dim 64' AS message,
+       CAST(len(v) AS VARCHAR) AS observed
+FROM corrupted WHERE v IS NOT NULL AND len(v) <> 64
+UNION ALL
+SELECT CAST(vec_id AS VARCHAR), 'embedding', 'embedding', 'vectorMismatch',
+       'vector [embedding] must not contain NaN/null', NULL
+FROM corrupted WHERE v IS NOT NULL
+  AND len(list_filter(v, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) > 0
+UNION ALL
+SELECT CAST(vec_id AS VARCHAR), 'embedding', 'embedding', 'vectorMismatch',
+       'vector [embedding] must not be all zeros', NULL
+FROM corrupted WHERE v IS NOT NULL AND len(v) > 0
+  AND len(list_filter(v, x -> x <> 0)) = 0
+"""
+
+
 def _sql_violation_samples_orders() -> str:
     return f"""
 WITH v AS ({_sql_rowcheck_orders()}),
@@ -941,6 +991,7 @@ def oracle_sql() -> dict[str, str]:
         "rowcheck_dynamic_events": _sql_rowcheck_dynamic_events(),
         "rowcheck_json_events": _sql_rowcheck_json_events(),
         "violation_samples_orders": _sql_violation_samples_orders(),
+        "vector_check_embeddings": _sql_vector_check_embeddings(),
         "emb_neardup_cosine": _sql_emb_neardup(),
         "ann_brute_topk_embeddings": _sql_ann_brute_topk(),
         # ann_lsh_embeddings: seeded numpy hyperplanes — rows-only

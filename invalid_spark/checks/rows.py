@@ -135,6 +135,7 @@ class RowCheckPlan:
     drift_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     pixel_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     caption_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
+    vector_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
 
     def raw_violations_array(self) -> Column:
         """Fixed-length array of CASE structs, NULL element = pass.
@@ -466,6 +467,8 @@ class _Compiler:
                 self.plan.pixel_specs.append((path, child.pixel))
             if child.caption_eq is not None:
                 self.plan.caption_specs.append((path, child.caption_eq))
+            if child.vector is not None:
+                self.plan.vector_specs.append((path, child.vector))
 
             if dt is None:
                 # column absent from the table schema

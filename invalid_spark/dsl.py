@@ -63,7 +63,7 @@ _DIRECTIVES = {
     "$reg", "$key-reg", "$constraint", "$of",
     # engine extensions
     "$unique", "$ref", "$range", "$stats", "$drift", "$pixel",
-    "$caption-eq", "$dynamic",
+    "$caption-eq", "$dynamic", "$vector",
 }
 
 
@@ -93,6 +93,7 @@ class Rule:
     drift: Optional[dict] = None
     pixel: Optional[dict] = None
     caption_eq: Optional[dict] = None
+    vector: Optional[dict] = None  # $arr: {dim, no_nan, no_zero}
     dynamic: bool = False
 
     def get(self, key: str) -> Optional["Rule"]:
@@ -266,6 +267,7 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
         ("$drift", "drift"),
         ("$pixel", "pixel"),
         ("$caption-eq", "caption_eq"),
+        ("$vector", "vector"),
     ):
         dn = _mapping_get(value, dname)
         if dn is not None:

@@ -34,6 +34,7 @@ class ErrorType:
     REF_MISMATCH = "refMismatch"
     STAT_DRIFT = "statDrift"
     EXTRA_KEY = "extraKey"  # strict mode only (reference tolerates extras)
+    VECTOR_MISMATCH = "vectorMismatch"  # $vector: dim / NaN / zero-vector
     PIXEL_MISMATCH = "pixelMismatch"
     DECODE_ERROR = "decodeError"
     CAPTION_MISMATCH = "captionMismatch"

@@ -108,6 +108,25 @@ def violation_samples(
     )
 
 
+def split_valid(
+    df: DataFrame, violations: DataFrame, row_key: str
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine split: (clean_rows, quarantined_rows).
+
+    The standard validation-pipeline output contract: rows with any
+    violation route to a quarantine sink for triage, clean rows flow
+    on. One anti-join / semi-join pair against the (small, distinct)
+    violating-key set — Catalyst broadcasts it when violations are
+    sparse, which is the normal case."""
+    bad_keys = violations.select(
+        F.col("row_key").alias("__bk")
+    ).filter(F.col("__bk").isNotNull()).distinct()
+    keyed = F.col(row_key).cast("string")
+    clean = df.join(bad_keys, keyed == F.col("__bk"), "left_anti")
+    quarantined = df.join(bad_keys, keyed == F.col("__bk"), "left_semi")
+    return clean, quarantined
+
+
 def overall_pass(violations: DataFrame) -> bool:
     """Reference ``Validate`` contract: empty result = pass
     (rule.go:131-141)."""

@@ -101,6 +101,17 @@ def _stage_violations(
             parallelism=udf_parallelism,
         )
         v = v.unionByName(p.select(*cols))
+    for col, spec in plan.vector_specs:
+        from invalid_spark.checks import vector as vector_checks
+
+        vv = vector_checks.vector_violations(
+            df, col, row_key,
+            dim=spec.get("dim"),
+            no_nan=bool(spec.get("no_nan", True)),
+            no_zero=bool(spec.get("no_zero", True)),
+            run_id=run_id,
+        )
+        v = v.unionByName(vv.select(*cols))
     for col, spec in plan.caption_specs:
         ref_name = spec.get("table")
         if ref_name not in dims:

@@ -167,3 +167,45 @@ def test_lsh_ann_recall(spark):
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.4, f"LSH recall too low: {recall}"
+
+
+def test_vector_violations_planted(spark):
+    from invalid_spark.checks import vector as vc
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # plant: truncate %17==0, NaN %19==0, zero %23==0
+    idx = F.col("vec_id")
+    v = F.col("embedding")
+    corrupted = emb.withColumn(
+        "embedding",
+        F.when(idx % 17 == 0, F.slice(v, 1, 32))
+        .when(idx % 19 == 0, F.concat(F.array(F.lit(float("nan"))), F.slice(v, 2, 63)))
+        .when(idx % 23 == 0, F.transform(v, lambda x: x * 0))
+        .otherwise(v),
+    )
+    out = vc.vector_violations(corrupted, "embedding", "vec_id", dim=64)
+    by = {r["message"]: r["cnt"] for r in out.groupBy("message").agg(
+        F.count("*").alias("cnt")).collect()}
+    n = emb.count()
+    exp_dim = len([i for i in range(n) if i % 17 == 0])
+    exp_nan = len([i for i in range(n) if i % 19 == 0 and i % 17 != 0])
+    exp_zero = len([i for i in range(n) if i % 23 == 0 and i % 17 != 0 and i % 19 != 0])
+    assert by["vector [embedding] must have dim 64"] == exp_dim
+    assert by["vector [embedding] must not contain NaN/null"] == exp_nan
+    assert by["vector [embedding] must not be all zeros"] == exp_zero
+
+
+def test_split_valid_quarantine(spark):
+    from invalid_spark import report
+    from invalid_spark.checks.rows import run_row_checks
+    from invalid_spark.dsl import load_rules
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rules = load_rules("lang: {$type: $str, $of: [en, fr, de]}\n")
+    v = run_row_checks(docs, rules, "doc_id")
+    clean, quarantined = report.split_valid(docs, v, "doc_id")
+    assert quarantined.count() == 148  # known-good signal
+    assert clean.count() + quarantined.count() == docs.count()
+    # no violating key survives in clean
+    assert clean.filter(~clean.lang.isin("en", "fr", "de")).count() == 0
