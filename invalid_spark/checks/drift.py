@@ -149,15 +149,27 @@ def ks_drift(
     col: str,
     bins: int = 256,
     threshold: float = 0.01,
+    clip: tuple[float, float] | None = None,
 ) -> DriftResult:
     """Two-sample KS over binned CDFs. ``threshold`` is the p-value
-    below which drift is flagged."""
-    mm = (
-        cur.select(F.col(col).cast("double").alias("v"))
-        .unionByName(prev.select(F.col(col).cast("double").alias("v")))
-        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
-        .collect()[0]
+    below which drift is flagged.
+
+    ``clip=(0.01, 0.99)`` bounds the histogram range by quantiles
+    instead of min/max: on dirty data a handful of outliers (exactly
+    what a validation run encounters) would otherwise stretch the
+    range until every real value lands in one bucket and the test
+    goes blind. Clamped edge buckets catch the clipped tails."""
+    both = cur.select(F.col(col).cast("double").alias("v")).unionByName(
+        prev.select(F.col(col).cast("double").alias("v"))
     )
+    if clip is not None:
+        qlo, qhi = clip
+        mm = both.agg(
+            F.percentile_approx("v", F.lit(qlo), F.lit(10000)).alias("lo"),
+            F.percentile_approx("v", F.lit(qhi), F.lit(10000)).alias("hi"),
+        ).collect()[0]
+    else:
+        mm = both.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
     lo, hi = mm.lo, mm.hi
     h1 = _histogram(cur.filter(F.col(col).isNotNull()), col, lo, hi, bins)
     h2 = _histogram(prev.filter(F.col(col).isNotNull()), col, lo, hi, bins)

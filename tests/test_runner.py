@@ -157,3 +157,35 @@ def test_profile(spark, img_table):
     prof = runner.profile(df, rules)
     stats_seen = {(r["column"], r["stat"]) for r in prof.collect()}
     assert ("w", "null_rate") in stats_seen and ("w", "ndv") in stats_seen
+
+
+def test_runner_drift_stage(spark, img_table, tmp_path):
+    # drop the planted w-outlier rows (0 / 100001): fixed-range
+    # histograms lose all resolution when outliers stretch [lo, hi]
+    df = spark.read.parquet(img_table).filter("w BETWEEN 1 AND 1000")
+    prev = synth.images_prev_df(spark, N, drifted=True).filter(
+        "w BETWEEN 1 AND 1000"
+    )
+    rules = load_rules(
+        """
+w: {$type: $int, $drift: {test: ks, threshold: 0.01}}
+fmt: {$type: $str, $drift: {test: chi2, threshold: 0.01}}
+"""
+    )
+    out = str(tmp_path / "run_drift")
+    runner.validate(spark, df, rules, "image_id", out, prev_df=prev)
+    drift = spark.read.parquet(os.path.join(out, "drift"))
+    rows = {r["column"]: r for r in drift.collect()}
+    # images_prev shifts w by +4 and perturbs the fmt mix — both must flag
+    assert rows["w"]["test"] == "ks" and rows["w"]["drifted"]
+    assert rows["fmt"]["test"] == "chi2" and rows["fmt"]["drifted"]
+    # identical snapshot must NOT flag
+    out2 = str(tmp_path / "run_nodrift")
+    runner.validate(
+        spark, df, rules, "image_id", out2,
+        prev_df=synth.images_prev_df(spark, N, drifted=False).filter(
+            "w BETWEEN 1 AND 1000"
+        ),
+    )
+    d2 = spark.read.parquet(os.path.join(out2, "drift"))
+    assert all(not r["drifted"] for r in d2.collect())

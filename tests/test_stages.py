@@ -209,3 +209,17 @@ def test_split_valid_quarantine(spark):
     assert clean.count() + quarantined.count() == docs.count()
     # no violating key survives in clean
     assert clean.filter(~clean.lang.isin("en", "fr", "de")).count() == 0
+
+
+def test_ks_drift_clip_survives_outliers(spark):
+    from invalid_spark.checks import drift
+    from invalid_spark import synth
+
+    # tables WITH the planted w outliers (0 / 100001): min/max-range
+    # histograms go blind, quantile-clipped ones still flag the shift
+    cur = synth.images_df(spark, 300)
+    prev = synth.images_prev_df(spark, 300, drifted=True)
+    blind = drift.ks_drift(cur, prev, "w")
+    robust = drift.ks_drift(cur, prev, "w", clip=(0.05, 0.95))
+    assert not blind.drifted          # outliers hide the +4 shift
+    assert robust.drifted             # clipped histogram sees it
