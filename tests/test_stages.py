@@ -223,3 +223,43 @@ def test_ks_drift_clip_survives_outliers(spark):
     robust = drift.ks_drift(cur, prev, "w", clip=(0.05, 0.95))
     assert not blind.drifted          # outliers hide the +4 shift
     assert robust.drifted             # clipped histogram sees it
+
+
+def test_image_features_and_resize(spark):
+    from invalid_spark.pipeline import image_ops
+    from invalid_spark import synth, codecs
+    import numpy as np
+
+    df = synth.images_df(spark, 150, partitions=4)
+    feats = image_ops.image_features(df)
+    collected = feats.collect()
+    assert len(collected) == 150  # dup image_id rows both present
+    rows = {r["image_id"]: r for r in collected}
+    corrupt = {f"img-{i:012d}" for i in synth.violation_indices(150, "corrupt")}
+    for k, r in rows.items():
+        if k in corrupt and r["decode_ok"] is False:
+            continue
+        assert r["decode_ok"], k
+        assert 0.0 <= r["brightness"] <= 1.0
+        assert not r["near_constant"]  # random pixels are never flat
+    # resize: output round-trips through the codec at the target side
+    small = image_ops.resize_images(df, side=4, fmt="png")
+    got = small.limit(5).collect()
+    for r in got:
+        px = codecs.decode_image(bytes(r["bytes"]))
+        assert px.shape == (4, 4, 3)
+    assert small.count() == 150 - len(
+        [i for i in synth.violation_indices(150, "corrupt")]
+    )
+
+
+def test_pandas_dot_matches_fold(spark):
+    from invalid_spark.pipeline import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 8")
+    a = similarity.brute_topk(emb, q, k=5, impl="fold").collect()
+    b = similarity.brute_topk(emb, q, k=5, impl="pandas").collect()
+    ka = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in a}
+    kb = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in b}
+    assert ka == kb
