@@ -189,3 +189,28 @@ fmt: {$type: $str, $drift: {test: chi2, threshold: 0.01}}
     )
     d2 = spark.read.parquet(os.path.join(out2, "drift"))
     assert all(not r["drifted"] for r in d2.collect())
+
+
+def test_incremental_validation(spark, tmp_path):
+    prev = synth.images_df(spark, 150, partitions=4)
+    cur = synth.images_df(spark, 220, partitions=4)  # 70 appended rows
+    delta = runner.incremental_rows(cur, prev, "image_id")
+    # appended ids are 150..219 (minus the dup-id row which reuses an
+    # old id only if its source index < 150 — here 201 dups 200, both new)
+    got = {r["image_id"] for r in delta.select("image_id").collect()}
+    exp = {f"img-{i:012d}" for i in range(150, 220)}
+    exp -= {f"img-{i:012d}" for i in [201]}  # dup row carries id 200
+    assert got == exp
+
+    out = str(tmp_path / "inc")
+    res = runner.validate_incremental(
+        spark, cur, prev, RULES, "image_id", out,
+        dims={"licenses": synth.licenses_df(spark)},
+    )
+    v = res.violations(spark)
+    # every violation's row key is a delta row
+    keys = {r["row_key"] for r in v.select("row_key").collect()}
+    assert keys <= exp
+    # planted violations in the delta range are found
+    rw = [i for i in synth.violation_indices(220, "range_w") if i >= 150]
+    assert v.filter("error_type = 'rangeMismatch'").count() == len(rw)
