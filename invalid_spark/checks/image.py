@@ -50,6 +50,7 @@ def pixel_violations(
     psnr_min: float = 40.0,
     run_id: str = "",
     parallelism: int | None = None,
+    impl: str = "pandas",
 ) -> DataFrame:
     """Decode/PSNR/dims/phash checks over Arrow batches.
 
@@ -58,7 +59,15 @@ def pixel_violations(
     scan partition is sized for JVM throughput (128 MB ≈ thousands of
     rows), so without an explicit repartition a binary-heavy table
     bin-packs into a handful of tasks and the UDF stage serializes.
-    Granularity is worth the shuffle: set to ~2-4x total cores."""
+    Granularity is worth the shuffle: set to ~2-4x total cores.
+
+    ``impl``: ``"pandas"`` (mapInPandas, default) or ``"arrow"``
+    (mapInArrow) — identical checks and output (equivalence is
+    tested). The arrow path skips the Arrow↔pandas conversion on
+    both sides of the batch; measured even with this row shape
+    (per-row decode dominates, conversion is `.tolist()` either
+    way), it matters when the payload column is large relative to
+    the Python work."""
     cols = [row_key, bytes_col, fmt_col, w_col, h_col]
     if phash_col:
         cols.append(phash_col)
@@ -71,65 +80,102 @@ def pixel_violations(
         "message", "observed", "partition_id", "run_id",
     ]
 
-    def check_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # hot loop: zipped column lists, tuple appends — no per-row
-        # namedtuple construction or string-keyed getattr
+    def check_rows(rks, raws, fmts, sws, shs, pids, phs) -> list[tuple]:
+        # hot loop shared by both impls: zipped column lists, tuple
+        # appends — no per-row namedtuple/getattr machinery
         decode, encode = codecs.decode_image, codecs.encode_image
         lossless, psnr_fn, phash_fn = codecs.is_lossless, codecs.psnr, codecs.phash64
-        for pdf in batches:
-            out: list[tuple] = []
-            emit = out.append
-            rks = pdf[row_key].tolist()
-            raws = pdf[bytes_col].tolist()
-            fmts = pdf[fmt_col].tolist()
-            sws = pdf[w_col].tolist()
-            shs = pdf[h_col].tolist()
-            pids = pdf["pid"].tolist()
-            phs = pdf[phash_col].tolist() if phash_col else [None] * len(rks)
-            for rk, raw, fmt, sw, sh, pid, stored in zip(
-                rks, raws, fmts, sws, shs, pids, phs
-            ):
-                rk = str(rk)
-                try:
-                    px = decode(bytes(raw))
-                except codecs.DecodeError as e:
-                    emit((rk, bytes_col, bytes_col, ErrorType.DECODE_ERROR,
-                          f"bytes of [{rk}] failed to decode: {e}", None,
-                          pid, run_id))
-                    continue
+        out: list[tuple] = []
+        emit = out.append
+        for rk, raw, fmt, sw, sh, pid, stored in zip(
+            rks, raws, fmts, sws, shs, pids, phs
+        ):
+            rk = str(rk)
+            try:
+                px = decode(bytes(raw))
+            except codecs.DecodeError as e:
+                emit((rk, bytes_col, bytes_col, ErrorType.DECODE_ERROR,
+                      f"bytes of [{rk}] failed to decode: {e}", None,
+                      pid, run_id))
+                continue
 
-                dh, dw = px.shape[:2]
-                if sw is not None and int(sw) != dw or sh is not None and int(sh) != dh:
-                    emit((rk, w_col, w_col, ErrorType.TYPE_MISMATCH,
-                          f"stored dims [{sw}x{sh}] != decoded [{dw}x{dh}]",
-                          f"{sw}x{sh}", pid, run_id))
+            dh, dw = px.shape[:2]
+            if sw is not None and int(sw) != dw or sh is not None and int(sh) != dh:
+                emit((rk, w_col, w_col, ErrorType.TYPE_MISMATCH,
+                      f"stored dims [{sw}x{sh}] != decoded [{dw}x{dh}]",
+                      f"{sw}x{sh}", pid, run_id))
 
-                # pixel invariant: re-encode + decode
-                try:
-                    re_dec = decode(encode(px, fmt))
-                except (codecs.DecodeError, ValueError) as e:
+            # pixel invariant: re-encode + decode
+            try:
+                re_dec = decode(encode(px, fmt))
+            except (codecs.DecodeError, ValueError) as e:
+                emit((rk, bytes_col, bytes_col, ErrorType.PIXEL_MISMATCH,
+                      f"re-encode failed: {e}", None, pid, run_id))
+                continue
+            if lossless(fmt):
+                if not np.array_equal(px, re_dec):
                     emit((rk, bytes_col, bytes_col, ErrorType.PIXEL_MISMATCH,
-                          f"re-encode failed: {e}", None, pid, run_id))
-                    continue
-                if lossless(fmt):
-                    if not np.array_equal(px, re_dec):
-                        emit((rk, bytes_col, bytes_col, ErrorType.PIXEL_MISMATCH,
-                              "lossless round-trip not byte-exact", None,
-                              pid, run_id))
-                else:
-                    p = psnr_fn(px, re_dec)
-                    if p < psnr_min:
-                        emit((rk, bytes_col, bytes_col, ErrorType.PIXEL_MISMATCH,
-                              f"PSNR {p:.2f} dB below {psnr_min} dB",
-                              f"{p:.2f}", pid, run_id))
+                          "lossless round-trip not byte-exact", None,
+                          pid, run_id))
+            else:
+                p = psnr_fn(px, re_dec)
+                if p < psnr_min:
+                    emit((rk, bytes_col, bytes_col, ErrorType.PIXEL_MISMATCH,
+                          f"PSNR {p:.2f} dB below {psnr_min} dB",
+                          f"{p:.2f}", pid, run_id))
 
-                if stored is not None:
-                    ph = phash_fn(px)
-                    if int(stored) != ph:
-                        emit((rk, phash_col, phash_col, ErrorType.PIXEL_MISMATCH,
-                              f"stored phash != recomputed ({ph})",
-                              str(stored), pid, run_id))
-            yield pd.DataFrame(out, columns=out_cols)
+            if stored is not None:
+                ph = phash_fn(px)
+                if int(stored) != ph:
+                    emit((rk, phash_col, phash_col, ErrorType.PIXEL_MISMATCH,
+                          f"stored phash != recomputed ({ph})",
+                          str(stored), pid, run_id))
+        return out
+
+    if impl == "arrow":
+        import pyarrow as pa
+
+        def check_arrow(batches):
+            for b in batches:
+                n = b.num_rows
+                rows = check_rows(
+                    b.column(row_key).to_pylist(),
+                    b.column(bytes_col).to_pylist(),
+                    b.column(fmt_col).to_pylist(),
+                    b.column(w_col).to_pylist(),
+                    b.column(h_col).to_pylist(),
+                    b.column("pid").to_pylist(),
+                    b.column(phash_col).to_pylist() if phash_col else [None] * n,
+                )
+                cols_t = list(zip(*rows)) if rows else [[] for _ in out_cols]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(cols_t[0], pa.string()),
+                        pa.array(cols_t[1], pa.string()),
+                        pa.array(cols_t[2], pa.string()),
+                        pa.array(cols_t[3], pa.string()),
+                        pa.array(cols_t[4], pa.string()),
+                        pa.array(cols_t[5], pa.string()),
+                        pa.array(cols_t[6], pa.int32()),
+                        pa.array(cols_t[7], pa.string()),
+                    ],
+                    names=out_cols,
+                )
+
+        return pruned.mapInArrow(check_arrow, schema=_OUT_SCHEMA)
+
+    def check_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = check_rows(
+                pdf[row_key].tolist(),
+                pdf[bytes_col].tolist(),
+                pdf[fmt_col].tolist(),
+                pdf[w_col].tolist(),
+                pdf[h_col].tolist(),
+                pdf["pid"].tolist(),
+                pdf[phash_col].tolist() if phash_col else [None] * len(pdf),
+            )
+            yield pd.DataFrame(rows, columns=out_cols)
 
     return pruned.mapInPandas(check_batches, schema=_OUT_SCHEMA)
 

@@ -263,3 +263,15 @@ def test_pandas_dot_matches_fold(spark):
     ka = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in a}
     kb = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in b}
     assert ka == kb
+
+
+def test_pixel_violations_arrow_impl_identical(spark):
+    from invalid_spark.checks import image as image_checks
+    from invalid_spark import synth
+
+    img = synth.images_df(spark, 250, partitions=4)
+    cols = ["row_key", "column", "rule_id", "error_type", "message", "observed"]
+    key = lambda t: tuple("" if x is None else str(x) for x in t)
+    a = sorted(map(tuple, image_checks.pixel_violations(img).select(*cols).collect()), key=key)
+    b = sorted(map(tuple, image_checks.pixel_violations(img, impl="arrow").select(*cols).collect()), key=key)
+    assert a == b and len(a) > 0
