@@ -216,6 +216,16 @@ def q_dedup_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return p.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_decisions_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup pipeline: LSH pairs → connected components →
+    keeper per cluster. Rows-only (iterative label propagation has no
+    single-statement ANSI-SQL twin; component membership is verified
+    structurally in tests)."""
+    df = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(df, threshold=0.8)
+    return dedup.dedup_decisions(pairs).orderBy("id")
+
+
 def q_dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "documents")
     return dedup.simhash(df, bits=32).withColumnRenamed("id", "doc_id")
@@ -418,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_lsh_documents": q_dedup_minhash_lsh_documents,
+        "dedup_decisions_documents": q_dedup_decisions_documents,
         "dedup_simhash_documents": q_dedup_simhash_documents,
         "rowcheck_dynamic_events": q_rowcheck_dynamic_events,
         "emb_neardup_cosine": q_emb_neardup_cosine,

@@ -368,6 +368,74 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# clusters: pairs → connected components → keeper per component
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs (a, b) →
+    (id, cluster_id) with ``cluster_id`` = min id in the component.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds. Near-dup components are tiny chains
+    (diameter ≲ 5 in practice) and the edge set is the LSH output —
+    orders of magnitude smaller than the corpus — so each round is a
+    small self-join, not a corpus-scale shuffle. The driver loop only
+    checks a convergence count per round.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("x").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(labels, edges.y == labels.id)
+            .groupBy("x")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.id == neigh_min.x, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_decisions(pairs: DataFrame) -> DataFrame:
+    """(id, cluster_id, keep): keeper = min id per component, every
+    other member marked for drop — the final output a dedup pipeline
+    feeds to the filter stage."""
+    labels = dup_clusters(pairs)
+    return labels.select(
+        "id", "cluster_id", (F.col("id") == F.col("cluster_id")).alias("keep")
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup
 
 def embedding_neardup(

@@ -275,3 +275,35 @@ def test_pixel_violations_arrow_impl_identical(spark):
     a = sorted(map(tuple, image_checks.pixel_violations(img).select(*cols).collect()), key=key)
     b = sorted(map(tuple, image_checks.pixel_violations(img, impl="arrow").select(*cols).collect()), key=key)
     assert a == b and len(a) > 0
+
+
+def test_dup_clusters_connected_components(spark):
+    from invalid_spark.pipeline import dedup
+
+    # two components: {1,2,3,4} (chain) and {10,11}; singleton 99 absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    dec = {r["id"]: r["keep"] for r in dedup.dedup_decisions(pairs).collect()}
+    assert dec == {1: True, 2: False, 3: False, 4: False, 10: True, 11: False}
+
+
+def test_dup_clusters_on_real_lsh_pairs(spark):
+    from invalid_spark.pipeline import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = dedup.minhash_lsh_dedup(docs, 0.8)
+    dec = dedup.dedup_decisions(pairs)
+    n_pairs = pairs.count()
+    members = dec.count()
+    keepers = dec.filter("keep").count()
+    # every clustered doc appears once; drops = members - components
+    assert members >= keepers > 0
+    assert dec.groupBy("id").count().filter("count > 1").count() == 0
+    # each component keeps exactly one
+    per = dec.groupBy("cluster_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("k")
+    )
+    assert per.filter("k <> 1").count() == 0
