@@ -307,3 +307,37 @@ def test_dup_clusters_on_real_lsh_pairs(spark):
         F.sum(F.col("keep").cast("int")).alias("k")
     )
     assert per.filter("k <> 1").count() == 0
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Bucketing co-locates the caption-eq reference join: both sides
+    bucketed+sorted on the key → SortMergeJoin with ZERO Exchange
+    (vs 2 exchanges over plain parquet)."""
+    import contextlib
+    import io
+
+    from invalid_spark import synth
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        img = synth.images_df(spark, 500, partitions=4).drop("bytes")
+        ref = img.select("image_id", "caption")
+        img.write.mode("overwrite").bucketBy(4, "image_id").sortBy(
+            "image_id"
+        ).saveAsTable("t_img_b")
+        ref.write.mode("overwrite").bucketBy(4, "image_id").sortBy(
+            "image_id"
+        ).saveAsTable("t_ref_b")
+        j = spark.table("t_img_b").join(
+            spark.table("t_ref_b").withColumnRenamed("caption", "rc"), "image_id"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        txt = buf.getvalue()
+        assert "SortMergeJoin" in txt and "Exchange" not in txt
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_img_b")
+        spark.sql("DROP TABLE IF EXISTS t_ref_b")
