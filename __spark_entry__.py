@@ -592,15 +592,18 @@ WITH b AS (
          sum(is_cur) AS c_cur, sum(1 - is_cur) AS c_prev
   FROM b, mm GROUP BY 1
 ), cdf AS (
-  SELECT CAST(sum(c_cur) OVER (ORDER BY bucket) AS DOUBLE)
-           / CAST(sum(c_cur) OVER () AS DOUBLE) AS cdf_cur,
-         CAST(sum(c_prev) OVER (ORDER BY bucket) AS DOUBLE)
-           / CAST(sum(c_prev) OVER () AS DOUBLE) AS cdf_prev,
+  -- exact-rational: cross-multiplied integer numerator, one final
+  -- division (mirrors drift.ks_statistic_df)
+  SELECT abs(sum(c_cur) OVER (ORDER BY bucket) * sum(c_prev) OVER ()
+             - sum(c_prev) OVER (ORDER BY bucket) * sum(c_cur) OVER ())
+           AS num,
          sum(c_cur) OVER () AS n_cur, sum(c_prev) OVER () AS n_prior
   FROM hist
 )
 SELECT 'value' AS column_name,
-       round(max(abs(cdf_cur - cdf_prev)), 6) AS statistic,
+       round(CAST(max(num) AS DOUBLE)
+             / CAST(any_value(n_cur) * any_value(n_prior) AS DOUBLE),
+             6) AS statistic,
        any_value(n_cur) AS n_cur, any_value(n_prior) AS n_prior
 FROM cdf
 """
@@ -617,16 +620,21 @@ WITH b AS (
 ), t AS (
   SELECT cat, o1, o2, sum(o1) OVER () AS n, sum(o2) OVER () AS m FROM tab
 ), terms AS (
+  -- exact-form terms d^2/r with d = o1*m - o2*n (int cross-product),
+  -- summed by a strict left fold in category order so float
+  -- accumulation is canonical (mirrors drift.chi2_statistic_df)
   SELECT cat, n, m,
-    (CASE WHEN (o1+o2)*n/(n+m) > 0
-          THEN (o1 - (o1+o2)*n/(n+m)) * (o1 - (o1+o2)*n/(n+m)) / ((o1+o2)*n/(n+m))
-          ELSE 0.0 END)
-    + (CASE WHEN (o1+o2)*m/(n+m) > 0
-          THEN (o2 - (o1+o2)*m/(n+m)) * (o2 - (o1+o2)*m/(n+m)) / ((o1+o2)*m/(n+m))
-          ELSE 0.0 END) AS term
+         CASE WHEN o1 + o2 > 0
+              THEN CAST(o1*m - o2*n AS DOUBLE) * CAST(o1*m - o2*n AS DOUBLE)
+                   / CAST(o1 + o2 AS DOUBLE)
+              ELSE 0.0 END AS term
   FROM t
 )
-SELECT 'event_type' AS column_name, round(sum(term), 6) AS statistic,
+SELECT 'event_type' AS column_name,
+       round(list_reduce(list_prepend(0.0, list(term ORDER BY cat NULLS FIRST)),
+                         (a, b) -> a + b)
+             / (CAST(any_value(n) AS DOUBLE) * CAST(any_value(m) AS DOUBLE)),
+             6) AS statistic,
        greatest(count(*) - 1, 1) AS dof,
        any_value(n) AS n_cur, any_value(m) AS n_prior
 FROM terms

@@ -1,14 +1,14 @@
 """Distribution-drift checks across snapshots (SURVEY.md §2.3).
 
-Numeric columns: fixed-width histograms built with a bucketed
-``groupBy().count()`` per snapshot (one aggregation each, partial
-combine applies), KS statistic on the binned CDFs computed driver-side
-over ≤``bins`` numbers. Categorical columns: value counts per
-snapshot, chi-square on the contingency table. p-values from
-:mod:`invalid_spark.mathutil` (no scipy).
-
-Only histograms cross to the driver — never rows — so the stage costs
-two scans + two tiny shuffles regardless of table size.
+Numeric columns: fixed-width histograms built with one union-tagged
+bucketed aggregation (partial combine applies), KS statistic computed
+as an exact integer cross-product over the ≤``bins``-row histogram —
+fully distributed, bit-reproducible in any SQL engine. Categorical
+columns: one contingency aggregation, chi-square in exact form
+(``d²/r`` terms, category-ordered fold). Only the one-row statistic
+frame crosses to the driver, where p-values come from
+:mod:`invalid_spark.mathutil` (no scipy) — the stage costs 1-2 scans
+and one tiny shuffle regardless of table size.
 """
 
 from __future__ import annotations
@@ -33,32 +33,12 @@ class DriftResult:
     n_prior: int
 
 
-def _histogram(df: DataFrame, col: str, lo: float, hi: float, bins: int):
-    width = (hi - lo) / bins or 1.0
-    b = (
-        F.least(
-            F.lit(bins - 1),
-            F.greatest(F.lit(0), F.floor((F.col(col) - F.lit(lo)) / F.lit(width))),
-        )
-    ).alias("bucket")
-    rows = (
-        df.filter(F.col(col).isNotNull())
-        .select(b)
-        .groupBy("bucket")
-        .count()
-        .collect()
-    )
-    counts = [0] * bins
-    for r in rows:
-        counts[int(r.bucket)] = r["count"]
-    return counts
-
-
 def ks_statistic_df(
     cur: DataFrame,
     prev: DataFrame,
     col: str,
     bins: int = 256,
+    clip: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Fully-distributed KS statistic: one row
     (column, statistic, n_cur, n_prior).
@@ -73,7 +53,18 @@ def ks_statistic_df(
     both = cur.select(F.col(col).cast("double").alias("v"), F.lit(1).alias("is_cur")).unionByName(
         prev.select(F.col(col).cast("double").alias("v"), F.lit(0).alias("is_cur"))
     ).filter(F.col("v").isNotNull())
-    mm = both.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    if clip is not None:
+        # quantile-bounded range: outliers (exactly what a validation
+        # run encounters) otherwise stretch the histogram until every
+        # real value lands in one bucket; clamped edge buckets catch
+        # the clipped tails
+        qlo, qhi = clip
+        mm = both.agg(
+            F.percentile_approx("v", F.lit(qlo), F.lit(10000)).alias("lo"),
+            F.percentile_approx("v", F.lit(qhi), F.lit(10000)).alias("hi"),
+        ).collect()[0]
+    else:
+        mm = both.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
     lo, hi = mm.lo, mm.hi
     width = (hi - lo) / bins or 1.0
     bucket = F.least(
@@ -88,16 +79,29 @@ def ks_statistic_df(
 
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # Exact-rational statistic: D = max|cdf_cur - cdf_prev|
+    #   = max|cum_cur*n_prior - cum_prev*n_cur| / (n_cur*n_prior).
+    # The cross-products stay in int64 (exact up to ~3e9 rows per
+    # side; beyond that switch the casts to decimal(38,0)), the max is
+    # order-independent, and the single final division makes the value
+    # bit-identical in any SQL engine — no per-bucket float division
+    # whose rounding could land on either side of round(x, 6).
     cdfs = hist.select(
         "bucket",
-        (F.sum("c_cur").over(w).cast("double") / F.sum("c_cur").over(tot).cast("double")).alias("cdf_cur"),
-        (F.sum("c_prev").over(w).cast("double") / F.sum("c_prev").over(tot).cast("double")).alias("cdf_prev"),
+        F.sum("c_cur").over(w).alias("cum_cur"),
+        F.sum("c_prev").over(w).alias("cum_prev"),
         F.sum("c_cur").over(tot).alias("n_cur"),
         F.sum("c_prev").over(tot).alias("n_prior"),
     )
-    return cdfs.groupBy().agg(
+    num = F.abs(
+        F.col("cum_cur") * F.col("n_prior") - F.col("cum_prev") * F.col("n_cur")
+    )
+    return cdfs.select(num.alias("num"), "n_cur", "n_prior").groupBy().agg(
         F.first(F.lit(col)).alias("column_name"),
-        F.max(F.abs(F.col("cdf_cur") - F.col("cdf_prev"))).alias("statistic"),
+        (
+            F.max("num").cast("double")
+            / (F.first("n_cur") * F.first("n_prior")).cast("double")
+        ).alias("statistic"),
         F.first("n_cur").alias("n_cur"),
         F.first("n_prior").alias("n_prior"),
     )
@@ -128,15 +132,33 @@ def chi2_statistic_df(
         F.sum("o1").over(tot).alias("n"),
         F.sum("o2").over(tot).alias("m"),
     )
-    e1 = (F.col("o1") + F.col("o2")) * F.col("n") / (F.col("n") + F.col("m"))
-    e2 = (F.col("o1") + F.col("o2")) * F.col("m") / (F.col("n") + F.col("m"))
-    term = (
-        F.when(e1 > 0, (F.col("o1") - e1) * (F.col("o1") - e1) / e1).otherwise(0.0)
-        + F.when(e2 > 0, (F.col("o2") - e2) * (F.col("o2") - e2) / e2).otherwise(0.0)
+    # Exact-form statistic. With d = o1*m - o2*n and r = o1 + o2 the
+    # textbook (o-e)^2/e homogeneity terms collapse algebraically to
+    #   term = d^2 / r,  statistic = (sum of terms) / (n*m)
+    # (both expected-count branches share the same integer numerator
+    # d^2). d is computed as an int64 cross-product, so each term is
+    # one exact division; the sum is a strict left fold over the
+    # category-sorted list (F.aggregate ≙ DuckDB list_reduce), which
+    # makes float accumulation order canonical across engines. The
+    # category list is histogram-sized — it never holds rows.
+    d = (F.col("o1") * F.col("m") - F.col("o2") * F.col("n")).cast("double")
+    r = (F.col("o1") + F.col("o2")).cast("double")
+    term = F.when(r > 0, d * d / r).otherwise(F.lit(0.0))
+    terms = t.select("cat", term.alias("term"), "n", "m")
+    folded = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("cat", "term"))),
+            lambda x: x["term"],
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
     )
-    return t.select("cat", term.alias("term"), "n", "m").groupBy().agg(
+    return terms.groupBy().agg(
         F.first(F.lit(col)).alias("column_name"),
-        F.sum("term").alias("statistic"),
+        (
+            folded
+            / (F.first("n").cast("double") * F.first("m").cast("double"))
+        ).alias("statistic"),
         F.greatest(F.count(F.lit(1)) - 1, F.lit(1)).alias("dof"),
         F.first("n").alias("n_cur"),
         F.first("m").alias("n_prior"),
@@ -154,33 +176,15 @@ def ks_drift(
     """Two-sample KS over binned CDFs. ``threshold`` is the p-value
     below which drift is flagged.
 
+    Thin wrapper over the fully-distributed :func:`ks_statistic_df`
+    (one union-tagged scan for the range + one for the histogram —
+    never a per-side re-scan); only the one-row statistic frame
+    crosses to the driver, where the p-value is computed.
+
     ``clip=(0.01, 0.99)`` bounds the histogram range by quantiles
-    instead of min/max: on dirty data a handful of outliers (exactly
-    what a validation run encounters) would otherwise stretch the
-    range until every real value lands in one bucket and the test
-    goes blind. Clamped edge buckets catch the clipped tails."""
-    both = cur.select(F.col(col).cast("double").alias("v")).unionByName(
-        prev.select(F.col(col).cast("double").alias("v"))
-    )
-    if clip is not None:
-        qlo, qhi = clip
-        mm = both.agg(
-            F.percentile_approx("v", F.lit(qlo), F.lit(10000)).alias("lo"),
-            F.percentile_approx("v", F.lit(qhi), F.lit(10000)).alias("hi"),
-        ).collect()[0]
-    else:
-        mm = both.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
-    lo, hi = mm.lo, mm.hi
-    h1 = _histogram(cur.filter(F.col(col).isNotNull()), col, lo, hi, bins)
-    h2 = _histogram(prev.filter(F.col(col).isNotNull()), col, lo, hi, bins)
-    n, m = sum(h1), sum(h2)
-    cdf1, cdf2, a, b2 = [], [], 0.0, 0.0
-    for x, y in zip(h1, h2):
-        a += x / n if n else 0.0
-        b2 += y / m if m else 0.0
-        cdf1.append(a)
-        cdf2.append(b2)
-    d = mathutil.ks_statistic(cdf1, cdf2)
+    instead of min/max — see :func:`ks_statistic_df`."""
+    row = ks_statistic_df(cur, prev, col, bins=bins, clip=clip).collect()[0]
+    d, n, m = float(row.statistic), int(row.n_cur), int(row.n_prior)
     p = mathutil.ks_pvalue(d, n, m)
     return DriftResult(col, "ks", d, p, p < threshold, threshold, n, m)
 
@@ -188,21 +192,14 @@ def ks_drift(
 def chi2_drift(
     cur: DataFrame, prev: DataFrame, col: str, threshold: float = 0.01
 ) -> DriftResult:
-    """Chi-square homogeneity test on categorical value counts."""
-    c1 = {r[col]: r["count"] for r in cur.groupBy(col).count().collect()}
-    c2 = {r[col]: r["count"] for r in prev.groupBy(col).count().collect()}
-    cats = sorted(set(c1) | set(c2), key=str)
-    n, m = sum(c1.values()), sum(c2.values())
-    total = n + m
-    stat = 0.0
-    for cat in cats:
-        o1, o2 = c1.get(cat, 0), c2.get(cat, 0)
-        e1 = (o1 + o2) * n / total
-        e2 = (o1 + o2) * m / total
-        if e1 > 0:
-            stat += (o1 - e1) ** 2 / e1
-        if e2 > 0:
-            stat += (o2 - e2) ** 2 / e2
-    dof = max(len(cats) - 1, 1)
+    """Chi-square homogeneity test on categorical value counts.
+
+    Thin wrapper over the fully-distributed
+    :func:`chi2_statistic_df` (one union-tagged scan, partial
+    combine); the driver only computes the p-value from the one-row
+    statistic frame."""
+    row = chi2_statistic_df(cur, prev, col).collect()[0]
+    stat, dof = float(row.statistic), int(row.dof)
+    n, m = int(row.n_cur), int(row.n_prior)
     p = mathutil.chi2_pvalue(stat, dof)
     return DriftResult(col, "chi2", stat, p, p < threshold, threshold, n, m)
