@@ -217,10 +217,10 @@ def q_dedup_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def q_dedup_decisions_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End of the dedup pipeline: LSH pairs → connected components →
-    keeper per cluster. Rows-only (iterative label propagation has no
-    single-statement ANSI-SQL twin; component membership is verified
-    structurally in tests)."""
+    """End of the dedup pipeline: LSH pairs → connected components
+    (distributed pointer-jumping min-label propagation) → keeper per
+    cluster. Oracle: DuckDB ``WITH RECURSIVE`` min-label reachability
+    over the same SQL-replayed pair set."""
     df = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_dedup(df, threshold=0.8)
     return dedup.dedup_decisions(pairs).orderBy("id")
@@ -374,21 +374,25 @@ def q_vector_check_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _viol(out)
 
 
-def q_caption_eq_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_caption_eq_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption byte-equality invariant (input_hint): current table vs
     a reference snapshot whose captions were perturbed on a
-    deterministic subset. Pure DataFrame algebra (join + binary
-    compare), no UDF. Rows-only: captions come from the seeded
-    synthetic generator."""
-    from invalid_spark import synth
+    deterministic subset (doc_id % 7 == 6 → suffix appended). Pure
+    DataFrame algebra (join + binary compare), no UDF — both engines
+    derive the perturbation from the documents table, so the oracle
+    is a full value check. The synthetic image+caption variant of the
+    same operator is pytest-golden-covered (tests/test_stages.py)."""
     from invalid_spark.checks import image as image_checks
 
-    df = synth.images_df(spark, 300, partitions=4).select("image_id", "caption")
-    idx = F.substring("image_id", 5, 12).cast("long")
+    df = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("image_id"), F.col("text").alias("caption")
+    )
     ref = df.withColumn(
         "caption",
-        F.when(idx % 7 == 6, F.concat(F.col("caption"), F.lit(" [edited]")))
-        .otherwise(F.col("caption")),
+        F.when(
+            F.col("image_id") % 7 == 6,
+            F.concat(F.col("caption"), F.lit(" [edited]")),
+        ).otherwise(F.col("caption")),
     )
     v = image_checks.caption_violations(df, ref, key="image_id", col="caption")
     return _viol(v).orderBy("row_key")
@@ -396,14 +400,33 @@ def q_caption_eq_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_unique_phash_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted uniqueness under a planted hot key (~10% of rows share
-    one phash): the two-stage aggregate spreads the hot key across
-    salt buckets so no single reducer sees it whole. Rows-only
-    (synthetic input); returns per-key duplicate counts."""
-    from invalid_spark import synth
-
-    df = synth.images_df(spark, 2000, partitions=8, skew=True)
+    one derived phash): the two-stage aggregate spreads the hot key
+    across salt buckets so no single reducer sees it whole. The
+    skewed key derives from the events table (event_id % 10 == 0 →
+    one shared value), so the DuckDB oracle replays the full value
+    check; the synthetic-image skew variant stays pytest-covered."""
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        F.when(F.col("event_id") % 10 == 0, F.lit(0))
+        .otherwise(F.col("event_id"))
+        .cast("long")
+        .alias("phash")
+    )
     d = unique.duplicate_keys(df, "phash", salt_buckets=64)
     return d.select(F.col("k").alias("phash"), "cnt").orderBy("phash")
+
+
+def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-shaped embedding near-dup: hyperplane-LSH bucket join +
+    in-bucket exact-cosine verification — never all-pairs (tests
+    assert no cartesian product in the plan). Hyperplanes are
+    md5-derived, so the oracle replays bucketing AND verification;
+    recall vs the exact all-pairs result is asserted in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    p = dedup.embedding_neardup_lsh(
+        emb, threshold=0.3, planes=8, probe_hamming=1
+    )
+    return p.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -432,12 +455,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_documents": q_dedup_simhash_documents,
         "rowcheck_dynamic_events": q_rowcheck_dynamic_events,
         "emb_neardup_cosine": q_emb_neardup_cosine,
+        "emb_neardup_lsh": q_emb_neardup_lsh,
         "ann_brute_topk_embeddings": q_ann_brute_topk_embeddings,
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
         "ann_ivf_embeddings": q_ann_ivf_embeddings,
         "tdigest_quantiles_lineitem": q_tdigest_quantiles_lineitem,
         "image_validate_synth": q_image_validate_synth,
-        "caption_eq_synth": q_caption_eq_synth,
+        "caption_eq_documents": q_caption_eq_documents,
         "unique_phash_skew": q_unique_phash_skew,
         "rowcheck_json_events": q_rowcheck_json_events,
         "violation_samples_orders": q_violation_samples_orders,
@@ -780,7 +804,10 @@ WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.8
 """
 
 
-def _sql_dedup_minhash_lsh() -> str:
+def _sql_minhash_pairs_ctes() -> str:
+    """Shared CTE chain ending in ``pairs(a, b, jaccard)`` — the
+    MinHash+LSH near-dup pipeline (threshold 0.8) replayed in SQL;
+    reused by the minhash entry and the cluster-decisions oracle."""
     p = dedup.MINHASH_P
     sig_cols = ", ".join(
         f"min((h1 + {j} * h2) % {p}) AS s{j}" for j in range(16)
@@ -792,8 +819,7 @@ def _sql_dedup_minhash_lsh() -> str:
         f" AS band_hash FROM sig"
         for b in range(4)
     )
-    return f"""
-WITH {_SQL_SHINGLE_CTE},
+    return f"""{_SQL_SHINGLE_CTE},
 ex AS (
   SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0
 ),
@@ -818,12 +844,41 @@ ver AS (
   SELECT a, b, len(list_intersect(sa.s, sb.s)) AS common,
          len(sa.s) AS na, len(sb.s) AS nb
   FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+),
+pairs AS (
+  SELECT a, b,
+         CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
+  FROM ver
+  WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.8
+)"""
+
+
+def _sql_dedup_minhash_lsh() -> str:
+    return f"""
+WITH {_sql_minhash_pairs_ctes()}
+SELECT a, b, round(jaccard, 6) AS jaccard FROM pairs
+"""
+
+
+def _sql_dedup_decisions() -> str:
+    # connected components as recursive min-label reachability: a
+    # node's cluster_id is the smallest id it can reach over the
+    # (bidirected) near-dup edges — exactly what the distributed
+    # pointer-jumping propagation in dedup.dup_clusters converges to
+    return f"""
+WITH RECURSIVE {_sql_minhash_pairs_ctes()},
+edges AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION
+  SELECT b AS u, a AS v FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
 )
-SELECT a, b,
-       round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6)
-         AS jaccard
-FROM ver
-WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.8
+SELECT id, min(lbl) AS cluster_id, id = min(lbl) AS keep
+FROM reach GROUP BY id
 """
 
 
@@ -902,6 +957,69 @@ WITH nv AS (
   FROM un x JOIN un y ON x.vec_id < y.vec_id
 )
 SELECT a, b, round(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.3
+"""
+
+
+def _sql_emb_neardup_lsh() -> str:
+    pls = dedup.neardup_planes(64, 8)
+    code_terms = []
+    for p, plane in enumerate(pls):
+        lits = ", ".join(repr(x) for x in plane)
+        dotp = (
+            f"list_reduce(list_transform(range(64), "
+            f"i -> nv[i+1] * [{lits}][i+1]), (a, b) -> a + b)"
+        )
+        code_terms.append(f"(CASE WHEN {dotp} >= 0 THEN {1 << p} ELSE 0 END)")
+    code_expr = "\n    + ".join(code_terms)
+    probe_selects = "SELECT vec_id, code FROM codes" + "".join(
+        f"\n  UNION ALL SELECT vec_id, xor(code, {1 << p}) FROM codes"
+        for p in range(8)
+    )
+    return f"""
+WITH nv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), un AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_reduce(
+           list_transform(v, y -> y * y), (a, b) -> a + b))) AS nv
+  FROM nv
+  WHERE sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b)) > 0
+), codes AS (
+  SELECT vec_id, {code_expr} AS code
+  FROM un
+), probes AS (
+  {probe_selects}
+), cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM probes x JOIN codes y ON x.code = y.code AND x.vec_id < y.vec_id
+), ver AS (
+  SELECT a, b,
+         list_reduce(list_transform(range(len(ua.nv)),
+           i -> ua.nv[i+1] * ub.nv[i+1]), (p, q) -> p + q) AS cosine
+  FROM cand JOIN un ua ON ua.vec_id = a JOIN un ub ON ub.vec_id = b
+)
+SELECT a, b, round(cosine, 6) AS cosine FROM ver WHERE cosine >= 0.3
+"""
+
+
+def _sql_caption_eq_documents() -> str:
+    return """
+SELECT CAST(doc_id AS VARCHAR) AS row_key, 'caption' AS col_name,
+       'caption' AS rule_id, 'captionMismatch' AS error_type,
+       'value of [caption] must byte-equal the reference' AS message,
+       text AS observed
+FROM documents
+WHERE doc_id % 7 = 6 AND text IS NOT NULL
+"""
+
+
+def _sql_unique_phash_skew() -> str:
+    return """
+SELECT phash, count(*) AS cnt FROM (
+  SELECT CASE WHEN event_id % 10 = 0 THEN 0 ELSE event_id END AS phash
+  FROM events
+) GROUP BY phash HAVING count(*) > 1
 """
 
 
@@ -1006,14 +1124,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": _sql_dedup_exact(),
         "dedup_jaccard_documents": _sql_dedup_jaccard(),
         "dedup_minhash_lsh_documents": _sql_dedup_minhash_lsh(),
+        "dedup_decisions_documents": _sql_dedup_decisions(),
         "dedup_simhash_documents": _sql_dedup_simhash(),
         "rowcheck_dynamic_events": _sql_rowcheck_dynamic_events(),
         "rowcheck_json_events": _sql_rowcheck_json_events(),
         "violation_samples_orders": _sql_violation_samples_orders(),
         "vector_check_embeddings": _sql_vector_check_embeddings(),
         "emb_neardup_cosine": _sql_emb_neardup(),
+        "emb_neardup_lsh": _sql_emb_neardup_lsh(),
+        "caption_eq_documents": _sql_caption_eq_documents(),
+        "unique_phash_skew": _sql_unique_phash_skew(),
         "ann_brute_topk_embeddings": _sql_ann_brute_topk(),
-        # ann_lsh_embeddings: seeded numpy hyperplanes — rows-only
+        # ann_lsh_embeddings / ann_ivf_embeddings: seeded numpy
+        #   hyperplanes / codebook — rows-only
         # tdigest_quantiles_lineitem: sketch, not SQL-exact — rows-only
         # image_validate_synth: Arrow-UDF image decode — rows-only
+        # streaming lifecycle oracle above replays the checks in SQL
     }

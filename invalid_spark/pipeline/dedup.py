@@ -186,10 +186,14 @@ def minhash_signatures(
     (map-side) combine reduces each partition to one row per doc
     before the shuffle; no nested lambda re-evaluation."""
     ex = shingle_terms(df, n, text_col, key_col, distinct=False)
-    h = ex.select(
+    # md5 materialized in its own projection: CollapseProject won't
+    # inline a non-cheap expression into both substring uses, so the
+    # digest is computed once per shingle, not twice
+    hx = ex.select("id", F.md5("g").alias("hx"))
+    h = hx.select(
         "id",
-        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(F.md5("g"), 9, 8), 16, 10).cast("long").alias("h2"),
+        F.conv(F.substring("hx", 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("hx", 9, 8), 16, 10).cast("long").alias("h2"),
     )
     aggs = [
         F.min((F.col("h1") + j * F.col("h2")) % MINHASH_P).alias(f"s{j}")
@@ -374,13 +378,20 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components over near-dup pairs (a, b) →
     (id, cluster_id) with ``cluster_id`` = min id in the component.
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(component diameter) rounds. Near-dup components are tiny chains
-    (diameter ≲ 5 in practice) and the edge set is the LSH output —
-    orders of magnitude smaller than the corpus — so each round is a
-    small self-join, not a corpus-scale shuffle. The driver loop only
-    checks a convergence count per round.
+    Min-label propagation with pointer jumping: each round every node
+    adopts the smallest label among (itself, its neighbors, its
+    label's label). The pointer-jump step halves remaining path
+    lengths, so convergence is O(log diameter) — a pathological
+    10^6-node chain component finishes in ~20 rounds instead of 10^6.
+    The edge set is the LSH output — orders of magnitude smaller than
+    the corpus — so each round is a small self-join, not a
+    corpus-scale shuffle.
+
+    Every round's labels are ``localCheckpoint``-ed (eager): the
+    logical plan is truncated to the materialized RDD, so plan depth
+    stays O(1) instead of nesting ``max_iters`` joins and blowing up
+    the optimizer on big components. Convergence is probed with a
+    single aggregate count on the label diff.
     """
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
@@ -392,7 +403,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         edges.select(F.col("x").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         neigh_min = (
@@ -400,24 +411,34 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy("x")
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neigh_min, labels.id == neigh_min.x, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .persist()
+        stepped = labels.join(
+            neigh_min, labels.id == neigh_min.x, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
+            ).alias("cluster_id"),
         )
+        # pointer jump: label ← label(label) — every cluster_id is a
+        # node id in the same component, so the lookup is a self-join
+        hop = stepped.select(
+            F.col("id").alias("pid"), F.col("cluster_id").alias("plabel")
+        )
+        jumped = stepped.join(
+            hop, stepped.cluster_id == hop.pid, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("plabel", F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -457,3 +478,83 @@ def embedding_neardup(
     return pairs.select("a", "b", dot(F.col("va"), F.col("vb")).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def neardup_planes(dim: int, planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes derived from md5 — no
+    RNG state, so any engine (or the DuckDB oracle) can re-derive the
+    identical index. Component (p, i) is md5("hp-p-i")'s first 32
+    bits mapped to [-1, 1)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"hp-{p}-{i}".encode()).hexdigest()[:8], 16)
+            / 2147483648.0
+            - 1.0
+            for i in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 8,
+    probe_hamming: int = 1,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Scale-shaped embedding near-dup: (a, b, cosine) with cosine ≥
+    threshold, found via random-hyperplane LSH buckets instead of the
+    quadratic all-pairs join.
+
+    Plan shape (the 100 TB route): one projection computes each
+    vector's sign-pattern bucket code; candidates are an EQUI-join on
+    the code (side A exploded to its own code plus every code within
+    Hamming distance ``probe_hamming`` — multi-probe recall boost);
+    only candidate pairs get the exact cosine verification, via two
+    key-joins against the normalized vectors. No cartesian product
+    anywhere — tests assert the plan. Recall < 1 by construction
+    (pairs whose codes differ in > probe_hamming bits are missed);
+    :func:`embedding_neardup` is the exact small-corpus oracle.
+
+    Hyperplanes come from :func:`neardup_planes` (md5-derived), so
+    the whole pipeline — bucketing included — is reproducible in the
+    DuckDB oracle; the sign tests and the cosine use the same strict
+    left-fold dot product as :mod:`similarity`.
+    """
+    from invalid_spark.pipeline.similarity import dot, with_norm
+
+    dim = len(df.select(vec_col).first()[0])
+    pls = neardup_planes(dim, planes)
+    v = with_norm(df, vec_col, key_col)
+    code = F.lit(0)
+    for p, plane in enumerate(pls):
+        pl = F.array(*[F.lit(x) for x in plane])
+        code = code + F.when(
+            dot(F.col("nv"), pl) >= 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
+    coded = v.select("id", code.alias("code"))
+    probes = [F.col("code")]
+    if probe_hamming >= 1:
+        probes += [
+            F.col("code").bitwiseXOR(F.lit(1 << p)) for p in range(planes)
+        ]
+    a = coded.select(
+        F.col("id").alias("a"), F.explode(F.array(*probes)).alias("code")
+    )
+    b = coded.select(F.col("id").alias("b"), "code")
+    cand = (
+        a.join(b, "code")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    av = v.select(F.col("id").alias("a"), F.col("nv").alias("va"))
+    bv = v.select(F.col("id").alias("b"), F.col("nv").alias("vb"))
+    verified = cand.join(av, "a").join(bv, "b")
+    return verified.select(
+        "a", "b", dot(F.col("va"), F.col("vb")).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

@@ -290,6 +290,58 @@ def test_dup_clusters_connected_components(spark):
     assert dec == {1: True, 2: False, 3: False, 4: False, 10: True, 11: False}
 
 
+def test_dup_clusters_chain_converges_with_bounded_plan(spark):
+    """Worst-case diameter: a 100-node chain is one component. Plain
+    min-label propagation would need ~100 rounds; pointer jumping
+    must converge within the default max_iters=20, and per-round
+    localCheckpoint must keep the result's plan truncated (no
+    20-joins-deep lineage)."""
+    from invalid_spark.pipeline import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "a long, b long"
+    )
+    labels = dedup.dup_clusters(pairs)  # default max_iters
+    got = {r["id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(101)}
+    # lineage bounded: the returned frame's plan is the checkpointed
+    # RDD scan, not the nested iteration history
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan
+
+
+def test_emb_neardup_lsh_no_cartesian_and_recall(spark):
+    """The LSH near-dup path must (a) never produce a cartesian
+    product (the all-pairs scale-killer it replaces), (b) return a
+    subset of the exact all-pairs result (precision 1.0 — candidates
+    are verified with the same cosine), and (c) recover most
+    high-cosine planted near-dups."""
+    from invalid_spark.pipeline import dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # plant near-identical twins: tiny deterministic perturbation
+    twins = emb.filter("vec_id < 40").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + (F.lit(1) / (F.lit(2000) + F.col("vec_id")))
+        ).alias("embedding"),
+    )
+    df = emb.unionByName(twins)
+    approx = dedup.embedding_neardup_lsh(df, threshold=0.9, planes=8)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    exact = dedup.embedding_neardup(df, threshold=0.9)
+    a = {(r["a"], r["b"]) for r in approx.collect()}
+    e = {(r["a"], r["b"]) for r in exact.collect()}
+    assert a <= e, "LSH returned a pair the exact check rejects"
+    planted = {(v, v + 100000) for v in range(40)} & e
+    assert planted, "fixture produced no verifiable planted pairs"
+    recall = len(a & planted) / len(planted)
+    assert recall >= 0.6, f"planted-near-dup recall too low: {recall}"
+
+
 def test_dup_clusters_on_real_lsh_pairs(spark):
     from invalid_spark.pipeline import dedup
 
