@@ -537,8 +537,11 @@ def _sql_verdicts_documents_source() -> str:
     return f"""
 WITH v AS (SELECT row_key FROM ({_sql_rowcheck_documents()})),
 keyed AS (SELECT CAST(doc_id AS VARCHAR) AS row_key, source FROM documents),
+-- one mapping row per key (mirrors report.group_verdicts key_map):
+-- duplicated keys must not fan out the violations join
+key_map AS (SELECT row_key, min(source) AS source FROM keyed GROUP BY row_key),
 vp AS (SELECT source, count(*) AS n_violations
-       FROM v JOIN keyed USING (row_key) GROUP BY source)
+       FROM v JOIN key_map USING (row_key) GROUP BY source)
 SELECT d.source, count(*) AS n_rows,
        COALESCE(any_value(vp.n_violations), 0) AS n_violations,
        COALESCE(any_value(vp.n_violations), 0) = 0 AS passed

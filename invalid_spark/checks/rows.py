@@ -580,6 +580,7 @@ def run_row_checks(
     run_id: str = "",
     plan: RowCheckPlan | None = None,
     parallelism: int | None = None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Evaluate all row-local checks in one projection → violations DF
     (schema :data:`invalid_spark.model.VIOLATION_SCHEMA`).
@@ -598,7 +599,13 @@ def run_row_checks(
     fan the CPU work across the cluster is cheap. Source partition
     lineage is captured before the exchange. At production scale
     (row groups ≫ cores) leave it None — the scan parallelism is
-    already right and the stage stays shuffle-free."""
+    already right and the stage stays shuffle-free.
+
+    ``keep_cols``: source columns carried through onto every emitted
+    violation row (e.g. an event-time column for streaming windowed
+    metrics — a post-hoc stream-stream re-join would need watermarks
+    and a time-range condition; threading the column through the
+    projection costs nothing)."""
     plan = plan or compile_row_checks(df, rules)
     spark = df.sparkSession
 
@@ -611,11 +618,13 @@ def run_row_checks(
         pid = F.spark_partition_id()
 
     arr = plan.raw_violations_array()
+    keep = list(keep_cols or [])
     out = (
         df.select(
             F.col(row_key).cast("string").alias("row_key"),
             pid.alias("partition_id"),
             F.explode(arr).alias("v"),
+            *[F.col(c) for c in keep],
         )
         .filter(F.col("v").isNotNull())
         .select(
@@ -627,6 +636,7 @@ def run_row_checks(
             F.col("v.observed").alias("observed"),
             "partition_id",
             F.lit(run_id).alias("run_id"),
+            *keep,
         )
     )
     if plan.schema_violations:
@@ -635,6 +645,8 @@ def run_row_checks(
             for sv in plan.schema_violations
         ]
         sdf = spark.createDataFrame(rows, schema=model.VIOLATION_SCHEMA)
+        for c in keep:
+            sdf = sdf.withColumn(c, F.lit(None).cast(df.schema[c].dataType))
         out = sdf.unionByName(out) if not plan.fail_fast else sdf
         # fail-fast: schema-level keyMissing aborts the whole walk —
         # row checks compiled before it are NOT evaluated (reference

@@ -3,7 +3,7 @@
 Usage (cluster):
 
     zip -r invalid_spark.zip invalid_spark
-    spark-submit --py-files invalid_spark.zip -m invalid_spark.cli \\
+    spark-submit --py-files invalid_spark.zip invalid_spark/cli.py \\
         validate --table s3://…/images --rules rules.yaml \\
         --out s3://…/audit/run1 --partition-col date_bucket \\
         --dim licenses=s3://…/dims/licenses

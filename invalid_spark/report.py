@@ -64,9 +64,14 @@ def group_verdicts(
         F.col(group_col).alias("grp"),
     )
     rows_per = keyed.groupBy("grp").agg(F.count(F.lit(1)).alias("n_rows"))
+    # one mapping row per key: duplicated row keys (exactly what the
+    # uniqueness check plants) must not fan out the violations join
+    # and overcount n_violations — deterministic keeper (min group)
+    # so both engines of the oracle gate agree
+    key_map = keyed.groupBy("row_key").agg(F.min("grp").alias("grp"))
     v_per = (
         violations.select("row_key")
-        .join(keyed, "row_key")
+        .join(key_map, "row_key")
         .groupBy("grp")
         .agg(F.count(F.lit(1)).alias("n_violations"))
     )

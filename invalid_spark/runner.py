@@ -36,7 +36,7 @@ import os
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from invalid_spark import report
@@ -46,6 +46,17 @@ from invalid_spark.checks import refint, stats, unique
 from invalid_spark.checks import rows as rowchecks
 from invalid_spark.dsl import RuleSet
 from invalid_spark.io import Manifest, snapshot_id
+
+# Work-unit name for rows whose partition_col is NULL. A bare
+# cast-to-string + isin() silently drops NULL rows (NULL.isin → NULL)
+# — in a validation engine the dirty rows are the point, so NULLs get
+# their own explicit unit on both the distinct() and slice-filter
+# sides.
+NULL_UNIT = "__null__"
+
+
+def _unit_expr(col: str) -> Column:
+    return F.coalesce(F.col(col).cast("string"), F.lit(NULL_UNIT))
 
 
 @dataclass
@@ -137,18 +148,33 @@ def validate(
     prev_df: DataFrame | None = None,
     udf_parallelism: int | None = None,
     max_batches: int | None = None,
+    manifest_dir: str | None = None,
 ) -> RunResult:
     """Run the full validation suite, resumably.
 
     ``max_batches`` bounds how many unit batches this call processes
     (for tests and incremental operation); a later call with the same
     ``out_dir`` resumes where it stopped.
+
+    A resume refuses to proceed when the manifest was written against
+    a different ``snapshot``: done-unit marks from another table
+    state would silently skip new data while keeping stale pass
+    verdicts. Start a fresh ``out_dir`` (or ``manifest_dir``) per
+    snapshot, or pass the same snapshot to resume it.
     """
     dims = dims or {}
     run_id = run_id or uuid.uuid4().hex[:12]
     snapshot = snapshot or ""
     plan = rowchecks.compile_row_checks(df, rules)
-    manifest = Manifest(os.path.join(out_dir, "manifest"))
+    manifest = Manifest(manifest_dir or os.path.join(out_dir, "manifest"))
+    stored_snaps = {m.get("snapshot_id", "") for m in manifest.read_meta()}
+    if stored_snaps and stored_snaps != {snapshot}:
+        raise ValueError(
+            f"manifest at {manifest.root} was written for snapshot(s) "
+            f"{sorted(stored_snaps)} but this run validates snapshot "
+            f"{snapshot!r}; resuming would skip units of a different "
+            "table state — use a fresh out_dir/manifest_dir per snapshot"
+        )
     v_dir = os.path.join(out_dir, "violations")
     result = RunResult(run_id=run_id, snapshot=snapshot, out_dir=out_dir)
 
@@ -186,8 +212,11 @@ def validate(
         unit_of = None
     else:
         vals = [
-            str(r[0])
-            for r in df.select(partition_col).distinct().orderBy(partition_col).collect()
+            r[0]
+            for r in df.select(_unit_expr(partition_col).alias("u"))
+            .distinct()
+            .orderBy("u")
+            .collect()
         ]
         done = manifest.done_units()
         pending = [v for v in vals if v not in done]
@@ -215,10 +244,8 @@ def validate(
             slice_df = df
             unit_expr = F.lit("__all__")
         else:
-            slice_df = df.filter(
-                F.col(unit_of).cast("string").isin(batch)
-            )
-            unit_expr = F.col(unit_of).cast("string")
+            slice_df = df.filter(_unit_expr(unit_of).isin(batch))
+            unit_expr = _unit_expr(unit_of)
 
         v = _stage_violations(
             slice_df, rules, row_key, plan, dims, run_id,
@@ -256,7 +283,7 @@ def validate(
             if unit_of is None
             else df.select(
                 F.col(row_key).cast("string").alias("row_key"),
-                F.col(unit_of).cast("string").alias("unit"),
+                _unit_expr(unit_of).alias("unit"),
             ).dropDuplicates(["row_key"])
         )
         for col in plan.unique_cols:
@@ -289,7 +316,7 @@ def validate(
             verd = report.partition_verdicts(df, all_v, run_id)
         else:
             done_now = sorted(manifest.done_units())
-            df_done = df.filter(F.col(unit_of).cast("string").isin(done_now))
+            df_done = df.filter(_unit_expr(unit_of).isin(done_now))
             verd = report.group_verdicts(df_done, all_v, unit_of, row_key, run_id)
         verd.write.mode("overwrite").parquet(os.path.join(out_dir, "verdicts"))
         met = report.rule_metrics(all_v, run_id)
@@ -343,7 +370,24 @@ def validate_incremental(
     **kwargs,
 ) -> RunResult:
     """Validate only the rows added since ``prev``; outputs append to
-    the same sinks (each run distinguished by run_id + snapshot)."""
+    the same sinks (each run distinguished by run_id + snapshot).
+
+    Requires a ``snapshot`` id: the checkpoint manifest is namespaced
+    per snapshot (``manifest-{snapshot}``), so each delta resumes
+    independently. A shared manifest would mark ``__all__`` done on
+    the first delta and silently skip every later one — stale pass
+    verdicts over unvalidated data."""
+    snapshot = kwargs.get("snapshot")
+    if not snapshot:
+        raise ValueError(
+            "validate_incremental requires snapshot=<id of the current "
+            "table state> (e.g. invalid_spark.io.snapshot_id(path)); the "
+            "per-snapshot manifest namespace is what lets successive "
+            "deltas against the same out_dir each be validated"
+        )
+    kwargs.setdefault(
+        "manifest_dir", os.path.join(out_dir, f"manifest-{snapshot}")
+    )
     delta = incremental_rows(cur, prev, row_key)
     return validate(spark, delta, rules, row_key, out_dir, **kwargs)
 

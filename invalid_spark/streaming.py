@@ -42,6 +42,7 @@ def validate_stream(
     run_id: str = "",
     with_pixel_checks: bool = False,
     udf_parallelism: int | None = None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Violations stream for a streaming input DataFrame.
 
@@ -50,6 +51,13 @@ def validate_stream(
     shape to the batch path (scan → project → explode), so there is
     no separate streaming semantics to test for the checks
     themselves. ``$ref`` rules become stream-static left-anti joins.
+
+    ``keep_cols`` threads source columns (typically the event-time
+    column for :func:`windowed_metrics`) through the row-check
+    projection onto each violation row — the streaming-safe
+    alternative to re-joining violations back to the source (a
+    stream-stream join Spark rejects without watermarks). Violations
+    from `$ref`/pixel stages carry NULL for the kept columns.
     """
     dims = dims or {}
     plan = rowchecks.compile_row_checks(stream_df, rules)
@@ -58,8 +66,10 @@ def validate_stream(
             "required column missing from stream schema: "
             + "; ".join(sv["message"] for sv in plan.schema_violations)
         )
-    v = rowchecks.run_row_checks(stream_df, rules, row_key, run_id, plan=plan)
-    cols = v.columns
+    v = rowchecks.run_row_checks(
+        stream_df, rules, row_key, run_id, plan=plan, keep_cols=keep_cols
+    )
+    cols = [c for c in v.columns if c not in (keep_cols or [])]
     for col, spec in plan.ref_specs:
         dim_name = spec.get("table")
         if dim_name not in dims:
@@ -67,7 +77,7 @@ def validate_stream(
         r = refint.ref_violations(
             stream_df, col, dims[dim_name], spec.get("key", col), row_key, run_id
         )
-        v = v.unionByName(r.select(*cols))
+        v = v.unionByName(r.select(*cols), allowMissingColumns=True)
     if with_pixel_checks and plan.pixel_specs:
         from invalid_spark.checks import image as image_checks
 
@@ -80,7 +90,7 @@ def validate_stream(
                 run_id=run_id,
                 parallelism=udf_parallelism,
             )
-            v = v.unionByName(p.select(*cols))
+            v = v.unionByName(p.select(*cols), allowMissingColumns=True)
     return v
 
 
@@ -88,7 +98,18 @@ def with_event_time(
     violations: DataFrame, source: DataFrame, row_key: str, ts_col: str
 ) -> DataFrame:
     """Attach the source's event-time column to violation rows (the
-    violation schema carries only the row key)."""
+    violation schema carries only the row key). Batch-only: for a
+    streaming source this would be a stream-stream left-outer join,
+    which Spark rejects without watermarks + a time-range condition —
+    use ``validate_stream(..., keep_cols=[ts_col])`` to thread the
+    event time through the check projection instead."""
+    if violations.isStreaming or source.isStreaming:
+        raise ValueError(
+            "with_event_time is batch-only: pass keep_cols=[ts_col] to "
+            "validate_stream so the event-time column rides the check "
+            "projection (a streaming re-join would need watermarks on "
+            "both sides and a join-time range)"
+        )
     ts = source.select(
         F.col(row_key).cast("string").alias("row_key"), F.col(ts_col).alias("ts")
     )

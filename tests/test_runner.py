@@ -205,7 +205,7 @@ def test_incremental_validation(spark, tmp_path):
     out = str(tmp_path / "inc")
     res = runner.validate_incremental(
         spark, cur, prev, RULES, "image_id", out,
-        dims={"licenses": synth.licenses_df(spark)},
+        dims={"licenses": synth.licenses_df(spark)}, snapshot="snap-2",
     )
     v = res.violations(spark)
     # every violation's row key is a delta row
@@ -214,3 +214,66 @@ def test_incremental_validation(spark, tmp_path):
     # planted violations in the delta range are found
     rw = [i for i in synth.violation_indices(220, "range_w") if i >= 150]
     assert v.filter("error_type = 'rangeMismatch'").count() == len(rw)
+
+
+def test_null_partition_units_are_validated(spark, tmp_path):
+    """Rows whose partition_col is NULL must still be validated: they
+    get the explicit __null__ unit (a bare isin() would drop them and
+    mark nothing wrong)."""
+    df = spark.createDataFrame(
+        [("k1", 5, "a"), ("k2", -5, "a"), ("k3", -7, None), ("k4", 3, None)],
+        "id string, v long, shard string",
+    )
+    rules = load_rules("v: {$type: $int, $range: {$min: 0, $max: 100}}")
+    out = str(tmp_path / "nullunit")
+    res = runner.validate(
+        spark, df, rules, "id", out, partition_col="shard"
+    )
+    assert runner.NULL_UNIT in res.units_done
+    v = res.violations(spark)
+    keys = {r["row_key"] for r in v.collect()}
+    assert "k3" in keys, "violation in a NULL-partition row was dropped"
+    units = {r["unit"] for r in v.select("unit").collect()}
+    assert runner.NULL_UNIT in units
+
+
+def test_resume_refuses_snapshot_mismatch(spark, tmp_path):
+    df = synth.images_df(spark, 40, partitions=2)
+    out = str(tmp_path / "snapmix")
+    dims = {"licenses": synth.licenses_df(spark)}
+    runner.validate(spark, df, RULES, "image_id", out, dims=dims,
+                    snapshot="snap-a")
+    with pytest.raises(ValueError, match="snapshot"):
+        runner.validate(spark, df, RULES, "image_id", out, dims=dims,
+                        snapshot="snap-b")
+    # same snapshot resumes fine (everything already done)
+    res = runner.validate(spark, df, RULES, "image_id", out, dims=dims,
+                          snapshot="snap-a")
+    assert res.units_done == []
+
+
+def test_incremental_successive_deltas_not_skipped(spark, tmp_path):
+    """Two successive deltas against the same out_dir: the second
+    must be validated, not skipped by the first delta's manifest."""
+    t1 = synth.images_df(spark, 100, partitions=2)
+    t2 = synth.images_df(spark, 150, partitions=2)
+    t3 = synth.images_df(spark, 220, partitions=2)
+    out = str(tmp_path / "inc2")
+    dims = {"licenses": synth.licenses_df(spark)}
+    runner.validate_incremental(
+        spark, t2, t1, RULES, "image_id", out, dims=dims, snapshot="s2"
+    )
+    res3 = runner.validate_incremental(
+        spark, t3, t2, RULES, "image_id", out, dims=dims, snapshot="s3"
+    )
+    assert res3.units_done, "second delta was silently skipped"
+    v = res3.violations(spark)
+    # a planted range violation in the second delta's id range exists
+    rw = [i for i in synth.violation_indices(220, "range_w") if i >= 150]
+    got = v.filter("error_type = 'rangeMismatch' and snapshot_id = 's3'")
+    assert got.count() == len(rw)
+    # snapshot is mandatory for incremental runs
+    with pytest.raises(ValueError, match="snapshot"):
+        runner.validate_incremental(
+            spark, t3, t2, RULES, "image_id", out, dims=dims
+        )

@@ -182,3 +182,30 @@ def test_running_rule_totals_stateful(spark, landing, tmp_path):
         for r in bv.groupBy("rule_id", "error_type").agg(F.count("*").alias("c")).collect()
     }
     assert t2 == exp
+
+
+def test_keep_cols_threads_event_time(spark, tmp_path):
+    """keep_cols rides the event-time column through the streaming
+    check projection (the stream-safe replacement for a post-hoc
+    stream-stream join, which with_event_time now refuses)."""
+    src = spark.createDataFrame(
+        [(1, "bad", "2024-01-01 00:00:30"), (2, "ok", "2024-01-01 00:01:30")],
+        "event_id long, status string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    d = str(tmp_path / "ev")
+    src.coalesce(1).write.mode("overwrite").parquet(d)
+    rules = load_rules("status: {$type: $str, $of: [ok]}\n")
+    sdf = spark.readStream.schema(src.schema).parquet(d)
+    v = streaming.validate_stream(sdf, rules, "event_id", keep_cols=["ts"])
+    assert "ts" in v.columns
+    out = str(tmp_path / "v_out")
+    q = v.writeStream.format("parquet").option(
+        "checkpointLocation", str(tmp_path / "ck")
+    ).option("path", out).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0]["row_key"] == "1"
+    assert str(rows[0]["ts"]) == "2024-01-01 00:00:30"
+    # the old re-join path refuses streaming inputs with guidance
+    with pytest.raises(ValueError, match="keep_cols"):
+        streaming.with_event_time(v, sdf, "event_id", "ts")
