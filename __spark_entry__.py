@@ -429,6 +429,43 @@ def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_rowcheck_yaml_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-mode validation (the reference's literal NewYAML +
+    NewRule + Validate workflow) over the reference's OWN vendored
+    golden fixture pairs. The oracle is a VALUES table of the
+    violations the reference's valid_test.go asserts (counts
+    56-193; messages/order exact) — an independent expectation, not a
+    replay."""
+    from invalid_spark import docs
+    from invalid_spark.dsl import load_rules_file
+
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "tests", "fixtures", "reference")
+    pairs = [
+        ("valid", "yaml-cases/valid.yaml", "exam/valid.yaml"),
+        ("type_mismatch", "yaml-cases/type_mismatch.yaml",
+         "exam/type_mismatch.yaml"),
+        ("key_missing", "yaml-cases/key_missing.yaml",
+         "exam/key_missing.yaml"),
+        ("of_not_contain", "exam/constraint_of.yaml",
+         "yaml-cases/constraint_of_not_contain.yaml"),
+        ("of_contain", "exam/constraint_of.yaml",
+         "yaml-cases/constraint_of_contain.yaml"),
+        ("openapi", "yaml-cases/openapi.yaml", "exam/openapi.yaml"),
+    ]
+    out = None
+    for name, data, rule in pairs:
+        v = docs.validate_yaml_docs(
+            docs.yaml_docs_df(spark, [os.path.join(fix, data)]),
+            load_rules_file(os.path.join(fix, rule)),
+        ).select(
+            F.lit(name).alias("pair"), "path",
+            F.col("key").alias("key_name"), "error_type", "message",
+        )
+        out = v if out is None else out.unionByName(v)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the compiled rule engine over the documents table."""
     return q_rowcheck_documents(spark, "/root/testdata/sf0.001")
@@ -464,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_eq_documents": q_caption_eq_documents,
         "unique_phash_skew": q_unique_phash_skew,
         "rowcheck_json_events": q_rowcheck_json_events,
+        "rowcheck_yaml_docs": q_rowcheck_yaml_docs,
         "violation_samples_orders": q_violation_samples_orders,
         "vector_check_embeddings": q_vector_check_embeddings,
     }
@@ -1097,6 +1135,56 @@ FROM corrupted WHERE v IS NOT NULL AND len(v) > 0
 """
 
 
+def _sql_rowcheck_yaml_docs() -> str:
+    # the reference's own golden expectations (valid_test.go:56-193)
+    # as a literal table: valid=0, type_mismatch=8 (exact messages,
+    # incl. list.0..2 element keys), key_missing=1 (fail-fast),
+    # of=4/0, openapi=2
+    rows = [
+        ("type_mismatch", "map.stringVal", "stringVal", "typeMismatch",
+         "type for [stringVal] must be [$str]"),
+        ("type_mismatch", "map.intVal", "intVal", "typeMismatch",
+         "type for [intVal] must be [$int]"),
+        ("type_mismatch", "map.booVal", "booVal", "typeMismatch",
+         "type for [booVal] must be [$bool]"),
+        ("type_mismatch", "map.floatVal", "floatVal", "typeMismatch",
+         "type for [floatVal] must be [$float]"),
+        ("type_mismatch", "map.nullVal", "nullVal", "typeMismatch",
+         "type for [nullVal] must be [$null]"),
+        ("type_mismatch", "map.list.0", "list.0", "typeMismatch",
+         "type for [list.0] must be [$int]"),
+        ("type_mismatch", "map.list.1", "list.1", "typeMismatch",
+         "type for [list.1] must be [$int]"),
+        ("type_mismatch", "map.list.2", "list.2", "typeMismatch",
+         "type for [list.2] must be [$int]"),
+        ("key_missing", "map.map2.map3.bar1", "bar1", "keyMissing",
+         "key [bar1] is expected here"),
+        ("of_not_contain", "map.map2.strVal", "strVal", "ofMismatch",
+         "value of strVal must be one of [[abc efgh]]"),
+        ("of_not_contain", "map.map2.intVal", "intVal", "ofMismatch",
+         "value of intVal must be one of [[123 5678]]"),
+        ("of_not_contain", "map.map2.floatVal", "floatVal", "ofMismatch",
+         "value of floatVal must be one of [[1.2 2.23]]"),
+        ("of_not_contain", "map.map2.boolVal", "boolVal", "ofMismatch",
+         "value of boolVal must be one of [[false]]"),
+        ("openapi", "tags.0.externalDocs.description", "description",
+         "regxMismatch",
+         "value for [description] must match regexp : Description-[.]*"),
+        ("openapi", "tags.2.externalDocs.description", "description",
+         "regxMismatch",
+         "value for [description] must match regexp : Description-[.]*"),
+    ]
+    values = ",\n  ".join(
+        "(" + ", ".join("'" + c.replace("'", "''") + "'" for c in r) + ")"
+        for r in rows
+    )
+    return f"""
+SELECT * FROM (VALUES
+  {values}
+) AS t(pair, path, key_name, error_type, message)
+"""
+
+
 def _sql_violation_samples_orders() -> str:
     return f"""
 WITH v AS ({_sql_rowcheck_orders()}),
@@ -1131,6 +1219,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_documents": _sql_dedup_simhash(),
         "rowcheck_dynamic_events": _sql_rowcheck_dynamic_events(),
         "rowcheck_json_events": _sql_rowcheck_json_events(),
+        "rowcheck_yaml_docs": _sql_rowcheck_yaml_docs(),
         "violation_samples_orders": _sql_violation_samples_orders(),
         "vector_check_embeddings": _sql_vector_check_embeddings(),
         "emb_neardup_cosine": _sql_emb_neardup(),

@@ -1,0 +1,418 @@
+"""Document-mode YAML validation: the reference's literal user
+workflow (``NewYAML(file)`` + ``NewRule(file)`` + ``Validate``,
+reference yaml.go:73-101, rule.go:131-141, valid_test.go:56-193) over
+a DataFrame of flattened documents.
+
+Spark re-expression: each YAML document flattens driver-side (config
+files are KB-sized metadata) into one row per node — (doc_id, path,
+value-type, raw spelling) — and validation is a broadcast join of the
+compiled rule table against the node table plus one CASE projection.
+The same plan validates one config file or a corpus of millions of
+flattened documents: rules are tiny and broadcast, the node table
+shuffles only for the per-document presence anti-join.
+
+Exact reference semantics replicated (asserted against the
+reference's own ``test/`` fixture pairs in tests/test_docs.py):
+
+- type inference is YAML 1.2 core-schema by raw spelling
+  (:mod:`invalid_spark.yamlmeta`), not PyYAML's 1.1 resolver — so
+  ``yes`` is a string, ``0xC`` an int, ``1e2`` a float;
+- scalar ``Value()`` is the raw spelling, never a parsed number;
+- required-by-default; first missing required key cancels the whole
+  walk keeping earlier violations (context cancel, rule.go:159-165);
+- array elements are keyed ``parent.idx`` (rule.go:178);
+- the swapped length messages (``must <``/``must >``) and the
+  min-masks-max else-if are replicated verbatim (result.go:32-38,
+  rule.go:205-215) — this adapter is the literal-parity surface; the
+  table engine (checks/rows.py) fixes them as documented divergence;
+- ``$of`` membership compares raw spellings; the full enum is kept
+  (documented divergence from the first-element bug, rule.go:533-535);
+- ``$key-reg`` IS enforced (documented divergence: the reference
+  parses but never enforces it, result.go:44-46 has zero callers).
+
+Violation order: ``ord`` is a zero-padded path of rule positions
+with array indices spliced in — lexicographic order equals the
+reference's depth-first emission order (valid_test.go:158-169 asserts
+it for the type_mismatch golden).
+"""
+
+from __future__ import annotations
+
+import os
+
+import yaml
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from invalid_spark import yamlmeta
+from invalid_spark.dsl import Rule, RuleSet
+
+# reference ValueType names by core-schema tag (yaml.go:23-35,256-276)
+_VT_BY_TAG = {
+    "!!str": "$str",
+    "!!int": "$int",
+    "!!float": "$float",
+    "!!bool": "$bool",
+    "!!null": "$nil",
+    "!!map": "$obj",
+    "!!seq": "$arr",
+}
+
+# expected data value-type per scalar rule type (rule $null ↔ $nil)
+_VT_BY_RULE = {
+    "$str": "$str",
+    "$int": "$int",
+    "$float": "$float",
+    "$bool": "$bool",
+    "$null": "$nil",
+}
+
+FIELD_SCHEMA = (
+    "doc_id string, path string, rpath string, parent_path string, "
+    "parent_rpath string, key string, vtype string, value string, "
+    "elems array<int>"
+)
+
+_RULE_SCHEMA = (
+    "rpath string, parent_rpath string, key string, rule_type string, "
+    "want_vt string, required boolean, len_min long, len_max long, "
+    "reg string, of array<string>, constraint_scalar string, "
+    "key_reg string, pos_path string"
+)
+
+
+def _node_vt(node) -> str:
+    if isinstance(node, yaml.MappingNode):
+        return "$obj"
+    if isinstance(node, yaml.SequenceNode):
+        return "$arr"
+    return _VT_BY_TAG[yamlmeta.infer_tag(node.value, node.style is not None)]
+
+
+def _flatten_node(node, path, rpath, key, elems, rows) -> None:
+    parent_path, _, _ = path.rpartition(".") if "." in path else ("", "", path)
+    parent_rpath = rpath.rpartition(".")[0] if "." in rpath else ""
+    vt = _node_vt(node)
+    value = node.value if not isinstance(
+        node, (yaml.MappingNode, yaml.SequenceNode)
+    ) else ""
+    rows.append((path, rpath, parent_path, parent_rpath, key, vt, value, elems))
+    if isinstance(node, yaml.MappingNode):
+        for k, v in node.value:
+            kn = k.value if isinstance(k, yaml.ScalarNode) else str(k.value)
+            cp = f"{path}.{kn}" if path else kn
+            crp = f"{rpath}.{kn}" if rpath else kn
+            _flatten_node(v, cp, crp, kn, elems, rows)
+    elif isinstance(node, yaml.SequenceNode):
+        for i, v in enumerate(node.value):
+            cp = f"{path}.{i}" if path else str(i)
+            crp = f"{rpath}.*" if rpath else "*"
+            _flatten_node(v, cp, crp, str(i), elems + [i], rows)
+
+
+def flatten_document(text_or_node, doc_id: str) -> list[tuple]:
+    """One YAML document → node rows (reference ``NewYAML``,
+    yaml.go:73-101: the root must be the document's single node)."""
+    node = (
+        yaml.compose(text_or_node, Loader=yaml.SafeLoader)
+        if isinstance(text_or_node, str)
+        else text_or_node
+    )
+    if node is None:
+        raise ValueError(f"empty yaml document: {doc_id}")
+    rows: list[tuple] = []
+    # the document root: path "" — root-level rules join against it
+    _flatten_node(node, "", "", "", [], rows)
+    return [(doc_id, *r) for r in rows]
+
+
+def yaml_docs_df(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Flatten YAML files (one or many documents each) into the node
+    table. ``doc_id`` is the file basename, suffixed ``#i`` for
+    multi-document files. Driver-side parse is the right shape: rule
+    and config documents are small metadata; corpus-scale inputs
+    arrive already flattened (e.g. from a table of YAML strings via
+    :func:`flatten_document` under ``mapInPandas``)."""
+    rows: list[tuple] = []
+    for p in paths:
+        with open(p, "r", encoding="utf-8") as f:
+            docs = list(yaml.compose_all(f, Loader=yaml.SafeLoader))
+        base = os.path.basename(p)
+        for i, node in enumerate(docs):
+            if node is None:
+                continue
+            did = base if len(docs) == 1 else f"{base}#{i}"
+            rows.extend(flatten_document(node, did))
+    return spark.createDataFrame(rows, FIELD_SCHEMA)
+
+
+def _flatten_rules(rules: RuleSet) -> list[tuple]:
+    out: list[tuple] = []
+
+    def walk(rule: Rule, rpath: str, parent_rpath: str, pos_path: str) -> None:
+        constraint_scalar = (
+            rule.constraint if isinstance(rule.constraint, str) else None
+        )
+        out.append(
+            (
+                rpath,
+                parent_rpath,
+                rule.key,
+                rule.rule_type,
+                _VT_BY_RULE.get(rule.rule_type),
+                rule.required,
+                rule.length_min,
+                rule.length_max,
+                rule.reg,
+                rule.of,
+                constraint_scalar,
+                rule.key_reg,
+                pos_path,
+            )
+        )
+        for i, c in enumerate(rule.children):
+            walk(
+                c,
+                f"{rpath}.{c.key}" if rpath else c.key,
+                rpath,
+                f"{pos_path}.{i:05d}" if pos_path else f"{i:05d}",
+            )
+        if isinstance(rule.constraint, Rule):
+            # $arr object constraint: applies to every element — the
+            # element slot is a '*' in both rpath and pos_path, filled
+            # with the element index at validation time
+            for i, c in enumerate(rule.constraint.children):
+                walk(
+                    c,
+                    f"{rpath}.*.{c.key}",
+                    f"{rpath}.*",
+                    f"{pos_path}.*.{i:05d}",
+                )
+
+    for i, c in enumerate(rules.root.children):
+        walk(c, c.key, "", f"{i:05d}")
+    return out
+
+
+def _fill(template: Column, elems: Column) -> Column:
+    """Splice element indices into the '*' slots of a pos_path."""
+    return F.aggregate(
+        elems,
+        template,
+        lambda acc, e: F.when(
+            F.instr(acc, "*") > 0,
+            F.concat(
+                F.substring(acc, F.lit(1), F.instr(acc, "*") - 1),
+                F.lpad(e.cast("string"), 5, "0"),
+                F.substring(acc, F.instr(acc, "*") + 1, F.lit(1 << 30)),
+            ),
+        ).otherwise(acc),
+    )
+
+
+def validate_yaml_docs(fields: DataFrame, rules: RuleSet) -> DataFrame:
+    """Violations over the flattened node table: (doc_id, path, key,
+    error_type, message, ord). Empty result = pass (reference
+    rule.go:131-141). Sort by ``ord`` for the reference's depth-first
+    emission order."""
+    spark = fields.sparkSession
+    rdf = spark.createDataFrame(_flatten_rules(rules), _RULE_SCHEMA)
+    r = F.broadcast(rdf)
+
+    # ---- per-field scalar checks (type / length / regex / of) ------
+    # field.key == rule.key for rpath-matched rows; drop the rule
+    # table's duplicates to keep references unambiguous
+    j = fields.join(r.drop("key", "parent_rpath"), "rpath")
+    sub = lambda s: F.lit(s)  # noqa: E731 — check sub-order suffix
+    of_msg = F.concat(
+        F.lit("value of "), F.col("key"), F.lit(" must be one of [["),
+        F.array_join("of", " "), F.lit("]]"),
+    )
+    length_gate = (F.coalesce("len_min", F.lit(0)) != 0) | (
+        F.coalesce("len_max", F.lit(0)) != 0
+    )
+    blen = F.octet_length(F.coalesce("value", F.lit("")))
+    checks = F.array_compact(
+        F.array(
+            F.when(
+                F.col("want_vt").isNotNull()
+                & (F.col("vtype") != F.col("want_vt")),
+                F.struct(
+                    F.lit("typeMismatch").alias("et"),
+                    F.concat(
+                        F.lit("type for ["), F.col("key"),
+                        F.lit("] must be ["), F.col("rule_type"), F.lit("]"),
+                    ).alias("msg"),
+                    sub("s1").alias("sub"),
+                ),
+            ),
+            # reference else-if: a min violation masks the max check,
+            # and the two messages have swapped comparators
+            # (result.go:32-38) — replicated verbatim
+            F.when(
+                length_gate
+                & (F.coalesce("len_min", F.lit(0)) != 0)
+                & (blen < F.col("len_min")),
+                F.struct(
+                    F.lit("strLengthMismatch").alias("et"),
+                    F.concat(
+                        F.lit("length of value in ["), F.col("key"),
+                        F.lit("] must < "), F.col("len_min").cast("string"),
+                    ).alias("msg"),
+                    sub("s2").alias("sub"),
+                ),
+            ).when(
+                length_gate
+                & (F.coalesce("len_max", F.lit(0)) != 0)
+                & (blen > F.col("len_max")),
+                F.struct(
+                    F.lit("strLengthMismatch").alias("et"),
+                    F.concat(
+                        F.lit("length of value in ["), F.col("key"),
+                        F.lit("] must > "), F.col("len_max").cast("string"),
+                    ).alias("msg"),
+                    sub("s2").alias("sub"),
+                ),
+            ),
+            F.when(
+                F.col("reg").isNotNull()
+                & ~F.regexp_like(F.coalesce("value", F.lit("")), F.col("reg")),
+                F.struct(
+                    F.lit("regxMismatch").alias("et"),
+                    F.concat(
+                        F.lit("value for ["), F.col("key"),
+                        F.lit("] must match regexp : "), F.col("reg"),
+                    ).alias("msg"),
+                    sub("s3").alias("sub"),
+                ),
+            ),
+            F.when(
+                F.col("of").isNotNull()
+                & ~F.array_contains(
+                    F.col("of"), F.coalesce("value", F.lit(""))
+                ),
+                F.struct(
+                    F.lit("ofMismatch").alias("et"), of_msg.alias("msg"),
+                    sub("s4").alias("sub"),
+                ),
+            ),
+        )
+    )
+    scalar_v = (
+        j.select(
+            "doc_id", "path", "key", "pos_path", "elems",
+            F.explode(checks).alias("c"),
+        )
+        .select(
+            "doc_id", "path", "key",
+            F.col("c.et").alias("error_type"),
+            F.col("c.msg").alias("message"),
+            F.concat(_fill(F.col("pos_path"), F.col("elems")),
+                     F.lit("."), F.col("c.sub")).alias("ord"),
+        )
+    )
+
+    # ---- $arr scalar-constraint element checks (rule.go:175-184) ---
+    arr_rules = rdf.filter(F.col("constraint_scalar").isNotNull()).select(
+        F.col("rpath").alias("parent_rpath"),
+        F.col("key").alias("arr_key"),
+        "constraint_scalar",
+        F.col("pos_path").alias("arr_pos"),
+    )
+    elem_v = (
+        fields.join(F.broadcast(arr_rules), "parent_rpath")
+        .filter(F.col("vtype") != F.col("constraint_scalar"))
+        .select(
+            "doc_id", "path",
+            F.concat("arr_key", F.lit("."), "key").alias("key"),
+            F.lit("typeMismatch").alias("error_type"),
+            F.concat(
+                F.lit("type for ["), F.col("arr_key"), F.lit("."),
+                F.col("key"), F.lit("] must be ["),
+                F.col("constraint_scalar"), F.lit("]"),
+            ).alias("message"),
+            F.concat(
+                _fill(F.concat("arr_pos", F.lit(".*")), F.col("elems")),
+                F.lit(".s1"),
+            ).alias("ord"),
+        )
+    )
+
+    # ---- $key-reg over object children (declared semantics;
+    # reference parses but never enforces — documented divergence) ---
+    kr_rules = rdf.filter(F.col("key_reg").isNotNull()).select(
+        F.col("rpath").alias("parent_rpath"),
+        F.col("key_reg"),
+        F.col("pos_path").alias("obj_pos"),
+    )
+    kr_v = (
+        fields.join(F.broadcast(kr_rules), "parent_rpath")
+        .filter(~F.regexp_like(F.col("key"), F.col("key_reg")))
+        .select(
+            "doc_id", "path", "key",
+            F.lit("keyNameError").alias("error_type"),
+            F.concat(
+                F.lit("key name for ["), F.col("key"),
+                F.lit("] must match regexp ： "), F.col("key_reg"),
+            ).alias("message"),
+            F.concat(_fill(F.col("obj_pos"), F.col("elems")),
+                     F.lit(".s9")).alias("ord"),
+        )
+    )
+
+    # ---- required-key presence (anti-join per parent instance) -----
+    req = rdf.filter("required").select(
+        F.col("parent_rpath"), F.col("key").alias("rkey"),
+        F.col("pos_path").alias("rpos"),
+    )
+    cand = (
+        fields.join(F.broadcast(req), fields.rpath == req.parent_rpath)
+        .select(
+            "doc_id",
+            F.when(F.col("path") == "", F.col("rkey"))
+            .otherwise(F.concat("path", F.lit("."), "rkey"))
+            .alias("child_path"),
+            "rkey", "rpos", "elems",
+        )
+    )
+    present = fields.select(
+        "doc_id", F.col("path").alias("child_path")
+    )
+    km_v = cand.join(present, ["doc_id", "child_path"], "left_anti").select(
+        "doc_id",
+        F.col("child_path").alias("path"),
+        F.col("rkey").alias("key"),
+        F.lit("keyMissing").alias("error_type"),
+        F.concat(F.lit("key ["), F.col("rkey"),
+                 F.lit("] is expected here")).alias("message"),
+        F.concat(_fill(F.col("rpos"), F.col("elems")),
+                 F.lit(".s0")).alias("ord"),
+    )
+
+    all_v = scalar_v.unionByName(elem_v).unionByName(kr_v).unionByName(km_v)
+
+    # ---- fail-fast: the first missing required key cancels the walk,
+    # keeping earlier violations (rule.go:159-165) ------------------
+    w = Window.partitionBy("doc_id")
+    km_min = F.min(
+        F.when(F.col("error_type") == "keyMissing", F.col("ord"))
+    ).over(w)
+    return (
+        all_v.withColumn("__km", km_min)
+        .filter(F.col("__km").isNull() | (F.col("ord") <= F.col("__km")))
+        .drop("__km")
+    )
+
+
+def validate_yaml_files(
+    spark: SparkSession, data_path: str, rule_path: str
+) -> DataFrame:
+    """The reference's two-file workflow end-to-end:
+    ``NewYAML(data) + NewRule(rules) + Validate`` — returns the
+    ordered violations frame."""
+    from invalid_spark.dsl import load_rules_file
+
+    return validate_yaml_docs(
+        yaml_docs_df(spark, [data_path]), load_rules_file(rule_path)
+    ).orderBy("ord")

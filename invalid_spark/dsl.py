@@ -149,6 +149,16 @@ def _mapping_get(node: yaml.MappingNode, key: str):
     return None
 
 
+def _is_rule_node(node) -> bool:
+    """A mapping value carrying ``$type`` is a child RULE, not a
+    directive — the reference builds obj children from every key
+    except the four spec keys (specKeyInObj, rule.go:59,429-443), so
+    data keys that start with ``$`` (e.g. OpenAPI's ``$ref``) are
+    legal rule names. Engine-extension directives (``$ref: {table:…}``
+    etc.) never contain ``$type``, which disambiguates."""
+    return isinstance(node, yaml.MappingNode) and _mapping_get(node, "$type") is not None
+
+
 def _parse_int_directive(container: yaml.MappingNode, key: str) -> int:
     v = _mapping_get(container, key)
     if v is None:
@@ -194,6 +204,8 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
 
     # $length {$min,$max} (rule.go:570-584)
     ln = _mapping_get(value, "$length")
+    if ln is not None and _is_rule_node(ln):
+        ln = None  # "$length" used as a data-key rule name
     if ln is not None:
         if not isinstance(ln, yaml.MappingNode):
             raise DSLError("value node must be map : [$length]")
@@ -225,6 +237,8 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
     # $of (rule.go:522-538): must be a sequence; every element's tag
     # must equal the field's own type tag, else OfTypeError.
     of = _mapping_get(value, "$of")
+    if of is not None and _is_rule_node(of):
+        of = None  # "$of" used as a data-key rule name
     if of is not None:
         if not isinstance(of, yaml.SequenceNode):
             raise DSLError(
@@ -270,6 +284,8 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
         ("$vector", "vector"),
     ):
         dn = _mapping_get(value, dname)
+        if dn is not None and _is_rule_node(dn):
+            dn = None  # a child rule named like the directive
         if dn is not None:
             if not isinstance(dn, yaml.MappingNode):
                 raise DSLError(f"value node must be map : [{dname}]")
@@ -291,11 +307,19 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
             raise DSLError("the type of of [$stats] must be [$seq]")
         rule.stats = [e.value for e in st.value]
 
-    # children: all non-$ keys, in document order (rule.go:429-443)
+    # children: non-$ keys in document order (rule.go:429-443), plus
+    # $-keys that are themselves rules (carry $type) — the reference
+    # excludes only the four spec keys from child construction
     for k, v in value.value:
         kname = k.value if isinstance(k, yaml.ScalarNode) else None
-        if kname is None or kname.startswith("$"):
-            if kname is not None and kname not in _DIRECTIVES:
+        if kname is None:
+            continue
+        if kname.startswith("$"):
+            is_spec = kname in ("$type", "$required", "$optional", "$key-reg")
+            if not is_spec and _is_rule_node(v):
+                rule.children.append(_parse_rule(kname, v))
+                continue
+            if kname not in _DIRECTIVES:
                 raise DSLError(f"unknown directive : [{kname}]")
             continue
         rule.children.append(_parse_rule(kname, v))

@@ -1,0 +1,121 @@
+"""Document-mode YAML validation vs the reference's OWN golden
+fixture pairs (vendored verbatim under tests/fixtures/reference/):
+exact violation counts, error types, messages, and depth-first order
+as asserted by the reference's valid_test.go:56-193."""
+
+from __future__ import annotations
+
+import os
+
+from invalid_spark import docs
+from invalid_spark.dsl import load_rules_file
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "reference")
+
+
+def _run(spark, data_name: str, rule_name: str):
+    v = docs.validate_yaml_files(
+        spark,
+        os.path.join(FIX, *data_name.split("/")),
+        os.path.join(FIX, *rule_name.split("/")),
+    )
+    return v.orderBy("ord").collect()
+
+
+def test_valid_pair_zero_results(spark):
+    # valid_test.go:56-75 — exam/valid.yaml rules × yaml-cases/valid.yaml
+    rows = _run(spark, "yaml-cases/valid.yaml", "exam/valid.yaml")
+    assert rows == []
+
+
+def test_type_mismatch_eight_exact_ordered(spark):
+    # valid_test.go:140-171 — 8 typeMismatch results in rule order,
+    # incl. the array elements keyed list.0..2
+    rows = _run(spark, "yaml-cases/type_mismatch.yaml", "exam/type_mismatch.yaml")
+    assert len(rows) == 8
+    assert all(r["error_type"] == "typeMismatch" for r in rows)
+    expected = [
+        ("stringVal", "type for [stringVal] must be [$str]"),
+        ("intVal", "type for [intVal] must be [$int]"),
+        ("booVal", "type for [booVal] must be [$bool]"),
+        ("floatVal", "type for [floatVal] must be [$float]"),
+        ("nullVal", "type for [nullVal] must be [$null]"),
+        ("list.0", "type for [list.0] must be [$int]"),
+        ("list.1", "type for [list.1] must be [$int]"),
+        ("list.2", "type for [list.2] must be [$int]"),
+    ]
+    assert [(r["key"], r["message"]) for r in rows] == expected
+
+
+def test_key_missing_fail_fast_single_result(spark):
+    # valid_test.go:173-193 — exactly one keyMissing(bar1); the
+    # passing sibling check before it emits nothing, everything after
+    # is cancelled
+    rows = _run(spark, "yaml-cases/key_missing.yaml", "exam/key_missing.yaml")
+    assert len(rows) == 1
+    assert rows[0]["error_type"] == "keyMissing"
+    assert rows[0]["message"] == "key [bar1] is expected here"
+
+
+def test_constraint_of_not_contain_four(spark):
+    # valid_test.go:77-96 (inverted fixture naming: data in exam/,
+    # rules in yaml-cases/)
+    rows = _run(
+        spark, "exam/constraint_of.yaml", "yaml-cases/constraint_of_not_contain.yaml"
+    )
+    assert len(rows) == 4
+    assert all(r["error_type"] == "ofMismatch" for r in rows)
+    assert [r["key"] for r in rows] == ["strVal", "intVal", "floatVal", "boolVal"]
+
+
+def test_constraint_of_contain_zero(spark):
+    # valid_test.go:98-117
+    rows = _run(
+        spark, "exam/constraint_of.yaml", "yaml-cases/constraint_of_contain.yaml"
+    )
+    assert rows == []
+
+
+def test_openapi_two_regex_mismatches(spark):
+    # valid_test.go:120-138 — the 2 errors are the $reg
+    # "Description-[.]*" mismatches on tags[*].externalDocs.description
+    # (rule exam/openapi.yaml:34-36); tags[1] has no externalDocs and
+    # the rule marks it $optional → skipped
+    rows = _run(spark, "yaml-cases/openapi.yaml", "exam/openapi.yaml")
+    assert len(rows) == 2
+    assert all(r["error_type"] == "regxMismatch" for r in rows)
+    assert {r["path"] for r in rows} == {
+        "tags.0.externalDocs.description",
+        "tags.2.externalDocs.description",
+    }
+    assert all(
+        r["message"]
+        == "value for [description] must match regexp : Description-[.]*"
+        for r in rows
+    )
+
+
+def test_multi_doc_corpus_one_pass(spark):
+    """All golden pairs as one corpus: per-doc verdicts from a single
+    joined plan — the table-scale shape of document validation."""
+    fields = docs.yaml_docs_df(
+        spark,
+        [
+            os.path.join(FIX, "yaml-cases", "valid.yaml"),
+            os.path.join(FIX, "yaml-cases", "type_mismatch.yaml"),
+            os.path.join(FIX, "yaml-cases", "key_missing.yaml"),
+        ],
+    )
+    # one shared rule file validates only matching docs' paths; use
+    # the type_mismatch ruleset (others' fields are extra → tolerated)
+    rules = load_rules_file(os.path.join(FIX, "exam", "type_mismatch.yaml"))
+    v = docs.validate_yaml_docs(fields, rules)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in v.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_doc["type_mismatch.yaml"] == 8
+    # valid.yaml under the type_mismatch rules: map.stringVal etc.
+    # missing → fail-fast keyMissing (1)
+    assert per_doc.get("valid.yaml", 0) == 1
+    assert per_doc.get("key_missing.yaml", 0) == 1
