@@ -79,12 +79,13 @@ _STATIC_OK = {
     "$obj": (T.StructType, T.MapType),
     "$arr": (T.ArrayType,),
     "$null": (),  # $null has no static carrier; checked per-row (isNull)
+    "$seq": (T.ArrayType,),  # heterogeneous sequence: any element type
     "$bin": (T.BinaryType,),  # engine extension (dsl.EXT_TYPES)
 }
 
 
 def _static_type_ok(rule_type: str, dt: T.DataType) -> bool:
-    if rule_type == "$null":
+    if rule_type in ("$null", "$any"):
         return True
     return isinstance(dt, _STATIC_OK.get(rule_type, ()))
 
@@ -200,7 +201,9 @@ class _Compiler:
         rule_id = path
         sval = expr.cast("string")
 
-        if dynamic and not skip_type:
+        if dynamic and not skip_type and rule.rule_type == "$any":
+            pass  # $any: every inferred type is acceptable
+        elif dynamic and not skip_type:
             want = yamlmeta.TYPE_BY_TAG[yamlmeta.TAG_BY_TYPE[rule.rule_type]]
             cond = gate & (yamlmeta.infer_type_col(sval) != F.lit(want))
             self._emit(

@@ -59,13 +59,17 @@ _VT_BY_TAG = {
     "!!seq": "$arr",
 }
 
-# expected data value-type per scalar rule type (rule $null ↔ $nil)
+# expected data value-type per rule type (rule $null ↔ $nil); $any is
+# absent → no type check; $seq expects a sequence of any element type
+# ($seq/$any are declared-but-TODO in the reference — implemented
+# declared semantics, documented divergence)
 _VT_BY_RULE = {
     "$str": "$str",
     "$int": "$int",
     "$float": "$float",
     "$bool": "$bool",
     "$null": "$nil",
+    "$seq": "$arr",
 }
 
 FIELD_SCHEMA = (

@@ -181,10 +181,13 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
         if tnode is None:
             raise DSLError(f"type not found : [{key}]")
         rtype = _scalar_str(tnode)
-        if rtype not in ALL_TYPES or rtype in ("$seq", "$any"):  # noqa: PLR6201
-            # $seq/$any declared but unimplemented in the reference
-            # (rule.go:662-663 TODO) — keep them compile errors here.
+        if rtype not in ALL_TYPES:
             raise DSLError(f"type not match : [{key}]")
+        # $seq/$any are declared by the reference (rule.go:31,38) but
+        # unimplemented TODOs there (rule.go:662-663). This engine
+        # implements the DECLARED semantics — $seq: a sequence with
+        # elements of any type; $any: any value type — documented as
+        # exceeding the reference (like $key-reg enforcement).
         rule = Rule(key=key, rule_type=rtype)
 
     # presence: default required; $optional must be boolean true
@@ -247,7 +250,8 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
         want_tag = yamlmeta.TAG_BY_TYPE.get(rule.rule_type)
         vals: list[str] = []
         for i, el in enumerate(of.value):
-            if _node_tag(el) != want_tag:
+            # $any accepts enum elements of any scalar type
+            if rule.rule_type != "$any" and _node_tag(el) != want_tag:
                 raise DSLError(
                     f"the type of [{key}.{i}] must be [{rule.rule_type}]"
                     ",which is same with field"

@@ -119,3 +119,43 @@ def test_multi_doc_corpus_one_pass(spark):
     # missing → fail-fast keyMissing (1)
     assert per_doc.get("valid.yaml", 0) == 1
     assert per_doc.get("key_missing.yaml", 0) == 1
+
+
+def test_seq_any_declared_semantics(spark, tmp_path):
+    """$seq/$any are declared by the reference (rule.go:31,38) but
+    unimplemented TODOs (rule.go:662-663); the engine implements the
+    declared semantics: $seq = sequence with elements of any type,
+    $any = any value type (documented as exceeding the reference)."""
+    data = tmp_path / "het.yaml"
+    data.write_text(
+        "mixed: [1, a, true, ~]\n"
+        "anything: 0x1F\n"
+        "anything2: hello\n"
+        "notalist: scalar\n"
+    )
+    rules = tmp_path / "rules.yaml"
+    rules.write_text(
+        "mixed: {$type: $seq}\n"
+        "anything: {$type: $any}\n"
+        "anything2: {$type: $any, $of: [hello, 5]}\n"
+        "notalist: {$type: $seq}\n"
+    )
+    from invalid_spark import docs
+
+    rows = docs.validate_yaml_files(spark, str(data), str(rules)).collect()
+    # only the non-sequence under $seq fails; heterogeneous elements
+    # and both $any values (int spelling + enum member) pass
+    assert [(r["key"], r["error_type"], r["message"]) for r in rows] == [
+        ("notalist", "typeMismatch", "type for [notalist] must be [$seq]")
+    ]
+
+
+def test_any_of_mismatch(spark, tmp_path):
+    data = tmp_path / "d.yaml"
+    data.write_text("v: nope\n")
+    rules = tmp_path / "r.yaml"
+    rules.write_text("v: {$type: $any, $of: [yes, 5]}\n")
+    from invalid_spark import docs
+
+    rows = docs.validate_yaml_files(spark, str(data), str(rules)).collect()
+    assert len(rows) == 1 and rows[0]["error_type"] == "ofMismatch"

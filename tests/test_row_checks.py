@@ -404,3 +404,29 @@ def test_violation_samples_bounded(spark):
     assert [r["row_key"] for r in s.orderBy("sample_rank").collect()] == [
         "0", "1", "10", "11", "12", "13", "14"
     ]
+
+
+def test_seq_any_table_mode(spark):
+    """$seq types a heterogeneous array column (elements unchecked);
+    $any accepts every static type and every dynamic spelling."""
+    from invalid_spark.checks import rows as rc
+    from invalid_spark.dsl import load_rules
+
+    df = spark.createDataFrame(
+        [(1, ["1", "a", "true"], "0x1F", 5),
+         (2, None, "hello", 6)],
+        "id long, mixed array<string>, dyn string, n long",
+    )
+    rules = load_rules(
+        "mixed: {$type: $seq, $optional: true}\n"
+        "dyn: {$type: $any, $dynamic: true}\n"
+        "n: {$type: $any}\n"
+    )
+    v = rc.run_row_checks(df, rules, "id")
+    assert v.count() == 0
+    # $seq on a non-array column is a schema-level typeMismatch
+    bad = load_rules("n: {$type: $seq}\n")
+    vb = rc.run_row_checks(df, bad, "id")
+    rows_ = vb.collect()
+    assert len(rows_) == 1 and rows_[0]["error_type"] == "typeMismatch"
+    assert "[$seq]" in rows_[0]["message"]
