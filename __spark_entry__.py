@@ -212,7 +212,10 @@ def q_dedup_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "documents")
-    p = dedup.minhash_lsh_dedup(df, threshold=0.8, bands=4, rows=4)
+    par = 2 * spark.sparkContext.defaultParallelism
+    p = dedup.minhash_lsh_dedup(
+        df, threshold=0.8, bands=4, rows=4, parallelism=par
+    )
     return p.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -295,6 +295,10 @@ def main() -> None:
         "unit": "rows/sec",
         "queries": timings,
         "sf": sf_val,
+        # every per-query time is already min-of-2 trials (the timed()
+        # loop) — recorded so a single driver capture shows the trial
+        # count (VERDICT r1 bench-hygiene note)
+        "n": 2,
     }))
 
 

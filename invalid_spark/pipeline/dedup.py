@@ -242,15 +242,20 @@ def lsh_candidates(
     The bucket join is on (band, band_hash) — a pre-hashed key, so
     the shuffle is uniform unless many docs are near-identical; AQE
     skew-join splits those buckets."""
-    b = minhash_bands(df, bands, rows, n, text_col, key_col)
+    # persist the banded signatures: both sides of the self-join read
+    # them, and without materialization the whole shingle→md5→minhash
+    # aggregation pipeline runs twice (alias-renamed subtrees defeat
+    # ReuseExchange)
+    b = minhash_bands(df, bands, rows, n, text_col, key_col).persist()
     l = b.select(F.col("id").alias("a"), "band", "band_hash")
     r = b.select(F.col("id").alias("b"), "band", "band_hash")
-    return (
+    out = (
         l.join(r, ["band", "band_hash"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
+    return out
 
 
 def minhash_lsh_dedup(
@@ -261,10 +266,19 @@ def minhash_lsh_dedup(
     n: int = 3,
     text_col: str = "text",
     key_col: str = "doc_id",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold:
     (a, b, jaccard). The verification join touches only candidate
-    docs (semi-join pushdown), never the full corpus."""
+    docs (semi-join pushdown), never the full corpus.
+
+    ``parallelism``: repartition the corpus before shingling. Scan
+    parallelism is bounded by parquet row-group layout; on few-row-
+    group sources the shingle+md5 projection (the CPU-heavy stage)
+    would run on a handful of tasks. At production scale (row groups
+    ≫ cores) leave it None."""
+    if parallelism:
+        df = df.repartition(parallelism)
     # candidate pairs are tiny (near-dup rate << corpus); persist so
     # the LSH banding pipeline runs once, not once per downstream use
     cand = lsh_candidates(df, bands, rows, n, text_col, key_col).persist()
