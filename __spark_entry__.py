@@ -283,9 +283,16 @@ def q_ann_brute_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with md5-derived planes, so the DuckDB
+    oracle re-derives the identical index and replays bucketing,
+    multi-probe, and ranking — a full value check of the approximate
+    path (recall vs exact is asserted separately in pytest)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    out = similarity.lsh_ann(emb, q, k=5, planes=4, probe_hamming=1)
+    out = similarity.lsh_ann(
+        emb, q, k=5, probe_hamming=1,
+        plane_matrix=dedup.neardup_planes(64, 4),
+    )
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )
@@ -432,6 +439,24 @@ def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation pipeline (quality gate → language filter →
+    exact dedup → MinHash-LSH near-dup keeper) over the documents
+    table with planted exact duplicates; oracle replays every stage
+    in SQL including the recursive cluster-keeper selection."""
+    from invalid_spark.pipeline import curate
+
+    df = _t(spark, sf_dir, "documents")
+    extra = df.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    src = df.unionByName(extra)
+    out = curate.curation_decisions(
+        src, parallelism=2 * spark.sparkContext.defaultParallelism
+    )
+    return out.orderBy("id")
+
+
 def q_rowcheck_yaml_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-mode validation (the reference's literal NewYAML +
     NewRule + Validate workflow) over the reference's OWN vendored
@@ -505,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_phash_skew": q_unique_phash_skew,
         "rowcheck_json_events": q_rowcheck_json_events,
         "rowcheck_yaml_docs": q_rowcheck_yaml_docs,
+        "curate_documents": q_curate_documents,
         "violation_samples_orders": q_violation_samples_orders,
         "vector_check_embeddings": q_vector_check_embeddings,
     }
@@ -728,14 +754,14 @@ WHERE event_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
 """
 
 
-def _sql_text_quality() -> str:
+def _sql_text_quality(src: str = "documents") -> str:
     return f"""
 WITH f AS (
   SELECT doc_id, length(text) AS n_chars, {_TOKS} AS toks,
          len(regexp_extract_all(text, '{_PUNCT_RE}')) AS n_punct,
          len(regexp_extract_all(text, '[0-9]')) AS n_digit,
          len(regexp_extract_all(text, '\\S')) AS n_nonspace
-  FROM documents
+  FROM {src}
 ), g AS (
   SELECT doc_id, n_chars, len(toks) AS n_tokens,
          len(list_filter(toks, x -> list_contains([{_STOPLIST}], lower(x))))
@@ -773,7 +799,7 @@ FROM g
 """
 
 
-def _sql_text_langid() -> str:
+def _sql_text_langid(src: str = "documents") -> str:
     scores = {
         lang: f"len(regexp_extract_all(lower(text), '{pat}'))"
         for lang, pat in text.LANG_MARKERS.items()
@@ -787,7 +813,7 @@ WITH s AS (
          {scores['fr']} AS score_fr, {scores['es']} AS score_es,
          {scores['zh']} AS score_zh,
          {best} AS best
-  FROM documents
+  FROM {src}
 )
 SELECT doc_id, score_en, score_de, score_fr, score_es, score_zh,
   CASE WHEN best = 0 THEN 'und'
@@ -822,12 +848,16 @@ FROM u GROUP BY 1 HAVING count(*) > 1
 """
 
 
-_SQL_SHINGLE_CTE = f"""
+def _sql_shingle_cte(src: str = "documents") -> str:
+    return f"""
 sh AS (
   SELECT doc_id, {_SHINGLES} AS s
-  FROM (SELECT doc_id, {_NTOKS} AS t FROM documents)
+  FROM (SELECT doc_id, {_NTOKS} AS t FROM {src})
 )
 """
+
+
+_SQL_SHINGLE_CTE = _sql_shingle_cte()
 
 
 def _sql_dedup_jaccard() -> str:
@@ -848,10 +878,11 @@ WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.8
 """
 
 
-def _sql_minhash_pairs_ctes() -> str:
+def _sql_minhash_pairs_ctes(src: str = "documents") -> str:
     """Shared CTE chain ending in ``pairs(a, b, jaccard)`` — the
-    MinHash+LSH near-dup pipeline (threshold 0.8) replayed in SQL;
-    reused by the minhash entry and the cluster-decisions oracle."""
+    MinHash+LSH near-dup pipeline (threshold 0.8) replayed in SQL
+    over ``src``; reused by the minhash entry, the cluster-decisions
+    oracle, and the curation-composite oracle."""
     p = dedup.MINHASH_P
     sig_cols = ", ".join(
         f"min((h1 + {j} * h2) % {p}) AS s{j}" for j in range(16)
@@ -863,7 +894,7 @@ def _sql_minhash_pairs_ctes() -> str:
         f" AS band_hash FROM sig"
         for b in range(4)
     )
-    return f"""{_SQL_SHINGLE_CTE},
+    return f"""{_sql_shingle_cte(src)},
 ex AS (
   SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0
 ),
@@ -1047,6 +1078,112 @@ SELECT a, b, round(cosine, 6) AS cosine FROM ver WHERE cosine >= 0.3
 """
 
 
+def _sql_curate_documents() -> str:
+    langs = "'en', 'de', 'fr', 'es', 'zh'"
+    norm = ("trim(regexp_replace(regexp_replace(lower(s.text), "
+            "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))")
+    return f"""
+WITH RECURSIVE src AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+),
+q AS ({_sql_text_quality("src")}),
+lg AS ({_sql_text_langid("src")}),
+base AS (
+  SELECT s.doc_id AS id, q.quality_ok AS qok,
+         lg.lang_guess IN ({langs}) AS lok,
+         md5({norm}) AS fp
+  FROM src s JOIN q ON q.doc_id = s.doc_id JOIN lg ON lg.doc_id = s.doc_id
+),
+surv1 AS (SELECT id, fp FROM base WHERE qok AND lok),
+ke AS (SELECT fp, min(id) AS keep_id FROM surv1 GROUP BY fp),
+s1k AS (SELECT surv1.id, ke.keep_id FROM surv1 JOIN ke USING (fp)),
+src2 AS (
+  SELECT * FROM src
+  WHERE doc_id IN (SELECT id FROM s1k WHERE id = keep_id)
+),
+{_sql_minhash_pairs_ctes("src2")},
+edges AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION
+  SELECT b AS u, a AS v FROM pairs
+),
+reach(nid, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.nid = e.v
+),
+labels AS (SELECT nid, min(lbl) AS cluster_id FROM reach GROUP BY nid),
+near_drop AS (SELECT nid FROM labels WHERE nid <> cluster_id)
+SELECT base.id,
+       CASE WHEN NOT qok THEN 'low_quality'
+            WHEN NOT lok THEN 'wrong_lang'
+            WHEN s1k.id IS NOT NULL AND base.id <> s1k.keep_id
+              THEN 'exact_dup'
+            WHEN near_drop.nid IS NOT NULL THEN 'near_dup'
+            ELSE 'keep' END AS reason,
+       (CASE WHEN NOT qok THEN 'low_quality'
+             WHEN NOT lok THEN 'wrong_lang'
+             WHEN s1k.id IS NOT NULL AND base.id <> s1k.keep_id
+               THEN 'exact_dup'
+             WHEN near_drop.nid IS NOT NULL THEN 'near_dup'
+             ELSE 'keep' END) = 'keep' AS keep
+FROM base
+LEFT JOIN s1k ON base.id = s1k.id
+LEFT JOIN near_drop ON base.id = near_drop.nid
+"""
+
+
+def _sql_ann_lsh() -> str:
+    pls = dedup.neardup_planes(64, 4)
+    code_terms = []
+    for p, plane in enumerate(pls):
+        lits = ", ".join(repr(x) for x in plane)
+        dotp = (
+            f"list_reduce(list_transform(range(64), "
+            f"i -> nv[i+1] * [{lits}][i+1]), (a, b) -> a + b)"
+        )
+        code_terms.append(f"(CASE WHEN {dotp} >= 0 THEN {1 << p} ELSE 0 END)")
+    code_expr = "\n    + ".join(code_terms)
+    probe_selects = "SELECT vec_id, nv, code FROM q" + "".join(
+        f"\n  UNION ALL SELECT vec_id, nv, xor(code, {1 << p}) FROM q"
+        for p in range(4)
+    )
+    return f"""
+WITH nvt AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), un AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_reduce(
+           list_transform(v, y -> y * y), (a, b) -> a + b))) AS nv
+  FROM nvt
+  WHERE sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b)) > 0
+), codes AS (
+  SELECT vec_id, nv, {code_expr} AS code
+  FROM un
+), q AS (
+  SELECT vec_id, nv, code FROM codes WHERE vec_id < 10
+), probes AS (
+  {probe_selects}
+), cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(len(p.nv)),
+           i -> p.nv[i+1] * c.nv[i+1]), (x, y) -> x + y) AS cosine
+  FROM probes p JOIN codes c ON p.code = c.code AND c.vec_id <> p.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM cand
+)
+SELECT query_id, neighbor_id, rnk AS "rank", round(cosine, 6) AS cosine
+FROM ranked WHERE rnk <= 5
+"""
+
+
 def _sql_caption_eq_documents() -> str:
     return """
 SELECT CAST(doc_id AS VARCHAR) AS row_key, 'caption' AS col_name,
@@ -1223,6 +1360,7 @@ def oracle_sql() -> dict[str, str]:
         "rowcheck_dynamic_events": _sql_rowcheck_dynamic_events(),
         "rowcheck_json_events": _sql_rowcheck_json_events(),
         "rowcheck_yaml_docs": _sql_rowcheck_yaml_docs(),
+        "curate_documents": _sql_curate_documents(),
         "violation_samples_orders": _sql_violation_samples_orders(),
         "vector_check_embeddings": _sql_vector_check_embeddings(),
         "emb_neardup_cosine": _sql_emb_neardup(),
@@ -1230,8 +1368,9 @@ def oracle_sql() -> dict[str, str]:
         "caption_eq_documents": _sql_caption_eq_documents(),
         "unique_phash_skew": _sql_unique_phash_skew(),
         "ann_brute_topk_embeddings": _sql_ann_brute_topk(),
-        # ann_lsh_embeddings / ann_ivf_embeddings: seeded numpy
-        #   hyperplanes / codebook — rows-only
+        "ann_lsh_embeddings": _sql_ann_lsh(),
+        # ann_ivf_embeddings: sampled-k-means codebook (iterative,
+        #   driver-side numpy) — rows-only
         # tdigest_quantiles_lineitem: sketch, not SQL-exact — rows-only
         # image_validate_synth: Arrow-UDF image decode — rows-only
         # streaming lifecycle oracle above replays the checks in SQL

@@ -1,0 +1,124 @@
+"""End-to-end training-data curation: the composite pipeline a
+100 TB corpus actually runs before training — quality gate → language
+filter → exact dedup → near-dup (MinHash-LSH) keeper selection — as
+ONE DataFrame program emitting a per-document decision.
+
+Decision priority (first failing stage wins, mirroring the order a
+real pipeline applies them — cheap row-local gates before shuffling
+dedup stages):
+
+  1. ``low_quality`` — Gopher/C4-style gate (:func:`text.quality_features`)
+  2. ``wrong_lang``  — language ID not in the allow-list
+  3. ``exact_dup``   — md5-fingerprint group, keeper = min id
+  4. ``near_dup``    — MinHash-LSH cluster, keeper = min id in component
+  5. ``keep``
+
+Scale shape: stage 1+2 are one codegen projection over the corpus (no
+shuffle, no Python); exact dedup is one hash-aggregate of (16-byte
+fingerprint, id); near-dup runs ONLY on rows surviving 1-3 (semi-join
+pruned) through the bucketed LSH path — each stage shrinks the data
+the next stage shuffles, which is what makes the composite affordable
+at corpus scale.
+
+Every stage is SQL-replayable (md5 hashing, exact-rational ratios,
+recursive min-label reachability), so the whole composite is
+oracle-checked end-to-end in the driver gate (``curate_documents``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from invalid_spark.pipeline import dedup
+from invalid_spark.pipeline import text as T
+
+
+def curation_decisions(
+    df: DataFrame,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es", "zh"),
+    threshold: float = 0.8,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(id, keep, reason) for every input document."""
+    t = F.col(text_col)
+    toks = T.tokens(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    n_punct = F.regexp_count(t, F.lit(r"[.,;:!?()'\x22-]"))
+    n_digit = F.regexp_count(t, F.lit(r"[0-9]"))
+    n_nonspace = F.regexp_count(t, F.lit(r"\S"))
+    mean_tok = F.when(
+        n_tokens > 0, n_nonspace.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    digit_ratio = F.when(
+        n_chars > 0, n_digit.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    quality_ok = (
+        (n_tokens >= 10)
+        & (n_tokens <= 10000)
+        & (mean_tok >= 2.0)
+        & (mean_tok <= 12.0)
+        & (punct_ratio <= 0.2)
+        & (digit_ratio <= 0.3)
+    )
+    s = T.lang_scores(t)
+    best = F.greatest(*s.values())
+    guess = (
+        F.when(best == 0, F.lit("und"))
+        .when(s["zh"] == best, F.lit("zh"))
+        .when(s["en"] == best, F.lit("en"))
+        .when(s["de"] == best, F.lit("de"))
+        .when(s["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    # one projection computes every row-local signal (codegen, no
+    # shuffle): quality, language, exact-dup fingerprint
+    base = df.select(
+        F.col(key_col).alias("id"),
+        quality_ok.alias("qok"),
+        guess.isin(list(langs)).alias("lok"),
+        T.fingerprint(t).alias("fp"),
+    )
+
+    surv1 = base.filter("qok").filter("lok").select("id", "fp")
+    keep_exact = surv1.groupBy("fp").agg(F.min("id").alias("keep_id"))
+    s1k = surv1.join(keep_exact, "fp").select("id", "keep_id")
+    exact_drop = s1k.filter(F.col("id") != F.col("keep_id")).select("id")
+    surv2_ids = s1k.filter(F.col("id") == F.col("keep_id")).select("id")
+
+    # near-dup only over rows that survived the cheap gates: the LSH
+    # shuffle sees the pruned corpus, not the raw one
+    surv2 = df.join(
+        surv2_ids.withColumnRenamed("id", key_col), key_col, "left_semi"
+    )
+    pairs = dedup.minhash_lsh_dedup(
+        surv2, threshold=threshold, text_col=text_col, key_col=key_col,
+        parallelism=parallelism,
+    )
+    near = dedup.dedup_decisions(pairs)
+    near_drop = near.filter(~F.col("keep")).select("id")
+
+    ed = exact_drop.withColumn("__ed", F.lit(True))
+    nd = near_drop.withColumn("__nd", F.lit(True))
+    out = (
+        base.join(ed, "id", "left")
+        .join(nd, "id", "left")
+        .select(
+            "id",
+            F.when(~F.col("qok"), F.lit("low_quality"))
+            .when(~F.col("lok"), F.lit("wrong_lang"))
+            .when(F.col("__ed"), F.lit("exact_dup"))
+            .when(F.col("__nd"), F.lit("near_dup"))
+            .otherwise(F.lit("keep"))
+            .alias("reason"),
+        )
+        .withColumn("keep", F.col("reason") == "keep")
+        .select("id", "keep", "reason")
+    )
+    return out

@@ -129,6 +129,7 @@ def lsh_ann(
     seed: int = 7,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    plane_matrix: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: join queries to corpus buckets within
     Hamming distance ``probe_hamming`` of the query's bucket
@@ -137,9 +138,16 @@ def lsh_ann(
     Plan shape: corpus bucketing is one projection; the probe join
     is an equi-join on bucket id (queries exploded ×(1+planes) for
     Hamming-1); ranking is a window over per-bucket candidates.
+
+    ``plane_matrix`` overrides the seeded-numpy hyperplanes — pass
+    :func:`invalid_spark.pipeline.dedup.neardup_planes` for an index
+    any SQL engine can re-derive (the oracle-checked path).
     """
     dim = len(corpus.select(vec_col).first()[0])
-    pl = hyperplanes(dim, planes, seed)
+    pl = plane_matrix if plane_matrix is not None else hyperplanes(
+        dim, planes, seed
+    )
+    planes = len(pl)
     c = with_norm(corpus, vec_col, key_col).withColumn(
         "bucket", lsh_bucket(F.col("nv"), pl)
     )

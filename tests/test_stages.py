@@ -393,3 +393,30 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_img_b")
         spark.sql("DROP TABLE IF EXISTS t_ref_b")
+
+
+def test_curation_decisions_composite(spark):
+    """Composite curation: every doc gets exactly one decision; the
+    stage priority holds (planted exact dups of clean docs drop as
+    exact_dup, not near_dup; near-dup clusters keep exactly one)."""
+    from invalid_spark.pipeline import curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    extra = docs.filter("doc_id % 10 = 0").withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    src = docs.unionByName(extra)
+    n_src = src.count()
+    dec = curate.curation_decisions(src).cache()
+    assert dec.count() == n_src
+    assert dec.groupBy("id").count().filter("count > 1").count() == 0
+    by = {r["reason"]: r["n"] for r in
+          dec.groupBy("reason").agg(F.count("*").alias("n")).collect()}
+    # planted copies of surviving originals must drop as exact_dup
+    assert by.get("exact_dup", 0) > 0
+    # near-dup pairs exist in the corpus (25 LSH pairs at sf0.01)
+    assert by.get("near_dup", 0) > 0
+    assert by.get("keep", 0) > 0
+    # keep implies not dropped by any stage; drops have a reason
+    assert dec.filter("keep AND reason <> 'keep'").count() == 0
+    dec.unpersist()
