@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from invalid_spark import mathutil
@@ -163,6 +163,153 @@ def chi2_statistic_df(
         F.first("n").alias("n_cur"),
         F.first("m").alias("n_prior"),
     )
+
+
+STATE_SCHEMA = (
+    "column_name string, test string, bucket long, cat string, cnt long, "
+    "lo double, hi double, bins int, n long"
+)
+
+
+def numeric_state(
+    df: DataFrame, col: str, bins: int = 256,
+    clip: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Persistable drift state for a numeric column: the bucketed
+    histogram plus its grid (lo, hi, bins). O(bins) rows regardless
+    of table size — continuous validation stores this per run instead
+    of re-scanning the prior snapshot (cost per comparison drops from
+    O(prior table) to O(bins))."""
+    v = df.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    if clip is not None:
+        qlo, qhi = clip
+        mm = v.agg(
+            F.percentile_approx("v", F.lit(qlo), F.lit(10000)).alias("lo"),
+            F.percentile_approx("v", F.lit(qhi), F.lit(10000)).alias("hi"),
+        ).collect()[0]
+    else:
+        mm = v.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    lo, hi = mm.lo, mm.hi
+    width = ((hi - lo) / bins or 1.0) if lo is not None else 1.0
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col("v") - F.lit(lo)) / F.lit(width))),
+    )
+    hist = v.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return hist.select(
+        F.lit(col).alias("column_name"),
+        F.lit("ks").alias("test"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.lit(None).cast("string").alias("cat"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.lit(float(lo) if lo is not None else None).alias("lo"),
+        F.lit(float(hi) if hi is not None else None).alias("hi"),
+        F.lit(bins).alias("bins"),
+        F.sum("cnt").over(tot).cast("long").alias("n"),
+    )
+
+
+def categorical_state(df: DataFrame, col: str) -> DataFrame:
+    """Persistable drift state for a categorical column: value
+    counts. O(|categories|) rows."""
+    tab = df.groupBy(F.col(col).cast("string").alias("cat")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return tab.select(
+        F.lit(col).alias("column_name"),
+        F.lit("chi2").alias("test"),
+        F.lit(None).cast("long").alias("bucket"),
+        "cat",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.lit(None).cast("double").alias("lo"),
+        F.lit(None).cast("double").alias("hi"),
+        F.lit(None).cast("int").alias("bins"),
+        F.sum("cnt").over(tot).cast("long").alias("n"),
+    )
+
+
+def ks_drift_vs_state(
+    df: DataFrame, col: str, state: DataFrame, threshold: float = 0.01
+) -> DriftResult:
+    """KS drift of ``df[col]`` against a STORED histogram (the prior
+    run's :func:`numeric_state`): the current side is bucketed on the
+    stored grid (one aggregation of the current table; the prior
+    snapshot is never touched), the statistic is the same exact
+    integer cross-multiplication over two ≤bins histograms,
+    driver-side over O(bins) numbers."""
+    srows = [r for r in state.collect() if r["test"] == "ks" and r["column_name"] == col]
+    if not srows:
+        raise ValueError(f"no stored ks state for column [{col}]")
+    lo, hi, bins = srows[0]["lo"], srows[0]["hi"], srows[0]["bins"]
+    m = srows[0]["n"]
+    prev = [0] * bins
+    for r in srows:
+        prev[int(r["bucket"])] = r["cnt"]
+    width = (hi - lo) / bins or 1.0
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)),
+        ),
+    )
+    rows_ = (
+        df.filter(F.col(col).isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    cur = [0] * bins
+    for r in rows_:
+        cur[int(r["bucket"])] = r["cnt"]
+    n = sum(cur)
+    num, cc, cp = 0, 0, 0
+    for a, b in zip(cur, prev):
+        cc += a
+        cp += b
+        num = max(num, abs(cc * m - cp * n))
+    d = (num / (n * m)) if n and m else 0.0
+    p = mathutil.ks_pvalue(d, n, m)
+    return DriftResult(col, "ks", d, p, p < threshold, threshold, n, m)
+
+
+def chi2_drift_vs_state(
+    df: DataFrame, col: str, state: DataFrame, threshold: float = 0.01
+) -> DriftResult:
+    """Chi-square drift against stored category counts."""
+    srows = [
+        r for r in state.collect()
+        if r["test"] == "chi2" and r["column_name"] == col
+    ]
+    if not srows:
+        raise ValueError(f"no stored chi2 state for column [{col}]")
+    prev = {r["cat"]: r["cnt"] for r in srows}
+    cur = {
+        r["cat"]: r["cnt"]
+        for r in df.groupBy(F.col(col).cast("string").alias("cat"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    cats = sorted(set(prev) | set(cur), key=str)
+    n, m = sum(cur.values()), sum(prev.values())
+    stat = 0.0
+    for cat in cats:
+        o1, o2 = cur.get(cat, 0), prev.get(cat, 0)
+        r = o1 + o2
+        if r > 0:
+            d = o1 * m - o2 * n
+            stat += (float(d) * float(d)) / r
+    stat = stat / (n * m) if n and m else 0.0
+    dof = max(len(cats) - 1, 1)
+    p = mathutil.chi2_pvalue(stat, dof)
+    return DriftResult(col, "chi2", stat, p, p < threshold, threshold, n, m)
 
 
 def ks_drift(

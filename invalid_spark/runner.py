@@ -323,24 +323,62 @@ def validate(
         met.write.mode("overwrite").parquet(os.path.join(out_dir, "metrics"))
 
     # ---- drift stage (snapshot-vs-snapshot, outside unit loop) ---------
-    if prev_df is not None and plan.drift_specs:
+    # Comparison source, in priority order: an explicit prev_df
+    # (rescan path), else the PREVIOUS run's persisted O(bins) drift
+    # state under out_dir/drift_state — continuous validation never
+    # re-reads the prior snapshot. Either way this run's state is
+    # written for the next run.
+    state_dir = os.path.join(out_dir, "drift_state")
+    if plan.drift_specs:
+        stored = (
+            spark.read.parquet(state_dir)
+            if prev_df is None and os.path.exists(state_dir)
+            else None
+        )
         rows = []
         for col, spec in plan.drift_specs:
             test = spec.get("test", "ks")
             thr = float(spec.get("threshold", 0.01))
-            if test == "chi2":
-                r = drift_checks.chi2_drift(df, prev_df, col, thr)
+            if prev_df is not None:
+                if test == "chi2":
+                    r = drift_checks.chi2_drift(df, prev_df, col, thr)
+                else:
+                    r = drift_checks.ks_drift(df, prev_df, col, threshold=thr)
+            elif stored is not None:
+                if test == "chi2":
+                    r = drift_checks.chi2_drift_vs_state(df, col, stored, thr)
+                else:
+                    r = drift_checks.ks_drift_vs_state(df, col, stored, thr)
             else:
-                r = drift_checks.ks_drift(df, prev_df, col, threshold=thr)
-            rows.append(
-                (col, r.test, float(r.statistic), float(r.p_value),
-                 bool(r.drifted), run_id, snapshot)
+                r = None  # first run: nothing to compare against yet
+            if r is not None:
+                rows.append(
+                    (col, r.test, float(r.statistic), float(r.p_value),
+                     bool(r.drifted), run_id, snapshot)
+                )
+        if rows:
+            spark.createDataFrame(
+                rows,
+                "column string, test string, statistic double, p_value double, "
+                "drifted boolean, run_id string, snapshot_id string",
+            ).write.mode("overwrite").parquet(os.path.join(out_dir, "drift"))
+        # persist this run's state (tmp + swap: a crash mid-write must
+        # not destroy the previous state)
+        states = None
+        for col, spec in plan.drift_specs:
+            s = (
+                drift_checks.categorical_state(df, col)
+                if spec.get("test", "ks") == "chi2"
+                else drift_checks.numeric_state(df, col)
             )
-        spark.createDataFrame(
-            rows,
-            "column string, test string, statistic double, p_value double, "
-            "drifted boolean, run_id string, snapshot_id string",
-        ).write.mode("overwrite").parquet(os.path.join(out_dir, "drift"))
+            states = s if states is None else states.unionByName(s)
+        tmp_dir = state_dir + ".tmp"
+        states.write.mode("overwrite").parquet(tmp_dir)
+        import shutil
+
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.replace(tmp_dir, state_dir)
 
     return result
 

@@ -277,3 +277,35 @@ def test_incremental_successive_deltas_not_skipped(spark, tmp_path):
         runner.validate_incremental(
             spark, t3, t2, RULES, "image_id", out, dims=dims
         )
+
+
+def test_drift_state_continuous_runs(spark, tmp_path):
+    """Continuous validation without re-scanning the prior snapshot:
+    run 1 persists O(bins) drift state; run 2 (shifted distribution,
+    no prev_df) flags drift against the stored state; run 3 (same
+    distribution as 2) does not."""
+    out = str(tmp_path / "cont")
+    rules = load_rules(
+        "w: {$type: $int, $drift: {test: ks, threshold: 0.01}}\n"
+        "fmt: {$type: $str, $drift: {test: chi2, threshold: 0.01}}\n"
+    )
+    base = synth.images_prev_df(spark, N, drifted=True).filter(
+        "w BETWEEN 1 AND 1000"
+    )
+    cur = synth.images_df(spark, N).filter("w BETWEEN 1 AND 1000")
+    runner.validate(spark, base, rules, "image_id", out, snapshot="s1",
+                    manifest_dir=os.path.join(out, "m1"))
+    assert os.path.exists(os.path.join(out, "drift_state"))
+    assert not os.path.exists(os.path.join(out, "drift"))  # nothing to compare yet
+    runner.validate(spark, cur, rules, "image_id", out, snapshot="s2",
+                    manifest_dir=os.path.join(out, "m2"))
+    d2 = {r["column"]: r for r in
+          spark.read.parquet(os.path.join(out, "drift")).collect()}
+    assert d2["w"]["drifted"] and d2["fmt"]["drifted"]
+    # run 3: identical distribution to run 2 → no drift
+    runner.validate(spark, cur, rules, "image_id", out, snapshot="s3",
+                    manifest_dir=os.path.join(out, "m3"))
+    d3 = {r["column"]: r for r in
+          spark.read.parquet(os.path.join(out, "drift")).collect()}
+    assert not d3["w"]["drifted"] and not d3["fmt"]["drifted"]
+    assert d3["w"]["statistic"] == 0.0
