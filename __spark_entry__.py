@@ -234,6 +234,15 @@ def q_dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(df, bits=32).withColumnRenamed("id", "doc_id")
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates via the pigeonhole block join
+    (any pair within Hamming radius h agrees exactly on ≥1 of h+1
+    signature blocks) — never all-pairs; the oracle replays blocks,
+    join, and popcount distance."""
+    df = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(df, max_hamming=3, bits=32)
+
+
 def q_rowcheck_dynamic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic (YAML core-schema) per-row typing: ``props`` carries
     stringly scalars with mixed spellings; the rule demands ``$int``
@@ -518,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_documents": q_dedup_minhash_lsh_documents,
         "dedup_decisions_documents": q_dedup_decisions_documents,
         "dedup_simhash_documents": q_dedup_simhash_documents,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "rowcheck_dynamic_events": q_rowcheck_dynamic_events,
         "emb_neardup_cosine": q_emb_neardup_cosine,
         "emb_neardup_lsh": q_emb_neardup_lsh,
@@ -984,6 +994,29 @@ SELECT doc_id, {sig} AS simhash FROM votes
 """
 
 
+def _sql_dedup_simhash_pairs() -> str:
+    # blocks: 32-bit signature split into 4 × 8-bit blocks
+    # (max_hamming=3 → 4 blocks by pigeonhole)
+    return f"""
+WITH sig AS (
+  SELECT doc_id, simhash FROM ({_sql_dedup_simhash()})
+),
+e AS (
+  SELECT doc_id, simhash, b.blk,
+         (simhash >> (b.blk * 8)) & 255 AS val
+  FROM sig, (VALUES (0), (1), (2), (3)) AS b(blk)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         x.simhash AS ha, y.simhash AS hb
+  FROM e x JOIN e y
+    ON x.blk = y.blk AND x.val = y.val AND x.doc_id < y.doc_id
+)
+SELECT a, b, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
 def _sql_rowcheck_dynamic_events() -> str:
     from invalid_spark import yamlmeta
 
@@ -1357,6 +1390,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh_documents": _sql_dedup_minhash_lsh(),
         "dedup_decisions_documents": _sql_dedup_decisions(),
         "dedup_simhash_documents": _sql_dedup_simhash(),
+        "dedup_simhash_pairs": _sql_dedup_simhash_pairs(),
         "rowcheck_dynamic_events": _sql_rowcheck_dynamic_events(),
         "rowcheck_json_events": _sql_rowcheck_json_events(),
         "rowcheck_yaml_docs": _sql_rowcheck_yaml_docs(),
