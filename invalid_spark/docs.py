@@ -151,6 +151,55 @@ def yaml_docs_df(spark: SparkSession, paths: list[str]) -> DataFrame:
     return spark.createDataFrame(rows, FIELD_SCHEMA)
 
 
+def yaml_docs_from_table(
+    df: DataFrame,
+    text_col: str = "yaml",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-scale ingest: a table COLUMN of YAML document strings →
+    the flattened node table, parsed on the executors via
+    ``mapInPandas`` (Arrow batches — config documents are small, so a
+    batch holds thousands; no driver round-trip, scales with the
+    cluster). This is the path for validating millions of stored
+    configs/manifests: ``spark.read`` the table, flatten here, then
+    :func:`validate_yaml_docs` exactly as in the file-based mode.
+
+    Unparseable or empty documents yield a single sentinel row
+    (``vtype='$error'``, ``value``=message): downstream validation
+    naturally fails every required root rule for them (no child rows
+    exist), and :func:`parse_errors` lists them directly."""
+    import pandas as pd
+
+    cols = [
+        "doc_id", "path", "rpath", "parent_path", "parent_rpath",
+        "key", "vtype", "value", "elems",
+    ]
+
+    def parse(batches):
+        for pdf in batches:
+            out: list[tuple] = []
+            for did, txt in zip(pdf[key_col], pdf[text_col]):
+                did = str(did)
+                try:
+                    out.extend(flatten_document(txt, did))
+                except Exception as e:  # malformed YAML → sentinel
+                    out.append(
+                        (did, "", "", "", "", "", "$error", str(e)[:500], [])
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(
+        F.col(key_col).cast("string").alias(key_col), F.col(text_col)
+    ).mapInPandas(parse, FIELD_SCHEMA)
+
+
+def parse_errors(fields: DataFrame) -> DataFrame:
+    """(doc_id, message) for documents that failed to parse."""
+    return fields.filter(F.col("vtype") == "$error").select(
+        "doc_id", F.col("value").alias("message")
+    )
+
+
 def _flatten_rules(rules: RuleSet) -> list[tuple]:
     out: list[tuple] = []
 

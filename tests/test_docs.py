@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from invalid_spark import docs
 from invalid_spark.dsl import load_rules_file
 
@@ -159,3 +161,116 @@ def test_any_of_mismatch(spark, tmp_path):
 
     rows = docs.validate_yaml_files(spark, str(data), str(rules)).collect()
     assert len(rows) == 1 and rows[0]["error_type"] == "ofMismatch"
+
+
+def test_various_value_inference_parity(spark):
+    """Document-mode flattening reproduces the reference's asserted
+    scalar type inference (yaml_test.go:26-181 over
+    test/yaml-cases/various_value.yaml): YAML 1.2 core schema by
+    spelling — octal/hex are ints, dot-less exponents are floats,
+    y/n/yes are STRINGS, quoted numbers stay strings."""
+    fields = docs.yaml_docs_df(
+        spark, [os.path.join(FIX, "yaml-cases", "various_value.yaml")]
+    )
+    vt = {r["key"]: r["vtype"] for r in fields.collect() if r["path"]}
+    expected = {
+        "negative": "$int", "zero": "$int", "positive": "$int",
+        "canonical": "$int", "octal": "$int", "hexadecimal": "$int",
+        "decimal": "$str", "sexagesimal": "$str", "sexagesimal2": "$str",
+        "fixed": "$str",
+        "canonical2": "$float", "exponential": "$float",
+        "negativeInfinity": "$float", "not a number": "$float",
+        "null": "$nil",
+        "true": "$str",   # y  — YAML 1.1 bool, 1.2 string
+        "false": "$str",  # n
+        "true2": "$str",  # yes
+        "true3": "$bool", "true4": "$bool",
+        "string": "$str",  # quoted '12345'
+    }
+    got = {k: vt[k] for k in expected}
+    assert got == expected
+
+
+def test_yaml_docs_from_table_distributed_parse(spark):
+    """Corpus-scale ingest: YAML strings in a table column parse on
+    the executors (mapInPandas) into the same node table the
+    file-based path produces; malformed docs get a sentinel row and
+    fail validation instead of killing the job."""
+    rows = [
+        (1, "a: 1\nb: hello\n"),
+        (2, "a: nope\nb: world\n"),          # a fails $int
+        (3, "a: [unclosed\n"),                # malformed YAML
+        (4, "b: only\n"),                     # a missing (required)
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, yaml string")
+    fields = docs.yaml_docs_from_table(src, text_col="yaml")
+    # parity with the driver-side flattener on a well-formed doc
+    drv = docs.flatten_document(rows[0][1], "1")
+    dist = sorted(
+        tuple(r) for r in fields.filter("doc_id = '1'").collect()
+    )
+    assert sorted(tuple(d) for d in drv) == dist
+    errs = docs.parse_errors(fields).collect()
+    assert [e["doc_id"] for e in errs] == ["3"]
+    from invalid_spark.dsl import load_rules
+
+    v = docs.validate_yaml_docs(
+        fields, load_rules("a: {$type: $int}\nb: {$type: $str}\n")
+    )
+    by_doc = {r["doc_id"]: (r["error_type"], r["key"]) for r in v.collect()}
+    assert by_doc["2"] == ("typeMismatch", "a")
+    assert by_doc["4"] == ("keyMissing", "a")
+    assert by_doc["3"] == ("keyMissing", "a")  # sentinel doc: no fields
+    assert "1" not in by_doc
+
+
+def test_docs_vs_table_dynamic_agree(spark):
+    """Cross-surface consistency: document-mode type checking and
+    table-mode `$dynamic` (the Catalyst CASE/regex chain) must agree
+    on every plain-scalar spelling × rule-type combination — the two
+    surfaces implement ONE semantics (yamlmeta core-schema), so a
+    divergence is a bug in one of them."""
+    from invalid_spark.checks import rows as rc
+    from invalid_spark.dsl import load_rules
+
+    spellings = [
+        "1", "-12", "0xC", "014", "1e2", "1.5", "-.inf", ".NaN",
+        "true", "False", "yes", "n", "~", "null", "hello", "12345",
+        "+12,345", "3:25:45", "0b101",
+    ]
+    rtypes = ["$int", "$float", "$bool", "$null", "$str"]
+    # docs surface: one document per (spelling, rtype) pair
+    rows_tbl, yaml_rows = [], []
+    for i, sp in enumerate(spellings):
+        for j, rt in enumerate(rtypes):
+            did = i * 10 + j
+            yaml_rows.extend(
+                docs.flatten_document(f"v: {sp}\n", str(did))
+            )
+            rows_tbl.append((did, sp, rt))
+    fields = spark.createDataFrame(yaml_rows, docs.FIELD_SCHEMA)
+    doc_viol = set()
+    for rt in rtypes:
+        rules = load_rules(f"v: {{$type: {rt}}}\n")
+        v = docs.validate_yaml_docs(
+            fields.filter(
+                F.col("doc_id").cast("long") % 10 == rtypes.index(rt)
+            ),
+            rules,
+        )
+        doc_viol |= {
+            (int(r["doc_id"]), r["error_type"]) for r in v.collect()
+        }
+    # table surface: same pairs through the $dynamic CASE chain
+    tab_viol = set()
+    for rt in rtypes:
+        rules = load_rules(f"v: {{$type: {rt}, $dynamic: true}}\n")
+        sub = spark.createDataFrame(
+            [(d, s) for d, s, r in rows_tbl if r == rt],
+            "doc_id long, v string",
+        )
+        v = rc.run_row_checks(sub, rules, "doc_id")
+        tab_viol |= {
+            (int(r["row_key"]), r["error_type"]) for r in v.collect()
+        }
+    assert doc_viol == tab_viol
