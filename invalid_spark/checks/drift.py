@@ -98,10 +98,11 @@ def ks_statistic_df(
     )
     return cdfs.select(num.alias("num"), "n_cur", "n_prior").groupBy().agg(
         F.first(F.lit(col)).alias("column_name"),
-        (
+        F.when(
+            (F.first("n_cur") > 0) & (F.first("n_prior") > 0),
             F.max("num").cast("double")
-            / (F.first("n_cur") * F.first("n_prior")).cast("double")
-        ).alias("statistic"),
+            / (F.first("n_cur") * F.first("n_prior")).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("statistic"),
         F.first("n_cur").alias("n_cur"),
         F.first("n_prior").alias("n_prior"),
     )
@@ -155,10 +156,11 @@ def chi2_statistic_df(
     )
     return terms.groupBy().agg(
         F.first(F.lit(col)).alias("column_name"),
-        (
+        F.when(
+            (F.first("n") > 0) & (F.first("m") > 0),
             folded
-            / (F.first("n").cast("double") * F.first("m").cast("double"))
-        ).alias("statistic"),
+            / (F.first("n").cast("double") * F.first("m").cast("double")),
+        ).otherwise(F.lit(0.0)).alias("statistic"),
         F.greatest(F.count(F.lit(1)) - 1, F.lit(1)).alias("dof"),
         F.first("n").alias("n_cur"),
         F.first("m").alias("n_prior"),
@@ -276,7 +278,7 @@ def ks_drift_vs_state(
         cp += b
         num = max(num, abs(cc * m - cp * n))
     d = (num / (n * m)) if n and m else 0.0
-    p = mathutil.ks_pvalue(d, n, m)
+    p = mathutil.ks_pvalue(d, n, m) if n and m else 1.0
     return DriftResult(col, "ks", d, p, p < threshold, threshold, n, m)
 
 
@@ -308,7 +310,7 @@ def chi2_drift_vs_state(
             stat += (float(d) * float(d)) / r
     stat = stat / (n * m) if n and m else 0.0
     dof = max(len(cats) - 1, 1)
-    p = mathutil.chi2_pvalue(stat, dof)
+    p = mathutil.chi2_pvalue(stat, dof) if n and m else 1.0
     return DriftResult(col, "chi2", stat, p, p < threshold, threshold, n, m)
 
 
@@ -331,8 +333,9 @@ def ks_drift(
     ``clip=(0.01, 0.99)`` bounds the histogram range by quantiles
     instead of min/max — see :func:`ks_statistic_df`."""
     row = ks_statistic_df(cur, prev, col, bins=bins, clip=clip).collect()[0]
-    d, n, m = float(row.statistic), int(row.n_cur), int(row.n_prior)
-    p = mathutil.ks_pvalue(d, n, m)
+    d = float(row.statistic or 0.0)
+    n, m = int(row.n_cur or 0), int(row.n_prior or 0)
+    p = mathutil.ks_pvalue(d, n, m) if n and m else 1.0
     return DriftResult(col, "ks", d, p, p < threshold, threshold, n, m)
 
 
@@ -346,7 +349,7 @@ def chi2_drift(
     combine); the driver only computes the p-value from the one-row
     statistic frame."""
     row = chi2_statistic_df(cur, prev, col).collect()[0]
-    stat, dof = float(row.statistic), int(row.dof)
-    n, m = int(row.n_cur), int(row.n_prior)
-    p = mathutil.chi2_pvalue(stat, dof)
+    stat, dof = float(row.statistic or 0.0), int(row.dof or 1)
+    n, m = int(row.n_cur or 0), int(row.n_prior or 0)
+    p = mathutil.chi2_pvalue(stat, dof) if n and m else 1.0
     return DriftResult(col, "chi2", stat, p, p < threshold, threshold, n, m)

@@ -62,7 +62,12 @@ _VT_BY_TAG = {
 # expected data value-type per rule type (rule $null ↔ $nil); $any is
 # absent → no type check; $seq expects a sequence of any element type
 # ($seq/$any are declared-but-TODO in the reference — implemented
-# declared semantics, documented divergence)
+# declared semantics, documented divergence). $obj/$arr are
+# DELIBERATELY absent: the reference emits no typeMismatch when a
+# container rule meets a scalar — ObjRule only recurses (children go
+# keyMissing, rule.go:169-171) and ArrRule iterates the node's
+# children, which a scalar has none of (rule.go:175-192); parity
+# asserted in tests/test_docs.py::test_container_rule_on_scalar_parity.
 _VT_BY_RULE = {
     "$str": "$str",
     "$int": "$int",
@@ -367,15 +372,33 @@ def validate_yaml_docs(fields: DataFrame, rules: RuleSet) -> DataFrame:
     )
 
     # ---- $arr scalar-constraint element checks (rule.go:175-184) ---
+    # the element's ValueType spelling is compared against the
+    # constraint's EXPECTED value type ($null ↔ $nil; $any matches
+    # every element). The reference cannot hit the $null/$any cases —
+    # its scalarTypes excludes both (rule.go:43-44 → compile error) —
+    # so this follows the engine's declared-semantics extension.
+    want_elem_vt = F.coalesce(
+        *(
+            [
+                F.when(F.col("constraint_scalar") == rt, F.lit(vt))
+                for rt, vt in _VT_BY_RULE.items()
+            ]
+            + [F.col("constraint_scalar")]
+        )
+    )
     arr_rules = rdf.filter(F.col("constraint_scalar").isNotNull()).select(
         F.col("rpath").alias("parent_rpath"),
         F.col("key").alias("arr_key"),
         "constraint_scalar",
+        want_elem_vt.alias("want_elem_vt"),
         F.col("pos_path").alias("arr_pos"),
     )
     elem_v = (
         fields.join(F.broadcast(arr_rules), "parent_rpath")
-        .filter(F.col("vtype") != F.col("constraint_scalar"))
+        .filter(
+            (F.col("constraint_scalar") != "$any")
+            & (F.col("vtype") != F.col("want_elem_vt"))
+        )
         .select(
             "doc_id", "path",
             F.concat("arr_key", F.lit("."), "key").alias("key"),

@@ -306,6 +306,8 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
                 d[k.value] = sv
             setattr(rule, attr, d)
     st = _mapping_get(value, "$stats")
+    if st is not None and _is_rule_node(st):
+        st = None  # "$stats" used as a data-key rule name
     if st is not None:
         if not isinstance(st, yaml.SequenceNode):
             raise DSLError("the type of of [$stats] must be [$seq]")
@@ -320,6 +322,8 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
             continue
         if kname.startswith("$"):
             is_spec = kname in ("$type", "$required", "$optional", "$key-reg")
+            if kname == "$constraint" and rule.rule_type == "$arr":
+                continue  # already consumed as the element constraint
             if not is_spec and _is_rule_node(v):
                 rule.children.append(_parse_rule(kname, v))
                 continue

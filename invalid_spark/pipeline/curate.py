@@ -44,45 +44,14 @@ def curation_decisions(
 ) -> DataFrame:
     """(id, keep, reason) for every input document."""
     t = F.col(text_col)
-    toks = T.tokens(t)
-    n_tokens = F.size(toks)
-    n_chars = F.length(t)
-    n_punct = F.regexp_count(t, F.lit(r"[.,;:!?()'\x22-]"))
-    n_digit = F.regexp_count(t, F.lit(r"[0-9]"))
-    n_nonspace = F.regexp_count(t, F.lit(r"\S"))
-    mean_tok = F.when(
-        n_tokens > 0, n_nonspace.cast("double") / n_tokens.cast("double")
-    ).otherwise(F.lit(0.0))
-    punct_ratio = F.when(
-        n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
-    ).otherwise(F.lit(0.0))
-    digit_ratio = F.when(
-        n_chars > 0, n_digit.cast("double") / n_chars.cast("double")
-    ).otherwise(F.lit(0.0))
-    quality_ok = (
-        (n_tokens >= 10)
-        & (n_tokens <= 10000)
-        & (mean_tok >= 2.0)
-        & (mean_tok <= 12.0)
-        & (punct_ratio <= 0.2)
-        & (digit_ratio <= 0.3)
-    )
-    s = T.lang_scores(t)
-    best = F.greatest(*s.values())
-    guess = (
-        F.when(best == 0, F.lit("und"))
-        .when(s["zh"] == best, F.lit("zh"))
-        .when(s["en"] == best, F.lit("en"))
-        .when(s["de"] == best, F.lit("de"))
-        .when(s["fr"] == best, F.lit("fr"))
-        .otherwise(F.lit("es"))
-    )
     # one projection computes every row-local signal (codegen, no
-    # shuffle): quality, language, exact-dup fingerprint
+    # shuffle): quality, language, exact-dup fingerprint — the
+    # expressions are the SHARED definitions from pipeline.text, so
+    # curation can never diverge from the standalone operators
     base = df.select(
         F.col(key_col).alias("id"),
-        quality_ok.alias("qok"),
-        guess.isin(list(langs)).alias("lok"),
+        T.quality_ok_col(t).alias("qok"),
+        T.lang_guess_col(t).isin(list(langs)).alias("lok"),
         T.fingerprint(t).alias("fp"),
     )
 

@@ -245,7 +245,9 @@ def lsh_candidates(
     # persist the banded signatures: both sides of the self-join read
     # them, and without materialization the whole shingle→md5→minhash
     # aggregation pipeline runs twice (alias-renamed subtrees defeat
-    # ReuseExchange)
+    # ReuseExchange). Candidates are materialized eagerly so the
+    # (corpus × bands)-sized cache can be RELEASED here — only the
+    # tiny candidate-pair cache outlives the call.
     b = minhash_bands(df, bands, rows, n, text_col, key_col).persist()
     l = b.select(F.col("id").alias("a"), "band", "band_hash")
     r = b.select(F.col("id").alias("b"), "band", "band_hash")
@@ -254,7 +256,10 @@ def lsh_candidates(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+        .persist()
     )
+    out.count()
+    b.unpersist()
     return out
 
 
@@ -279,9 +284,10 @@ def minhash_lsh_dedup(
     ≫ cores) leave it None."""
     if parallelism:
         df = df.repartition(parallelism)
-    # candidate pairs are tiny (near-dup rate << corpus); persist so
-    # the LSH banding pipeline runs once, not once per downstream use
-    cand = lsh_candidates(df, bands, rows, n, text_col, key_col).persist()
+    # candidate pairs are tiny (near-dup rate << corpus) and arrive
+    # already persisted + materialized from lsh_candidates, so the
+    # LSH banding pipeline runs once, not once per downstream use
+    cand = lsh_candidates(df, bands, rows, n, text_col, key_col)
     # restrict shingle-array construction to candidate docs BEFORE
     # computing the arrays: a broadcast semi-join prunes the corpus,
     # so the O(m²) array_distinct runs on candidates only.
@@ -551,11 +557,15 @@ def embedding_neardup_lsh(
             dot(F.col("nv"), pl) >= 0, F.lit(1 << p)
         ).otherwise(F.lit(0))
     coded = v.select("id", code.alias("code"))
+    # multi-probe: one probe per bit mask of popcount ≤ probe_hamming
+    # (C(planes, 0..h) probes — 9 at h=1/8 planes, 37 at h=2)
+    import itertools
+
     probes = [F.col("code")]
-    if probe_hamming >= 1:
-        probes += [
-            F.col("code").bitwiseXOR(F.lit(1 << p)) for p in range(planes)
-        ]
+    for h in range(1, probe_hamming + 1):
+        for bits in itertools.combinations(range(planes), h):
+            mask = sum(1 << p for p in bits)
+            probes.append(F.col("code").bitwiseXOR(F.lit(mask)))
     a = coded.select(
         F.col("id").alias("a"), F.explode(F.array(*probes)).alias("code")
     )

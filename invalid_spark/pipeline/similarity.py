@@ -154,12 +154,15 @@ def lsh_ann(
     q = with_norm(queries, vec_col, key_col).withColumn(
         "bucket", lsh_bucket(F.col("nv"), pl)
     )
-    # multi-probe: the query's own bucket + every bucket 1 bit away
+    # multi-probe: the query's own bucket + every bucket within
+    # Hamming distance probe_hamming (C(planes, 0..h) probes)
+    import itertools
+
     probes = [F.col("bucket")]
-    if probe_hamming >= 1:
-        probes += [
-            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(planes)
-        ]
+    for h in range(1, probe_hamming + 1):
+        for bits in itertools.combinations(range(planes), h):
+            mask = sum(1 << p for p in bits)
+            probes.append(F.col("bucket").bitwiseXOR(F.lit(mask)))
     q = q.select(
         F.col("id").alias("qid"),
         F.col("nv").alias("qv"),

@@ -74,13 +74,61 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize(text))
 
 
+def quality_ok_col(t: Column) -> Column:
+    """The composite Gopher/C4-style keep/drop verdict as a single
+    Column expression — ONE definition shared by
+    :func:`quality_features` and the curation pipeline (a threshold
+    tweak here changes both, and the DuckDB oracles mirror these
+    exact constants)."""
+    toks = tokens(t)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    n_punct = F.regexp_count(t, F.lit(r"[.,;:!?()'\x22-]"))
+    n_digit = F.regexp_count(t, F.lit(r"[0-9]"))
+    n_nonspace = F.regexp_count(t, F.lit(r"\S"))
+    mean_tok = F.when(
+        n_tokens > 0, n_nonspace.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    digit_ratio = F.when(
+        n_chars > 0, n_digit.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        (n_tokens >= 10)
+        & (n_tokens <= 10000)
+        & (mean_tok >= 2.0)
+        & (mean_tok <= 12.0)
+        & (punct_ratio <= 0.2)
+        & (digit_ratio <= 0.3)
+    )
+
+
+def lang_guess_col(t: Column) -> Column:
+    """Language guess as a single Column expression (deterministic
+    tie-breaking: zh by CJK count first, then en>de>fr>es, 'und' when
+    no hits) — shared by :func:`lang_id` and the curation pipeline."""
+    s = lang_scores(t)
+    best = F.greatest(*s.values())
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(s["zh"] == best, F.lit("zh"))
+        .when(s["en"] == best, F.lit("en"))
+        .when(s["de"] == best, F.lit("de"))
+        .when(s["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text",
                      key_col: str = "doc_id") -> DataFrame:
     """Gopher/C4-style quality metrics, one projection.
 
     Integer counts + exact-rational ratios only (int/int division),
     so results are bit-identical across engines. ``quality_ok`` is
-    the composite keep/drop verdict a filtering pipeline would use.
+    the composite keep/drop verdict a filtering pipeline would use
+    (:func:`quality_ok_col`).
     """
     t = F.col(text_col)
     toks = tokens(t)
@@ -99,14 +147,7 @@ def quality_features(df: DataFrame, text_col: str = "text",
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
     digit_ratio = F.when(n_chars > 0, n_digit.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
 
-    quality_ok = (
-        (n_tokens >= 10)
-        & (n_tokens <= 10000)
-        & (mean_tok >= 2.0)
-        & (mean_tok <= 12.0)
-        & (punct_ratio <= 0.2)
-        & (digit_ratio <= 0.3)
-    )
+    quality_ok = quality_ok_col(t)
     return df.select(
         F.col(key_col),
         n_chars.alias("n_chars"),
@@ -134,17 +175,10 @@ def lang_scores(text: Column) -> dict[str, Column]:
 def lang_id(df: DataFrame, text_col: str = "text",
             key_col: str = "doc_id") -> DataFrame:
     """Stop-word-hit language ID with deterministic tie-breaking
-    (zh by CJK count first, then en>de>fr>es, 'und' when no hits)."""
+    (zh by CJK count first, then en>de>fr>es, 'und' when no hits —
+    :func:`lang_guess_col`)."""
     s = lang_scores(F.col(text_col))
-    best = F.greatest(*s.values())
-    guess = (
-        F.when(best == 0, F.lit("und"))
-        .when(s["zh"] == best, F.lit("zh"))
-        .when(s["en"] == best, F.lit("en"))
-        .when(s["de"] == best, F.lit("de"))
-        .when(s["fr"] == best, F.lit("fr"))
-        .otherwise(F.lit("es"))
-    )
+    guess = lang_guess_col(F.col(text_col))
     return df.select(
         F.col(key_col),
         s["en"].alias("score_en"),

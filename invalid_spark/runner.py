@@ -51,7 +51,9 @@ from invalid_spark.io import Manifest, snapshot_id
 # cast-to-string + isin() silently drops NULL rows (NULL.isin → NULL)
 # — in a validation engine the dirty rows are the point, so NULLs get
 # their own explicit unit on both the distinct() and slice-filter
-# sides.
+# sides. (A partition column whose STRING value is literally
+# "__null__" would merge with the NULL unit — both slices are still
+# validated, they just share one unit/verdict row.)
 NULL_UNIT = "__null__"
 
 
@@ -316,7 +318,12 @@ def validate(
             verd = report.partition_verdicts(df, all_v, run_id)
         else:
             done_now = sorted(manifest.done_units())
-            df_done = df.filter(_unit_expr(unit_of).isin(done_now))
+            # group verdicts by the SAME unit naming the manifest and
+            # violation rows use (NULL → __null__), so the three
+            # outputs join by unit value
+            df_done = df.withColumn(unit_of, _unit_expr(unit_of)).filter(
+                F.col(unit_of).isin(done_now)
+            )
             verd = report.group_verdicts(df_done, all_v, unit_of, row_key, run_id)
         verd.write.mode("overwrite").parquet(os.path.join(out_dir, "verdicts"))
         met = report.rule_metrics(all_v, run_id)
@@ -335,6 +342,16 @@ def validate(
             if prev_df is None and os.path.exists(state_dir)
             else None
         )
+        # The stored state is tagged with the snapshot it was built
+        # from: a resume/re-run of the SAME snapshot must not compare
+        # the table against its own state (statistic 0 would overwrite
+        # the real drift verdict) nor re-write identical state.
+        stored_snap = None
+        if stored is not None:
+            head = stored.select("snapshot_id").limit(1).collect()
+            stored_snap = head[0]["snapshot_id"] if head else None
+            if stored_snap == snapshot:
+                stored = None  # same table state: nothing new to test
         rows = []
         for col, spec in plan.drift_specs:
             test = spec.get("test", "ks")
@@ -345,10 +362,20 @@ def validate(
                 else:
                     r = drift_checks.ks_drift(df, prev_df, col, threshold=thr)
             elif stored is not None:
-                if test == "chi2":
-                    r = drift_checks.chi2_drift_vs_state(df, col, stored, thr)
-                else:
-                    r = drift_checks.ks_drift_vs_state(df, col, stored, thr)
+                try:
+                    if test == "chi2":
+                        r = drift_checks.chi2_drift_vs_state(
+                            df, col, stored, thr
+                        )
+                    else:
+                        r = drift_checks.ks_drift_vs_state(
+                            df, col, stored, thr
+                        )
+                except ValueError:
+                    # a $drift rule added since the stored run (or a
+                    # column with no prior state rows): nothing to
+                    # compare yet — its state is written below
+                    r = None
             else:
                 r = None  # first run: nothing to compare against yet
             if r is not None:
@@ -362,23 +389,25 @@ def validate(
                 "column string, test string, statistic double, p_value double, "
                 "drifted boolean, run_id string, snapshot_id string",
             ).write.mode("overwrite").parquet(os.path.join(out_dir, "drift"))
-        # persist this run's state (tmp + swap: a crash mid-write must
-        # not destroy the previous state)
-        states = None
-        for col, spec in plan.drift_specs:
-            s = (
-                drift_checks.categorical_state(df, col)
-                if spec.get("test", "ks") == "chi2"
-                else drift_checks.numeric_state(df, col)
-            )
-            states = s if states is None else states.unionByName(s)
-        tmp_dir = state_dir + ".tmp"
-        states.write.mode("overwrite").parquet(tmp_dir)
-        import shutil
+        # persist this run's state unless it is already current
+        # (tmp + swap: a crash mid-write must not destroy the
+        # previous state)
+        if not (prev_df is None and stored is None and stored_snap == snapshot):
+            states = None
+            for col, spec in plan.drift_specs:
+                s = (
+                    drift_checks.categorical_state(df, col)
+                    if spec.get("test", "ks") == "chi2"
+                    else drift_checks.numeric_state(df, col)
+                ).withColumn("snapshot_id", F.lit(snapshot))
+                states = s if states is None else states.unionByName(s)
+            tmp_dir = state_dir + ".tmp"
+            states.write.mode("overwrite").parquet(tmp_dir)
+            import shutil
 
-        if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
-        os.replace(tmp_dir, state_dir)
+            if os.path.exists(state_dir):
+                shutil.rmtree(state_dir)
+            os.replace(tmp_dir, state_dir)
 
     return result
 

@@ -274,3 +274,47 @@ def test_docs_vs_table_dynamic_agree(spark):
             (int(r["row_key"]), r["error_type"]) for r in v.collect()
         }
     assert doc_viol == tab_viol
+
+
+def test_container_rule_on_scalar_parity(spark, tmp_path):
+    """Reference parity: a container rule meeting a scalar emits NO
+    typeMismatch — ObjRule only recurses (required children go
+    keyMissing, rule.go:169-171) and ArrRule iterates the node's
+    children, which a scalar has none of (rule.go:175-192)."""
+    data = tmp_path / "d.yaml"
+    data.write_text("m: 42\nl: hello\n")
+    rules = tmp_path / "r.yaml"
+    rules.write_text(
+        "m:\n  $type: $obj\n  foo: {$type: $str, $optional: true}\n"
+        "l: {$type: $arr, $constraint: $int}\n"
+    )
+    rows = docs.validate_yaml_files(spark, str(data), str(rules)).collect()
+    assert rows == []
+    # but a REQUIRED child under the scalar-valued obj is keyMissing
+    rules2 = tmp_path / "r2.yaml"
+    rules2.write_text(
+        "m:\n  $type: $obj\n  foo: {$type: $str}\n"
+    )
+    rows2 = docs.validate_yaml_files(spark, str(data), str(rules2)).collect()
+    assert [(r["key"], r["error_type"]) for r in rows2] == [
+        ("foo", "keyMissing")
+    ]
+
+
+def test_constraint_null_and_any_elements(spark, tmp_path):
+    """$constraint: $null accepts null-spelled elements ($null rule ↔
+    $nil value type) and $constraint: $any accepts everything — the
+    reference compiles neither (scalarTypes excludes them,
+    rule.go:43-44); declared-semantics extension."""
+    data = tmp_path / "d.yaml"
+    data.write_text("nulls: [~, null]\nmixed: [1, a, true]\nbad: [1, ~]\n")
+    rules = tmp_path / "r.yaml"
+    rules.write_text(
+        "nulls: {$type: $arr, $constraint: $null}\n"
+        "mixed: {$type: $arr, $constraint: $any}\n"
+        "bad: {$type: $arr, $constraint: $null}\n"
+    )
+    rows = docs.validate_yaml_files(spark, str(data), str(rules)).collect()
+    assert [(r["key"], r["error_type"]) for r in rows] == [
+        ("bad.0", "typeMismatch")
+    ]

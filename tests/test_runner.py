@@ -302,6 +302,13 @@ def test_drift_state_continuous_runs(spark, tmp_path):
     d2 = {r["column"]: r for r in
           spark.read.parquet(os.path.join(out, "drift")).collect()}
     assert d2["w"]["drifted"] and d2["fmt"]["drifted"]
+    # idempotent re-run of the SAME snapshot must not self-compare
+    # (statistic 0) and overwrite the real verdict
+    runner.validate(spark, cur, rules, "image_id", out, snapshot="s2",
+                    manifest_dir=os.path.join(out, "m2"))
+    d2b = {r["column"]: r for r in
+           spark.read.parquet(os.path.join(out, "drift")).collect()}
+    assert d2b["w"]["drifted"] and d2b["fmt"]["drifted"]
     # run 3: identical distribution to run 2 → no drift
     runner.validate(spark, cur, rules, "image_id", out, snapshot="s3",
                     manifest_dir=os.path.join(out, "m3"))

@@ -420,3 +420,16 @@ def test_curation_decisions_composite(spark):
     # keep implies not dropped by any stage; drops have a reason
     assert dec.filter("keep AND reason <> 'keep'").count() == 0
     dec.unpersist()
+
+
+def test_drift_empty_side_returns_zero_not_crash(spark):
+    """An all-NULL (or empty) side must yield statistic 0 / p 1, not
+    a DIVIDE_BY_ZERO under ANSI mode — dirty priors are exactly what
+    a validation run encounters."""
+    cur = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    prev_null = spark.createDataFrame([(None,), (None,)], "v double")
+    r = drift.ks_drift(cur, prev_null, "v")
+    assert r.statistic == 0.0 and not r.drifted
+    empty = spark.createDataFrame([], "v string")
+    r2 = drift.chi2_drift(cur.selectExpr("CAST(v AS STRING) v"), empty, "v")
+    assert r2.statistic == 0.0 and not r2.drifted
