@@ -243,6 +243,27 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(df, max_hamming=3, bits=32)
 
 
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual-hash Hamming blocks (the phash
+    twin of SimHash): 60-bit hashes derived from the documents table,
+    near-identical twins planted 2 bits away; the pigeonhole block
+    join finds exactly the planted pairs — never all-pairs. Oracle
+    replays hashing, planting, blocks, and popcount."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("image_id"),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("phash"),
+    )
+    twins = base.filter(F.col("image_id") % 10 == 0).select(
+        (F.col("image_id") + 1_000_000).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit((1 << 3) | (1 << 37))).alias("phash"),
+    )
+    df = base.unionByName(twins)
+    return dedup.phash_neardup_pairs(df, max_hamming=3, bits=60)
+
+
 def q_rowcheck_dynamic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic (YAML core-schema) per-row typing: ``props`` carries
     stringly scalars with mixed spellings; the rule demands ``$int``
@@ -528,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decisions_documents": q_dedup_decisions_documents,
         "dedup_simhash_documents": q_dedup_simhash_documents,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "phash_neardup": q_phash_neardup,
         "rowcheck_dynamic_events": q_rowcheck_dynamic_events,
         "emb_neardup_cosine": q_emb_neardup_cosine,
         "emb_neardup_lsh": q_emb_neardup_lsh,
@@ -1017,6 +1039,32 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """
 
 
+def _sql_phash_neardup() -> str:
+    mask = (1 << 3) | (1 << 37)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS sig
+  FROM documents
+),
+alls AS (
+  SELECT id, sig FROM base
+  UNION ALL
+  SELECT id + 1000000, xor(sig, {mask}) FROM base WHERE id % 10 = 0
+),
+e AS (
+  SELECT id, sig, b.blk, (sig >> (b.blk * 15)) & 32767 AS val
+  FROM alls, (VALUES (0), (1), (2), (3)) AS b(blk)
+),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b, x.sig AS ha, y.sig AS hb
+  FROM e x JOIN e y ON x.blk = y.blk AND x.val = y.val AND x.id < y.id
+)
+SELECT a, b, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
 def _sql_rowcheck_dynamic_events() -> str:
     from invalid_spark import yamlmeta
 
@@ -1391,6 +1439,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_decisions_documents": _sql_dedup_decisions(),
         "dedup_simhash_documents": _sql_dedup_simhash(),
         "dedup_simhash_pairs": _sql_dedup_simhash_pairs(),
+        "phash_neardup": _sql_phash_neardup(),
         "rowcheck_dynamic_events": _sql_rowcheck_dynamic_events(),
         "rowcheck_json_events": _sql_rowcheck_json_events(),
         "rowcheck_yaml_docs": _sql_rowcheck_yaml_docs(),

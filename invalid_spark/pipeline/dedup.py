@@ -346,21 +346,20 @@ def simhash(
     return agg.select("id", sig.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    max_hamming: int = 3,
-    bits: int = 32,
-    text_col: str = "text",
-    key_col: str = "doc_id",
+def hamming_block_pairs(
+    sig: DataFrame, max_hamming: int, bits: int
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    """Pairs with Hamming distance ≤ ``max_hamming`` over a signature
+    frame (id, sig) — the shared pigeonhole-block engine behind
+    SimHash text dedup and phash image dedup.
 
-    Candidate generation uses the standard block trick: split the
-    signature into (max_hamming+1) blocks — any pair within the
-    Hamming radius agrees exactly on ≥1 block (pigeonhole), so the
-    join is on (block_idx, block_value), never all-pairs.
-    """
-    s = simhash(df, bits, text_col, key_col)
+    Split the signature into (max_hamming+1) blocks — any pair within
+    the Hamming radius agrees exactly on ≥1 block (pigeonhole), so
+    candidate generation is an EQUI-join on (block_idx, block_value),
+    never all-pairs; the exact popcount distance then verifies each
+    candidate. Scale shape: explode ×(h+1) + one bucket join whose
+    key is a hash block (uniform unless the corpus is one giant
+    near-dup cluster; AQE skew-join splits those buckets)."""
     nblocks = max_hamming + 1
     width = bits // nblocks
     blocks = F.explode(
@@ -368,7 +367,7 @@ def simhash_pairs(
             *[
                 F.struct(
                     F.lit(i).alias("blk"),
-                    F.shiftright(F.col("simhash"), i * width)
+                    F.shiftright(F.col("sig"), i * width)
                     .bitwiseAND(F.lit((1 << width) - 1))
                     .alias("val"),
                 )
@@ -376,11 +375,11 @@ def simhash_pairs(
             ]
         )
     ).alias("b")
-    e = s.select("id", "simhash", blocks).select(
-        "id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    e = sig.select("id", "sig", blocks).select(
+        "id", "sig", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
     )
-    l = e.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "blk", "val")
-    r = e.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "blk", "val")
+    l = e.select(F.col("id").alias("a"), F.col("sig").alias("ha"), "blk", "val")
+    r = e.select(F.col("id").alias("b"), F.col("sig").alias("hb"), "blk", "val")
     cand = (
         l.join(r, ["blk", "val"]).filter(F.col("a") < F.col("b"))
         .select("a", "b", "ha", "hb").distinct()
@@ -389,6 +388,40 @@ def simhash_pairs(
     return cand.select("a", "b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming
+    (:func:`hamming_block_pairs` over :func:`simhash` signatures)."""
+    s = simhash(df, bits, text_col, key_col).withColumnRenamed(
+        "simhash", "sig"
+    )
+    return hamming_block_pairs(s, max_hamming, bits)
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 4,
+    bits: int = 64,
+    hash_col: str = "phash",
+    key_col: str = "image_id",
+) -> DataFrame:
+    """IMAGE near-dup pairs by perceptual-hash Hamming distance —
+    the phash twin of SimHash text dedup (north-star uniqueness /
+    near-dup on phash at 10^12-image scale). The hash is a
+    precomputed column (the engine's own phash recompute lives in
+    checks/image.py); candidates come from the pigeonhole block join,
+    never all-pairs."""
+    s = df.select(
+        F.col(key_col).alias("id"), F.col(hash_col).cast("long").alias("sig")
+    )
+    return hamming_block_pairs(s, max_hamming, bits)
 
 
 # ---------------------------------------------------------------------------

@@ -433,3 +433,27 @@ def test_drift_empty_side_returns_zero_not_crash(spark):
     empty = spark.createDataFrame([], "v string")
     r2 = drift.chi2_drift(cur.selectExpr("CAST(v AS STRING) v"), empty, "v")
     assert r2.statistic == 0.0 and not r2.drifted
+
+
+def test_phash_neardup_planted_twins(spark, images):
+    """Image near-dup over real synthetic phashes: twins planted 2
+    bits away are all recovered; clean images produce no pairs; the
+    plan never builds a cartesian product."""
+    from invalid_spark.pipeline import dedup
+
+    base = images.select("image_id", "phash")
+    twins = base.filter(F.substring("image_id", 5, 12).cast("long") % 7 == 0).select(
+        F.concat(F.lit("twin-"), "image_id").alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit((1 << 5) | (1 << 44))).alias("phash"),
+    )
+    df = base.unionByName(twins)
+    p = dedup.phash_neardup_pairs(df, max_hamming=3, bits=64)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    rows = p.collect()
+    # dup_id-planted rows share an image_id, so their twins collapse
+    # to one id: compare against DISTINCT twin ids
+    n_twins = twins.select("image_id").distinct().count()
+    planted = {(r["a"], r["b"]) for r in rows if r["hamming"] == 2}
+    assert len(planted) >= n_twins
+    assert all(r["hamming"] <= 3 for r in rows)
