@@ -487,6 +487,16 @@ def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id")
 
 
+def q_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split — stable across
+    engines, partitionings, and runs (unlike randomSplit); the oracle
+    replays the md5 bucket arithmetic."""
+    from invalid_spark.pipeline import curate
+
+    d = _t(spark, sf_dir, "documents")
+    return curate.deterministic_split(d, "doc_id")
+
+
 def q_rowcheck_yaml_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-mode validation (the reference's literal NewYAML +
     NewRule + Validate workflow) over the reference's OWN vendored
@@ -563,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rowcheck_json_events": q_rowcheck_json_events,
         "rowcheck_yaml_docs": q_rowcheck_yaml_docs,
         "curate_documents": q_curate_documents,
+        "split_documents": q_split_documents,
         "violation_samples_orders": q_violation_samples_orders,
         "vector_check_embeddings": q_vector_check_embeddings,
     }
@@ -1159,6 +1170,18 @@ SELECT a, b, round(cosine, 6) AS cosine FROM ver WHERE cosine >= 0.3
 """
 
 
+def _sql_split_documents() -> str:
+    return """
+SELECT doc_id,
+       CASE WHEN CAST('0x' || substr(md5('split-v1-' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 10000 < 9000 THEN 'train'
+            WHEN CAST('0x' || substr(md5('split-v1-' || CAST(doc_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def _sql_curate_documents() -> str:
     langs = "'en', 'de', 'fr', 'es', 'zh'"
     norm = ("trim(regexp_replace(regexp_replace(lower(s.text), "
@@ -1444,6 +1467,7 @@ def oracle_sql() -> dict[str, str]:
         "rowcheck_json_events": _sql_rowcheck_json_events(),
         "rowcheck_yaml_docs": _sql_rowcheck_yaml_docs(),
         "curate_documents": _sql_curate_documents(),
+        "split_documents": _sql_split_documents(),
         "violation_samples_orders": _sql_violation_samples_orders(),
         "vector_check_embeddings": _sql_vector_check_embeddings(),
         "emb_neardup_cosine": _sql_emb_neardup(),

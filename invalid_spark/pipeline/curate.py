@@ -34,6 +34,50 @@ from invalid_spark.pipeline import dedup
 from invalid_spark.pipeline import text as T
 
 
+def deterministic_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Assign every row a stable train/val/test split label from a
+    hash of its key — the reproducible alternative to
+    ``randomSplit`` (whose assignment changes with partitioning and
+    re-runs, silently leaking val/test rows into training across
+    pipeline versions).
+
+    ``bucket = md5(salt || key) mod 10000``; cumulative weight
+    boundaries carve the bucket space, so the same (key, salt) maps
+    to the same split on any engine, any cluster size, any run — and
+    changing ``salt`` derives a fresh independent split. Pure
+    projection: no shuffle, no RNG state, SQL-replayable."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.lit("-"),
+                                       F.col(key_col).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long"),
+        F.lit(10000),
+    )
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        bound = int(round(acc * 10000))
+        e = F.when(bucket < bound, F.lit(name)) if expr is None else expr.when(
+            bucket < bound, F.lit(name)
+        )
+        expr = e
+    expr = (
+        expr.otherwise(F.lit(items[-1][0]))
+        if expr is not None
+        else F.lit(items[-1][0])
+    )
+    return df.select(F.col(key_col), expr.alias("split"))
+
+
 def curation_decisions(
     df: DataFrame,
     langs: tuple[str, ...] = ("en", "de", "fr", "es", "zh"),

@@ -457,3 +457,26 @@ def test_phash_neardup_planted_twins(spark, images):
     planted = {(r["a"], r["b"]) for r in rows if r["hamming"] == 2}
     assert len(planted) >= n_twins
     assert all(r["hamming"] <= 3 for r in rows)
+
+
+def test_deterministic_split_stable_and_proportional(spark):
+    from invalid_spark.pipeline import curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    s1 = curate.deterministic_split(docs, "doc_id").collect()
+    s2 = curate.deterministic_split(docs.repartition(7), "doc_id").collect()
+    # stable under repartition/re-run
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    from collections import Counter
+
+    by = Counter(r["split"] for r in s1)
+    n = len(s1)
+    assert abs(by["train"] / n - 0.9) < 0.05
+    assert by["train"] + by["val"] + by["test"] == n
+    # a different salt derives an independent split
+    s3 = curate.deterministic_split(docs, "doc_id", salt="v2").collect()
+    changed = sum(
+        1 for a, b in zip(sorted(map(tuple, s1)), sorted(map(tuple, s3)))
+        if a[1] != b[1]
+    )
+    assert changed > 0
