@@ -195,6 +195,34 @@ def q_text_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_text_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (duplicate-line fraction,
+    top-bigram fraction) — explode + two partial-combine aggregates,
+    exact int/int ratios; multi-line/repetitive docs planted by
+    deterministic text surgery so both signals fire."""
+    d = _t(spark, sf_dir, "documents")
+    derived = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            # repeat the text as 3 identical lines → dup_line_frac 2/3
+            F.concat_ws("\n", "text", "text", "text"),
+        ).when(
+            F.col("doc_id") % 11 == 0,
+            # loop one phrase → dominant bigram
+            F.concat_ws(" ", *([F.lit("buy now")] * 20)),
+        ).otherwise(F.col("text")),
+    )
+    r = text.repetition_features(derived)
+    return r.select(
+        F.col("id").alias("doc_id"),
+        "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        "n_grams",
+        F.round("top_gram_frac", 6).alias("top_gram_frac"),
+    )
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "documents")
     # plant exact duplicates: re-append every 10th doc (shifted key)
@@ -553,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_documents": q_text_quality_documents,
         "text_langid_documents": q_text_langid_documents,
         "text_fingerprint_documents": q_text_fingerprint_documents,
+        "text_repetition_documents": q_text_repetition_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_lsh_documents": q_dedup_minhash_lsh_documents,
@@ -875,6 +904,56 @@ def _sql_text_fingerprint() -> str:
 SELECT doc_id, md5({_NORM}) AS fingerprint, len({_TOKS}) AS n_tokens,
        len(regexp_extract_all(text, '{bpe}')) AS n_tokens_bpe
 FROM documents
+"""
+
+
+def _sql_text_repetition() -> str:
+    return f"""
+WITH derived AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+           THEN text || chr(10) || text || chr(10) || text
+         WHEN doc_id % 11 = 0 THEN trim(repeat('buy now ', 20))
+         ELSE text END AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split(text, chr(10)),
+                            x -> trim(x) <> '')) AS ln
+  FROM derived
+),
+lc AS (SELECT doc_id, ln, count(*) AS c FROM l GROUP BY 1, 2),
+la AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(count(*) AS BIGINT) AS nd
+  FROM lc GROUP BY 1
+),
+g0 AS (SELECT doc_id, {_NTOKS} AS t FROM derived),
+g1 AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i+1:i+2], ' ') FOR i IN range(len(t)-1)])
+           AS g
+  FROM g0 WHERE len(t) >= 2
+),
+gc AS (SELECT doc_id, g, count(*) AS c FROM g1 GROUP BY 1, 2),
+ga AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         CAST(max(c) AS BIGINT) AS top_c
+  FROM gc GROUP BY 1
+)
+SELECT d.doc_id,
+  COALESCE(la.n_lines, 0) AS n_lines,
+  round(CASE WHEN COALESCE(la.n_lines, 0) > 0
+        THEN CAST(la.n_lines - la.nd AS DOUBLE) / CAST(la.n_lines AS DOUBLE)
+        ELSE 0.0 END, 6) AS dup_line_frac,
+  COALESCE(ga.n_grams, 0) AS n_grams,
+  round(CASE WHEN COALESCE(ga.n_grams, 0) > 0
+        THEN CAST(ga.top_c AS DOUBLE) / CAST(ga.n_grams AS DOUBLE)
+        ELSE 0.0 END, 6) AS top_gram_frac
+FROM documents d
+LEFT JOIN la ON la.doc_id = d.doc_id
+LEFT JOIN ga ON ga.doc_id = d.doc_id
 """
 
 
@@ -1456,6 +1535,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_documents": _sql_text_quality(),
         "text_langid_documents": _sql_text_langid(),
         "text_fingerprint_documents": _sql_text_fingerprint(),
+        "text_repetition_documents": _sql_text_repetition(),
         "dedup_exact_documents": _sql_dedup_exact(),
         "dedup_jaccard_documents": _sql_dedup_jaccard(),
         "dedup_minhash_lsh_documents": _sql_dedup_minhash_lsh(),

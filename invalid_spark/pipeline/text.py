@@ -190,6 +190,73 @@ def lang_id(df: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_features(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+    (id, n_lines, dup_line_frac, n_grams, top_gram_frac).
+
+    - ``dup_line_frac``: fraction of lines that are repeats of an
+      earlier line (1 − distinct/total) — boilerplate detector;
+    - ``top_gram_frac``: the most frequent word ``n``-gram's share of
+      all ``n``-grams — loops/spam detector.
+
+    Scale shape: explode → two hash-aggregates with partial (map-side)
+    combine — per-row nested HOF counting would be O(m²) per document
+    and fall off codegen; the groupBy form is linear and distributed.
+    Ratios are exact int/int divisions (oracle-reproducible)."""
+    t = F.col(text_col)
+    lines = F.filter(
+        F.split(t, r"\n"), lambda x: F.trim(x) != F.lit("")
+    )
+    ldf = (
+        df.select(F.col(key_col).alias("id"), F.explode(lines).alias("ln"))
+        .groupBy("id", "ln")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_lines"),
+            F.count(F.lit(1)).alias("n_distinct_lines"),
+        )
+    )
+    toks = tokens(normalize(t))
+    tk = F.col("tk")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tk) - n),
+        lambda i: F.concat_ws(" ", *[F.get(tk, i + j) for j in range(n)]),
+    )
+    gdf = (
+        df.select(F.col(key_col).alias("id"), toks.alias("tk"))
+        .filter(F.size("tk") >= n)
+        .select("id", F.explode(grams).alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("n_grams"), F.max("c").alias("top_c"))
+    )
+    base = df.select(F.col(key_col).alias("id"))
+    out = base.join(ldf, "id", "left").join(gdf, "id", "left")
+    dup_frac = F.when(
+        F.coalesce("n_lines", F.lit(0)) > 0,
+        (F.col("n_lines") - F.col("n_distinct_lines")).cast("double")
+        / F.col("n_lines").cast("double"),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        F.coalesce("n_grams", F.lit(0)) > 0,
+        F.col("top_c").cast("double") / F.col("n_grams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "id",
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        dup_frac.alias("dup_line_frac"),
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        top_frac.alias("top_gram_frac"),
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text",
                  key_col: str = "doc_id") -> DataFrame:
     return df.select(

@@ -480,3 +480,23 @@ def test_deterministic_split_stable_and_proportional(spark):
         if a[1] != b[1]
     )
     assert changed > 0
+
+
+def test_repetition_features_planted(spark):
+    """Repetition signals: 3 identical lines → dup_line_frac 2/3; a
+    looped phrase → dominant bigram share; clean prose → low both."""
+    from invalid_spark.pipeline import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world\nhello world\nhello world"),
+            (2, " ".join(["buy now"] * 20)),
+            (3, "a perfectly ordinary sentence with varied words here"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["id"]: x for x in T.repetition_features(df).collect()}
+    assert r[1]["n_lines"] == 3 and abs(r[1]["dup_line_frac"] - 2 / 3) < 1e-9
+    # "buy now buy now ..." → "now buy"×19 + "buy now"×20 of 39 bigrams
+    assert r[2]["top_gram_frac"] > 0.5
+    assert r[3]["dup_line_frac"] == 0.0 and r[3]["top_gram_frac"] < 0.2
