@@ -284,8 +284,10 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("phash"),
     )
+    # twin ids are negative (-(id+1)): disjoint from real ids at ANY
+    # scale factor, unlike an additive offset
     twins = base.filter(F.col("image_id") % 10 == 0).select(
-        (F.col("image_id") + 1_000_000).alias("image_id"),
+        (-(F.col("image_id") + 1)).alias("image_id"),
         F.col("phash").bitwiseXOR(F.lit((1 << 3) | (1 << 37))).alias("phash"),
     )
     df = base.unionByName(twins)
@@ -522,7 +524,7 @@ def q_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invalid_spark.pipeline import curate
 
     d = _t(spark, sf_dir, "documents")
-    return curate.deterministic_split(d, "doc_id")
+    return curate.deterministic_split(d, "doc_id").select("doc_id", "split")
 
 
 def q_rowcheck_yaml_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1140,7 +1142,7 @@ WITH base AS (
 alls AS (
   SELECT id, sig FROM base
   UNION ALL
-  SELECT id + 1000000, xor(sig, {mask}) FROM base WHERE id % 10 = 0
+  SELECT -(id + 1), xor(sig, {mask}) FROM base WHERE id % 10 = 0
 ),
 e AS (
   SELECT id, sig, b.blk, (sig >> (b.blk * 15)) & 32767 AS val

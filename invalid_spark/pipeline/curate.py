@@ -50,12 +50,24 @@ def deterministic_split(
     boundaries carve the bucket space, so the same (key, salt) maps
     to the same split on any engine, any cluster size, any run — and
     changing ``salt`` derives a fresh independent split. Pure
-    projection: no shuffle, no RNG state, SQL-replayable."""
+    projection appending a ``split`` column to the input rows: no
+    shuffle, no RNG state, SQL-replayable.
+
+    NULL keys hash as the sentinel spelling ``__null__`` (they all
+    share one deterministic assignment rather than silently falling
+    into the last split); duplicated keys likewise share one
+    assignment — by design, so near-identical records keyed alike
+    cannot straddle the train/eval boundary."""
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    key_s = F.coalesce(F.col(key_col).cast("string"), F.lit("__null__"))
     bucket = F.pmod(
         F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt), F.lit("-"),
-                                       F.col(key_col).cast("string"))), 1, 8),
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit("-"), key_s)), 1, 8
+            ),
             16, 10,
         ).cast("long"),
         F.lit(10000),
@@ -75,7 +87,7 @@ def deterministic_split(
         if expr is not None
         else F.lit(items[-1][0])
     )
-    return df.select(F.col(key_col), expr.alias("split"))
+    return df.withColumn("split", expr)
 
 
 def curation_decisions(

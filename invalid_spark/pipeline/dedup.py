@@ -72,11 +72,8 @@ def exact_dup_rows(df: DataFrame, text_col: str = "text",
 # shingles + n-gram Jaccard
 
 def _grams(toks: Column, n: int) -> Column:
-    """Word n-grams via O(1) element lookups (no per-index slice copy)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
-    )
+    """Word n-grams (shared constructor: :func:`text.word_ngrams`)."""
+    return T.word_ngrams(toks, n)
 
 
 def shingle_col(text_col: Column, n: int = 3) -> Column:
@@ -359,9 +356,23 @@ def hamming_block_pairs(
     never all-pairs; the exact popcount distance then verifies each
     candidate. Scale shape: explode ×(h+1) + one bucket join whose
     key is a hash block (uniform unless the corpus is one giant
-    near-dup cluster; AQE skew-join splits those buckets)."""
+    near-dup cluster; AQE skew-join splits those buckets).
+
+    When ``bits`` is not divisible by h+1 the top ``bits mod (h+1)``
+    bits are left out of every block key — recall is unaffected (an
+    uncovered differing bit never breaks a block agreement; ≤h
+    covered diffs still leave ≥1 clean block) but buckets are
+    slightly coarser. ``max_hamming`` ≥ ``bits`` would make width 0
+    and degrade the join to all-pairs, so it is rejected."""
     nblocks = max_hamming + 1
     width = bits // nblocks
+    if width < 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {nblocks} blocks over "
+            f"{bits} signature bits — width 0 would put every row in "
+            "one bucket (an all-pairs join); lower max_hamming or use "
+            "a wider signature"
+        )
     blocks = F.explode(
         F.array(
             *[

@@ -1,9 +1,13 @@
 """Text analysis operators: tokenization, quality scoring, language
 ID, fingerprinting.
 
-All operators are single-projection (no shuffle), whole-stage-codegen
-column expressions — at 100 TB each is one map-side pass over the
-scan with column pruning (only ``text`` + the key column are read).
+Per-document operators are single-projection (no shuffle),
+whole-stage-codegen column expressions — at 100 TB each is one
+map-side pass over the scan with column pruning (only ``text`` + the
+key column are read). The one exception is
+:func:`repetition_features`, which needs per-document frequency
+tables and uses explode → partial-combine aggregates (two small
+shuffles) instead of O(m²) per-row HOF counting.
 Heuristics follow the public Gopher/C4 quality-filtering recipes
 (length, stop-word density, symbol ratios) re-expressed as Catalyst
 expressions; none require Python UDFs.
@@ -56,6 +60,17 @@ BPE_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9
 def token_count_bpe(text: Column) -> Column:
     """Approximate BPE token count via the GPT-2 pre-tokenizer regex."""
     return F.regexp_count(text, F.lit(BPE_SPLIT_PATTERN))
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams over a token array via O(1) element lookups (no
+    per-index slice copy) — the one gram constructor shared by the
+    shingle/dedup pipeline and the repetition features (and mirrored
+    by both DuckDB oracles)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+    )
 
 
 def normalize(text: Column) -> Column:
@@ -223,11 +238,7 @@ def repetition_features(
         )
     )
     toks = tokens(normalize(t))
-    tk = F.col("tk")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(tk) - n),
-        lambda i: F.concat_ws(" ", *[F.get(tk, i + j) for j in range(n)]),
-    )
+    grams = word_ngrams(F.col("tk"), n)
     gdf = (
         df.select(F.col(key_col).alias("id"), toks.alias("tk"))
         .filter(F.size("tk") >= n)

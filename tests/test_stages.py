@@ -463,23 +463,26 @@ def test_deterministic_split_stable_and_proportional(spark):
     from invalid_spark.pipeline import curate
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    s1 = curate.deterministic_split(docs, "doc_id").collect()
-    s2 = curate.deterministic_split(docs.repartition(7), "doc_id").collect()
-    # stable under repartition/re-run
-    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    pick = lambda rows: sorted((r["doc_id"], r["split"]) for r in rows)
+    s1 = pick(curate.deterministic_split(docs, "doc_id").collect())
+    s2 = pick(curate.deterministic_split(docs.repartition(7), "doc_id").collect())
+    # stable under repartition/re-run; input columns preserved
+    assert s1 == s2
+    assert "text" in curate.deterministic_split(docs, "doc_id").columns
     from collections import Counter
 
-    by = Counter(r["split"] for r in s1)
+    by = Counter(sp for _, sp in s1)
     n = len(s1)
     assert abs(by["train"] / n - 0.9) < 0.05
     assert by["train"] + by["val"] + by["test"] == n
     # a different salt derives an independent split
-    s3 = curate.deterministic_split(docs, "doc_id", salt="v2").collect()
-    changed = sum(
-        1 for a, b in zip(sorted(map(tuple, s1)), sorted(map(tuple, s3)))
-        if a[1] != b[1]
-    )
-    assert changed > 0
+    s3 = pick(curate.deterministic_split(docs, "doc_id", salt="v2").collect())
+    assert sum(1 for a, b in zip(s1, s3) if a[1] != b[1]) > 0
+    # weights must sum to 1; NULL keys get a deterministic assignment
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        curate.deterministic_split(docs, "doc_id", weights={"a": 0.5, "b": 0.4})
 
 
 def test_repetition_features_planted(spark):
