@@ -209,3 +209,47 @@ def test_keep_cols_threads_event_time(spark, tmp_path):
     # the old re-join path refuses streaming inputs with guidance
     with pytest.raises(ValueError, match="keep_cols"):
         streaming.with_event_time(v, sdf, "event_id", "ts")
+
+
+def test_windowed_chi2_drift_batch_and_stream(spark, tmp_path):
+    """Windowed goodness-of-fit drift: a window matching the
+    reference mix passes, a skewed window and an unknown category
+    flag; the same query runs as Structured Streaming (one
+    watermarked aggregation chain, no stream-stream join)."""
+    ref = {"click": 0.5, "view": 0.5}
+    rows = []
+    # window A: 50/50 → no drift
+    rows += [("click", "2024-01-01 00:00:%02d" % i) for i in range(25)]
+    rows += [("view", "2024-01-01 00:00:%02d" % (i + 30)) for i in range(25)]
+    # window B: all clicks → drift
+    rows += [("click", "2024-01-01 00:05:%02d" % (i % 60)) for i in range(50)]
+    # window C: unknown category → drift
+    rows += [("scroll", "2024-01-01 00:10:%02d" % (i % 60)) for i in range(50)]
+    src = spark.createDataFrame(rows, "cat string, ts_s string").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    ).drop("ts_s")
+    out = {str(r["window_start"]): r for r in
+           streaming.windowed_chi2_drift(src, "cat", ref).collect()}
+    assert not out["2024-01-01 00:00:00"]["drifted"]
+    assert out["2024-01-01 00:05:00"]["drifted"]
+    assert out["2024-01-01 00:10:00"]["drifted"]
+    # streaming execution of the same query
+    d = str(tmp_path / "ev")
+    src.coalesce(1).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(src.schema).parquet(d)
+    q = streaming.windowed_chi2_drift(sdf, "cat", ref)
+    sink = str(tmp_path / "sink")
+    h = q.writeStream.format("parquet").outputMode("append").option(
+        "checkpointLocation", str(tmp_path / "ck")
+    ).option("path", sink).trigger(availableNow=True).start()
+    h.awaitTermination(120)
+    # append mode emits only watermark-closed windows; with a bounded
+    # file source the final windows may stay open — schema contract +
+    # subset equality are the streaming assertions
+    got = spark.read.parquet(sink).collect()
+    assert set(spark.read.parquet(sink).columns) == {
+        "window_start", "window_end", "n", "statistic", "drifted"
+    }
+    for r in got:
+        b = out[str(r["window_start"])]
+        assert abs(r["statistic"] - b["statistic"]) < 1e-9
