@@ -765,14 +765,18 @@ WITH b AS (
   SELECT abs(sum(c_cur) OVER (ORDER BY bucket) * sum(c_prev) OVER ()
              - sum(c_prev) OVER (ORDER BY bucket) * sum(c_cur) OVER ())
            AS num,
-         sum(c_cur) OVER () AS n_cur, sum(c_prev) OVER () AS n_prior
+         -- CAST: DuckDB widens window sum(BIGINT) to HUGEINT, which the
+         -- driver's type-sensitive value hash rejects vs Spark's BIGINT
+         CAST(sum(c_cur) OVER () AS BIGINT) AS n_cur,
+         CAST(sum(c_prev) OVER () AS BIGINT) AS n_prior
   FROM hist
 )
 SELECT 'value' AS column_name,
        round(CAST(max(num) AS DOUBLE)
              / CAST(any_value(n_cur) * any_value(n_prior) AS DOUBLE),
              6) AS statistic,
-       any_value(n_cur) AS n_cur, any_value(n_prior) AS n_prior
+       CAST(any_value(n_cur) AS BIGINT) AS n_cur,
+       CAST(any_value(n_prior) AS BIGINT) AS n_prior
 FROM cdf
 """
 
@@ -786,7 +790,9 @@ WITH b AS (
 ), tab AS (
   SELECT cat, sum(is_cur) AS o1, sum(1 - is_cur) AS o2 FROM b GROUP BY cat
 ), t AS (
-  SELECT cat, o1, o2, sum(o1) OVER () AS n, sum(o2) OVER () AS m FROM tab
+  -- CAST: window sum() would widen to HUGEINT (type-sensitive hash)
+  SELECT cat, o1, o2, CAST(sum(o1) OVER () AS BIGINT) AS n,
+         CAST(sum(o2) OVER () AS BIGINT) AS m FROM tab
 ), terms AS (
   -- exact-form terms d^2/r with d = o1*m - o2*n (int cross-product),
   -- summed by a strict left fold in category order so float
@@ -804,7 +810,8 @@ SELECT 'event_type' AS column_name,
              / (CAST(any_value(n) AS DOUBLE) * CAST(any_value(m) AS DOUBLE)),
              6) AS statistic,
        greatest(count(*) - 1, 1) AS dof,
-       any_value(n) AS n_cur, any_value(m) AS n_prior
+       CAST(any_value(n) AS BIGINT) AS n_cur,
+       CAST(any_value(m) AS BIGINT) AS n_prior
 FROM terms
 """
 
