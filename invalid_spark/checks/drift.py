@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from invalid_spark import mathutil
@@ -236,6 +236,279 @@ def categorical_state(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def _ks_stat_from_hists(cur: list[int], prev: list[int]) -> tuple[float, int, int]:
+    """Exact-rational KS statistic from two aligned bucket-count
+    lists (same integer cross-product as :func:`ks_statistic_df`,
+    driver-side over O(bins) numbers)."""
+    n, m = sum(cur), sum(prev)
+    num, cc, cp = 0, 0, 0
+    for a, b in zip(cur, prev):
+        cc += a
+        cp += b
+        num = max(num, abs(cc * m - cp * n))
+    d = (num / (n * m)) if n and m else 0.0
+    return d, n, m
+
+
+def _chi2_stat_from_counts(
+    cur: dict, prev: dict
+) -> tuple[float, int, int, int]:
+    """Exact-form chi-square from two category-count dicts, terms
+    accumulated in canonical order (NULL category first, then
+    ascending — the same order :func:`chi2_statistic_df`'s
+    ``sort_array`` fold uses)."""
+    cats = sorted(set(prev) | set(cur), key=lambda c: (c is not None, c or ""))
+    n, m = sum(cur.values()), sum(prev.values())
+    stat = 0.0
+    for cat in cats:
+        o1, o2 = cur.get(cat, 0), prev.get(cat, 0)
+        r = o1 + o2
+        if r > 0:
+            d = o1 * m - o2 * n
+            stat += (float(d) * float(d)) / r
+    stat = stat / (n * m) if n and m else 0.0
+    return stat, max(len(cats) - 1, 1), n, m
+
+
+def multi_grid(
+    df: DataFrame,
+    specs: list[tuple[str, dict]],
+    bins_default: int = 256,
+) -> dict[str, tuple[float | None, float | None, int]]:
+    """Histogram grids for EVERY numeric ``$drift`` column in ONE
+    aggregation pass: ``{col: (lo, hi, bins)}``.
+
+    Per-spec ``clip: [qlo, qhi]`` switches that column's range from
+    min/max to approximate quantiles (outlier-proof grid — see
+    :func:`ks_statistic_df`); clipped and unclipped columns share the
+    same single scan because ``percentile_approx`` and ``min``/``max``
+    are both plain aggregate expressions."""
+    num = [(c, s) for c, s in specs if s.get("test", "ks") != "chi2"]
+    if not num:
+        return {}
+    aggs = []
+    for i, (col, spec) in enumerate(num):
+        v = F.col(col).cast("double")
+        clip = spec.get("clip")
+        if clip is not None:
+            qlo, qhi = float(clip[0]), float(clip[1])
+            aggs.append(
+                F.percentile_approx(v, F.lit(qlo), F.lit(10000)).alias(f"lo_{i}")
+            )
+            aggs.append(
+                F.percentile_approx(v, F.lit(qhi), F.lit(10000)).alias(f"hi_{i}")
+            )
+        else:
+            aggs.append(F.min(v).alias(f"lo_{i}"))
+            aggs.append(F.max(v).alias(f"hi_{i}"))
+    row = df.agg(*aggs).collect()[0]
+    return {
+        col: (row[f"lo_{i}"], row[f"hi_{i}"], int(spec.get("bins", bins_default)))
+        for i, (col, spec) in enumerate(num)
+    }
+
+
+def merge_grids(
+    a: dict[str, tuple[float | None, float | None, int]],
+    b: dict[str, tuple[float | None, float | None, int]],
+) -> dict[str, tuple[float | None, float | None, int]]:
+    """Shared grid covering both sides of a two-sample comparison:
+    per column, min of the lows and max of the highs. For unclipped
+    columns this is exactly the union min/max :func:`ks_statistic_df`
+    computes; for clipped columns it is the envelope of the two
+    sides' quantile ranges (documented approximation — a union
+    quantile is not decomposable from per-side aggregates)."""
+    out = {}
+    for col in set(a) | set(b):
+        la, ha, bins = a.get(col, (None, None, 256))
+        lb, hb, bins_b = b.get(col, (None, None, 256))
+        lo = la if lb is None else lb if la is None else min(la, lb)
+        hi = ha if hb is None else hb if ha is None else max(ha, hb)
+        out[col] = (lo, hi, bins if col in a else bins_b)
+    return out
+
+
+def multi_state(
+    df: DataFrame,
+    specs: list[tuple[str, dict]],
+    grids: dict[str, tuple[float | None, float | None, int]],
+) -> DataFrame:
+    """Drift state (:data:`STATE_SCHEMA`) for ALL ``$drift`` columns
+    in ONE scan: a single projection emits one tagged struct per
+    drift column per row, explodes, and one hash aggregation counts
+    — so the scan/shuffle count is independent of how many ``$drift``
+    rules the suite declares (the per-column
+    :func:`numeric_state`/:func:`categorical_state` pair costs 2
+    scans per column). Partial combine applies: the shuffle carries
+    (column, bucket) group counts, never rows.
+
+    ``grids`` supplies (lo, hi, bins) per numeric column — from
+    :func:`multi_grid` (fresh grid) or from a stored state frame
+    (comparison against the previous run's grid)."""
+    structs = []
+    for col, spec in specs:
+        if spec.get("test", "ks") == "chi2":
+            structs.append(
+                F.struct(
+                    F.lit(col).alias("column_name"),
+                    F.lit("chi2").alias("test"),
+                    F.lit(None).cast("long").alias("bucket"),
+                    F.col(col).cast("string").alias("cat"),
+                )
+            )
+        else:
+            lo, hi, bins = grids[col]
+            width = (
+                ((hi - lo) / bins or 1.0) if lo is not None and hi is not None
+                else 1.0
+            )
+            v = F.col(col).cast("double")
+            bucket = F.when(
+                v.isNotNull(),
+                F.least(
+                    F.lit(bins - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor((v - F.lit(lo if lo is not None else 0.0))
+                                / F.lit(width)),
+                    ),
+                ),
+            )
+            structs.append(
+                F.struct(
+                    F.lit(col).alias("column_name"),
+                    F.lit("ks").alias("test"),
+                    bucket.cast("long").alias("bucket"),
+                    F.lit(None).cast("string").alias("cat"),
+                )
+            )
+    tagged = (
+        df.select(F.explode(F.array(*structs)).alias("t"))
+        .select("t.*")
+        # numeric NULLs are excluded (same as numeric_state's filter);
+        # a NULL *category* is a real category and stays
+        .filter(~((F.col("test") == "ks") & F.col("bucket").isNull()))
+    )
+    hist = tagged.groupBy("column_name", "test", "bucket", "cat").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    lo_expr: Column | None = None
+    hi_expr: Column | None = None
+    bins_expr: Column | None = None
+    for col, spec in specs:
+        if spec.get("test", "ks") == "chi2":
+            continue
+        lo, hi, bins = grids[col]
+        cond = F.col("column_name") == col
+        lo_lit = F.lit(float(lo) if lo is not None else None)
+        hi_lit = F.lit(float(hi) if hi is not None else None)
+        lo_expr = F.when(cond, lo_lit) if lo_expr is None else lo_expr.when(cond, lo_lit)
+        hi_expr = F.when(cond, hi_lit) if hi_expr is None else hi_expr.when(cond, hi_lit)
+        bins_expr = (
+            F.when(cond, F.lit(bins)) if bins_expr is None
+            else bins_expr.when(cond, F.lit(bins))
+        )
+    per_col = Window.partitionBy("column_name").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.select(
+        "column_name",
+        "test",
+        "bucket",
+        "cat",
+        F.col("cnt").cast("long").alias("cnt"),
+        (lo_expr if lo_expr is not None else F.lit(None)).cast("double").alias("lo"),
+        (hi_expr if hi_expr is not None else F.lit(None)).cast("double").alias("hi"),
+        (bins_expr if bins_expr is not None else F.lit(None)).cast("int").alias("bins"),
+        F.sum("cnt").over(per_col).cast("long").alias("n"),
+    )
+
+
+def _results_from_states(
+    specs: list[tuple[str, dict]],
+    cur_rows: list,
+    prev_rows: list,
+) -> dict[str, DriftResult]:
+    """Per-column DriftResults from two collected state frames
+    (O(bins·columns) rows — driver-side math only). Columns with no
+    prior-state rows are omitted (nothing to compare yet)."""
+    out: dict[str, DriftResult] = {}
+    for col, spec in specs:
+        test = spec.get("test", "ks")
+        thr = float(spec.get("threshold", 0.01))
+        prev_c = [r for r in prev_rows if r["column_name"] == col and r["test"] == test]
+        cur_c = [r for r in cur_rows if r["column_name"] == col and r["test"] == test]
+        if not prev_c:
+            continue
+        if test == "chi2":
+            cur_d = {r["cat"]: r["cnt"] for r in cur_c}
+            prev_d = {r["cat"]: r["cnt"] for r in prev_c}
+            stat, dof, n, m = _chi2_stat_from_counts(cur_d, prev_d)
+            p = mathutil.chi2_pvalue(stat, dof) if n and m else 1.0
+            out[col] = DriftResult(col, "chi2", stat, p, p < thr, thr, n, m)
+        else:
+            bins = prev_c[0]["bins"] or 256
+            prev_h = [0] * bins
+            for r in prev_c:
+                prev_h[int(r["bucket"])] = r["cnt"]
+            cur_h = [0] * bins
+            for r in cur_c:
+                b = int(r["bucket"])
+                if 0 <= b < bins:
+                    cur_h[b] = r["cnt"]
+            d, n, m = _ks_stat_from_hists(cur_h, prev_h)
+            p = mathutil.ks_pvalue(d, n, m) if n and m else 1.0
+            out[col] = DriftResult(col, "ks", d, p, p < thr, thr, n, m)
+    return out
+
+
+def multi_drift(
+    cur: DataFrame,
+    prev: DataFrame,
+    specs: list[tuple[str, dict]],
+    bins_default: int = 256,
+) -> dict[str, DriftResult]:
+    """Every ``$drift`` column's two-sample test in a CONSTANT number
+    of scans — 2 per side (grid aggregation + tagged histogram pass)
+    regardless of how many drift rules there are. For an unclipped
+    numeric column the shared grid and bucketing are identical to
+    :func:`ks_drift`'s, so the statistic is bit-identical; chi2
+    matches :func:`chi2_drift`'s canonical-order fold."""
+    grids = merge_grids(
+        multi_grid(cur, specs, bins_default), multi_grid(prev, specs, bins_default)
+    )
+    cur_rows = multi_state(cur, specs, grids).collect()
+    prev_rows = multi_state(prev, specs, grids).collect()
+    return _results_from_states(specs, cur_rows, prev_rows)
+
+
+def multi_drift_vs_state(
+    df: DataFrame,
+    specs: list[tuple[str, dict]],
+    stored: DataFrame,
+) -> dict[str, DriftResult]:
+    """Every ``$drift`` column against the STORED state frame in ONE
+    scan of the current table: the current side is bucketed on each
+    column's stored grid (taken from the state rows), one tagged
+    histogram pass covers all columns, and the statistics are
+    driver-side over O(bins·columns) numbers. Columns absent from
+    the stored state (a ``$drift`` rule added since) are omitted —
+    their fresh state is still written by the caller."""
+    stored_rows = stored.collect()
+    grids = {}
+    for r in stored_rows:
+        if r["test"] == "ks" and r["column_name"] not in grids:
+            grids[r["column_name"]] = (r["lo"], r["hi"], r["bins"] or 256)
+    covered = [
+        (c, s) for c, s in specs
+        if (s.get("test", "ks") == "chi2") or c in grids
+    ]
+    if not covered:
+        return {}
+    cur_rows = multi_state(df, covered, grids).collect()
+    return _results_from_states(covered, cur_rows, stored_rows)
+
+
 def ks_drift_vs_state(
     df: DataFrame, col: str, state: DataFrame, threshold: float = 0.01
 ) -> DriftResult:
@@ -271,13 +544,7 @@ def ks_drift_vs_state(
     cur = [0] * bins
     for r in rows_:
         cur[int(r["bucket"])] = r["cnt"]
-    n = sum(cur)
-    num, cc, cp = 0, 0, 0
-    for a, b in zip(cur, prev):
-        cc += a
-        cp += b
-        num = max(num, abs(cc * m - cp * n))
-    d = (num / (n * m)) if n and m else 0.0
+    d, n, m = _ks_stat_from_hists(cur, prev)
     p = mathutil.ks_pvalue(d, n, m) if n and m else 1.0
     return DriftResult(col, "ks", d, p, p < threshold, threshold, n, m)
 
@@ -299,17 +566,7 @@ def chi2_drift_vs_state(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
-    cats = sorted(set(prev) | set(cur), key=str)
-    n, m = sum(cur.values()), sum(prev.values())
-    stat = 0.0
-    for cat in cats:
-        o1, o2 = cur.get(cat, 0), prev.get(cat, 0)
-        r = o1 + o2
-        if r > 0:
-            d = o1 * m - o2 * n
-            stat += (float(d) * float(d)) / r
-    stat = stat / (n * m) if n and m else 0.0
-    dof = max(len(cats) - 1, 1)
+    stat, dof, n, m = _chi2_stat_from_counts(cur, prev)
     p = mathutil.chi2_pvalue(stat, dof) if n and m else 1.0
     return DriftResult(col, "chi2", stat, p, p < threshold, threshold, n, m)
 

@@ -5,8 +5,15 @@ Usage (cluster):
     zip -r invalid_spark.zip invalid_spark
     spark-submit --py-files invalid_spark.zip invalid_spark/cli.py \\
         validate --table s3://…/images --rules rules.yaml \\
-        --out s3://…/audit/run1 --partition-col date_bucket \\
+        --out /mnt/shared/audit/run1 --partition-col date_bucket \\
         --dim licenses=s3://…/dims/licenses
+
+``--table``/``--dim`` may be object-store URIs (they only feed Spark
+readers), but ``--out`` must be a LOCAL POSIX path visible to the
+driver: the checkpoint manifest and the drift-state swap use atomic
+local renames (``invalid_spark.io.Manifest``'s constraint — the
+runner rejects URI out paths up front). On a cluster, point it at
+shared/fuse-mounted storage.
 
 Local (this sandbox):
 

@@ -32,7 +32,10 @@ Engine extensions (all optional, ignored by reference-parity tests):
 - ``$ref: {table: t, key: k}``     — referential check vs a dimension
 - ``$range: {$min: x, $max: y}``   — numeric bounds
 - ``$stats: [null_rate, min, max, ndv, quantiles]`` — profile metrics
-- ``$drift: {test: ks|chi2, threshold: p}`` — distribution drift
+- ``$drift: {test: ks|chi2, threshold: p, clip: [qlo, qhi]}`` —
+  distribution drift; optional ``clip`` bounds the histogram grid by
+  quantiles instead of min/max (outlier-proof, applied to both the
+  comparison and the persisted state)
 - ``$pixel: {psnr_min: 40.0}``     — decoded-pixel invariant (binary col)
 - ``$caption-eq: {table: t, key: k, column: c}`` — byte equality vs ref
 - ``$dynamic: true``               — column holds stringly scalars;
@@ -294,16 +297,23 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
             if not isinstance(dn, yaml.MappingNode):
                 raise DSLError(f"value node must be map : [{dname}]")
             d = {}
-            for k, v in dn.value:
+            def _plain(v):
+                # sequences (e.g. $drift clip: [0.05, 0.95]) convert
+                # element-wise; scalars by their resolved tag
+                if isinstance(v, yaml.SequenceNode):
+                    return [_plain(e) for e in v.value]
                 sv = v.value
                 tag = _node_tag(v)
                 if tag == "!!int":
-                    sv = int(sv, 0)
-                elif tag == "!!float":
-                    sv = float(sv)
-                elif tag == "!!bool":
-                    sv = sv in ("true", "True", "TRUE")
-                d[k.value] = sv
+                    return int(sv, 0)
+                if tag == "!!float":
+                    return float(sv)
+                if tag == "!!bool":
+                    return sv in ("true", "True", "TRUE")
+                return sv
+
+            for k, v in dn.value:
+                d[k.value] = _plain(v)
             setattr(rule, attr, d)
     st = _mapping_get(value, "$stats")
     if st is not None and _is_rule_node(st):

@@ -164,6 +164,21 @@ def validate(
     verdicts. Start a fresh ``out_dir`` (or ``manifest_dir``) per
     snapshot, or pass the same snapshot to resume it.
     """
+    import re
+
+    for label, p in (("out_dir", out_dir), ("manifest_dir", manifest_dir)):
+        if p and re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", p):
+            # the checkpoint manifest and the drift-state swap are
+            # local-POSIX filesystem operations (os.replace etc.);
+            # an object-store URI would silently disable resume and
+            # drift state, then fail at the final swap
+            raise ValueError(
+                f"{label}={p!r} is a URI; the runner's checkpoint "
+                "manifest and drift-state swap require a local POSIX "
+                "path (same constraint as invalid_spark.io.Manifest). "
+                "Mount or fuse the object store, or point "
+                f"{label} at local scratch storage."
+            )
     dims = dims or {}
     run_id = run_id or uuid.uuid4().hex[:12]
     snapshot = snapshot or ""
@@ -335,7 +350,20 @@ def validate(
     # state under out_dir/drift_state — continuous validation never
     # re-reads the prior snapshot. Either way this run's state is
     # written for the next run.
+    #
+    # Scan budget is CONSTANT in the number of $drift rules: one grid
+    # aggregation (all numeric min/max or clip quantiles together) +
+    # one tagged histogram pass covering every column
+    # (drift.multi_state), instead of 2 scans per column. A per-spec
+    # `clip: [qlo, qhi]` bounds that column's grid by quantiles on
+    # both the comparison and the persisted state, so the stored
+    # histogram is outlier-proof too.
     state_dir = os.path.join(out_dir, "drift_state")
+    old_dir = state_dir + ".old"
+    if os.path.exists(old_dir) and not os.path.exists(state_dir):
+        # a crash between swap steps left only the set-aside copy:
+        # recover it so the stored-state comparison still happens
+        os.replace(old_dir, state_dir)
     if plan.drift_specs:
         stored = (
             spark.read.parquet(state_dir)
@@ -352,62 +380,50 @@ def validate(
             stored_snap = head[0]["snapshot_id"] if head else None
             if stored_snap == snapshot:
                 stored = None  # same table state: nothing new to test
-        rows = []
-        for col, spec in plan.drift_specs:
-            test = spec.get("test", "ks")
-            thr = float(spec.get("threshold", 0.01))
-            if prev_df is not None:
-                if test == "chi2":
-                    r = drift_checks.chi2_drift(df, prev_df, col, thr)
-                else:
-                    r = drift_checks.ks_drift(df, prev_df, col, threshold=thr)
-            elif stored is not None:
-                try:
-                    if test == "chi2":
-                        r = drift_checks.chi2_drift_vs_state(
-                            df, col, stored, thr
-                        )
-                    else:
-                        r = drift_checks.ks_drift_vs_state(
-                            df, col, stored, thr
-                        )
-                except ValueError:
-                    # a $drift rule added since the stored run (or a
-                    # column with no prior state rows): nothing to
-                    # compare yet — its state is written below
-                    r = None
-            else:
-                r = None  # first run: nothing to compare against yet
-            if r is not None:
-                rows.append(
-                    (col, r.test, float(r.statistic), float(r.p_value),
-                     bool(r.drifted), run_id, snapshot)
-                )
+        if prev_df is not None:
+            results = drift_checks.multi_drift(df, prev_df, plan.drift_specs)
+        elif stored is not None:
+            # columns with no stored state rows (a $drift rule added
+            # since the stored run) are omitted — nothing to compare
+            # yet; their fresh state is written below
+            results = drift_checks.multi_drift_vs_state(
+                df, plan.drift_specs, stored
+            )
+        else:
+            results = {}  # first run: nothing to compare against yet
+        rows = [
+            (r.column, r.test, float(r.statistic), float(r.p_value),
+             bool(r.drifted), run_id, snapshot)
+            for _, r in sorted(results.items())
+        ]
         if rows:
             spark.createDataFrame(
                 rows,
                 "column string, test string, statistic double, p_value double, "
                 "drifted boolean, run_id string, snapshot_id string",
             ).write.mode("overwrite").parquet(os.path.join(out_dir, "drift"))
-        # persist this run's state unless it is already current
-        # (tmp + swap: a crash mid-write must not destroy the
-        # previous state)
+        # persist this run's state unless it is already current: one
+        # grid pass + one tagged histogram pass for ALL columns
         if not (prev_df is None and stored is None and stored_snap == snapshot):
-            states = None
-            for col, spec in plan.drift_specs:
-                s = (
-                    drift_checks.categorical_state(df, col)
-                    if spec.get("test", "ks") == "chi2"
-                    else drift_checks.numeric_state(df, col)
-                ).withColumn("snapshot_id", F.lit(snapshot))
-                states = s if states is None else states.unionByName(s)
+            grids = drift_checks.multi_grid(df, plan.drift_specs)
+            states = drift_checks.multi_state(
+                df, plan.drift_specs, grids
+            ).withColumn("snapshot_id", F.lit(snapshot))
             tmp_dir = state_dir + ".tmp"
             states.write.mode("overwrite").parquet(tmp_dir)
             import shutil
 
+            # three-step swap so a crash at ANY point leaves a
+            # recoverable state directory (either state_dir itself or
+            # the .old set-aside, recovered above): set the previous
+            # state aside, promote the new one, then drop the old
+            if os.path.exists(old_dir):
+                shutil.rmtree(old_dir)
             if os.path.exists(state_dir):
-                shutil.rmtree(state_dir)
+                os.replace(state_dir, old_dir)
             os.replace(tmp_dir, state_dir)
+            if os.path.exists(old_dir):
+                shutil.rmtree(old_dir)
 
     return result
 

@@ -316,3 +316,58 @@ def test_drift_state_continuous_runs(spark, tmp_path):
           spark.read.parquet(os.path.join(out, "drift")).collect()}
     assert not d3["w"]["drifted"] and not d3["fmt"]["drifted"]
     assert d3["w"]["statistic"] == 0.0
+
+
+def test_out_dir_uri_rejected(spark, tmp_path):
+    """Object-store out_dir would silently disable resume + drift
+    state (local-POSIX manifest constraint) — rejected up front."""
+    df = synth.images_df(spark, 10)
+    rules = load_rules("w: {$type: $int}\n")
+    with pytest.raises(ValueError, match="POSIX"):
+        runner.validate(spark, df, rules, "image_id", "s3://bucket/audit")
+    with pytest.raises(ValueError, match="POSIX"):
+        runner.validate(
+            spark, df, rules, "image_id", str(tmp_path / "ok"),
+            manifest_dir="hdfs://nn/audit/m",
+        )
+
+
+def test_drift_state_swap_crash_recovery(spark, tmp_path):
+    """A crash between the set-aside and promote steps of the state
+    swap leaves only drift_state.old; the next run recovers it and
+    still compares (NOT treated as a first run)."""
+    out = str(tmp_path / "swapcrash")
+    rules = load_rules(
+        "w: {$type: $int, $drift: {test: ks, threshold: 0.01}}\n"
+    )
+    base = synth.images_prev_df(spark, N, drifted=True).filter(
+        "w BETWEEN 1 AND 1000"
+    )
+    cur = synth.images_df(spark, N).filter("w BETWEEN 1 AND 1000")
+    runner.validate(spark, base, rules, "image_id", out, snapshot="s1",
+                    manifest_dir=os.path.join(out, "m1"))
+    state_dir = os.path.join(out, "drift_state")
+    os.replace(state_dir, state_dir + ".old")  # simulate mid-swap crash
+    runner.validate(spark, cur, rules, "image_id", out, snapshot="s2",
+                    manifest_dir=os.path.join(out, "m2"))
+    d = {r["column"]: r for r in
+         spark.read.parquet(os.path.join(out, "drift")).collect()}
+    assert d["w"]["drifted"]  # compared against the recovered state
+    assert os.path.exists(state_dir)
+    assert not os.path.exists(state_dir + ".old")
+
+
+def test_drift_clip_threaded_to_state(spark, tmp_path):
+    """`clip` in the $drift spec bounds the persisted histogram grid
+    by quantiles, so one outlier can't blind later comparisons."""
+    out = str(tmp_path / "clipstate")
+    rules = load_rules(
+        "w: {$type: $int, $drift: {test: ks, threshold: 0.01, "
+        "clip: [0.05, 0.95]}}\n"
+    )
+    df = synth.images_df(spark, N)  # plants w outliers 0 / 100001
+    runner.validate(spark, df, rules, "image_id", out, snapshot="s1",
+                    manifest_dir=os.path.join(out, "m1"))
+    state = spark.read.parquet(os.path.join(out, "drift_state"))
+    row = state.limit(1).collect()[0]
+    assert row["hi"] < 100001 and row["lo"] > 0

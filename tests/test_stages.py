@@ -503,3 +503,89 @@ def test_repetition_features_planted(spark):
     # "buy now buy now ..." → "now buy"×19 + "buy now"×20 of 39 bigrams
     assert r[2]["top_gram_frac"] > 0.5
     assert r[3]["dup_line_frac"] == 0.0 and r[3]["top_gram_frac"] < 0.2
+
+
+def _scan_count(df_):
+    """Number of file-scan nodes in the simple physical plan."""
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df_.explain()
+    return buf.getvalue().count("FileScan")
+
+
+def test_multi_drift_matches_per_column(spark):
+    """One-pass multi-column drift is bit-identical to the per-column
+    wrappers (shared union grid for unclipped ks, canonical chi2 fold)."""
+    cur = synth.images_df(spark, 300).filter("w BETWEEN 1 AND 1000")
+    prev = synth.images_prev_df(spark, 300, drifted=True).filter(
+        "w BETWEEN 1 AND 1000"
+    )
+    specs = [
+        ("h", {"test": "ks"}),
+        ("w", {"test": "ks"}),
+        ("fmt", {"test": "chi2"}),
+    ]
+    got = drift.multi_drift(cur, prev, specs)
+    for col, spec in specs:
+        ref = (
+            drift.chi2_drift(cur, prev, col)
+            if spec["test"] == "chi2"
+            else drift.ks_drift(cur, prev, col)
+        )
+        assert got[col].statistic == ref.statistic, col
+        assert got[col].p_value == ref.p_value, col
+        assert got[col].drifted == ref.drifted, col
+        assert got[col].n_current == ref.n_current
+        assert got[col].n_prior == ref.n_prior
+
+
+def test_multi_state_scan_count_independent_of_rules(spark):
+    """The tagged histogram pass reads the table ONCE however many
+    $drift rules there are (the per-column path costs 2 scans each)."""
+    import os as _os
+
+    sf = _os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    df = spark.read.parquet(_os.path.join(sf, "lineitem.parquet"))
+    one = [("l_quantity", {})]
+    four = [
+        ("l_quantity", {}),
+        ("l_extendedprice", {}),
+        ("l_discount", {}),
+        ("l_returnflag", {"test": "chi2"}),
+    ]
+    s1 = drift.multi_state(df, one, drift.multi_grid(df, one))
+    s4 = drift.multi_state(df, four, drift.multi_grid(df, four))
+    assert _scan_count(s1) == _scan_count(s4) == 1
+    # and the per-column states agree with the one-pass state
+    rows4 = {
+        (r["column_name"], r["bucket"], r["cat"]): r["cnt"]
+        for r in s4.collect()
+    }
+    ref_w = {
+        (r["column_name"], r["bucket"], r["cat"]): r["cnt"]
+        for r in drift.numeric_state(df, "l_quantity").collect()
+    }
+    ref_fmt = {
+        (r["column_name"], r["bucket"], r["cat"]): r["cnt"]
+        for r in drift.categorical_state(df, "l_returnflag").collect()
+    }
+    for k, v in {**ref_w, **ref_fmt}.items():
+        assert rows4[k] == v, k
+
+
+def test_multi_grid_clip_bounds_outliers(spark):
+    """clip in the spec switches that column's grid to quantile
+    bounds; unclipped columns in the same single-pass agg keep
+    min/max."""
+    df = synth.images_df(spark, 300)  # plants w outliers 0 / 100001
+    grids = drift.multi_grid(
+        df, [("w", {"clip": [0.05, 0.95]}), ("h", {})]
+    )
+    lo_w, hi_w, _ = grids["w"]
+    assert hi_w < 100001 and lo_w > 0  # outliers excluded from grid
+    lo_h, hi_h, _ = grids["h"]
+    exact = df.selectExpr("min(h) lo", "max(h) hi").collect()[0]
+    assert (lo_h, hi_h) == (float(exact["lo"]), float(exact["hi"]))
