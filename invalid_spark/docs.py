@@ -80,14 +80,17 @@ _VT_BY_RULE = {
 FIELD_SCHEMA = (
     "doc_id string, path string, rpath string, parent_path string, "
     "parent_rpath string, key string, vtype string, value string, "
-    "elems array<int>"
+    "elems array<int>, child_idx int, "
+    "line int, col_start int, col_end int, "
+    "kline int, kcol_start int, kcol_end int, "
+    "pline int, pcol_start int, pcol_end int"
 )
 
 _RULE_SCHEMA = (
     "rpath string, parent_rpath string, key string, rule_type string, "
     "want_vt string, required boolean, len_min long, len_max long, "
     "reg string, of array<string>, constraint_scalar string, "
-    "key_reg string, pos_path string"
+    "key_reg string, pos_path string, rule_idx int"
 )
 
 
@@ -99,25 +102,55 @@ def _node_vt(node) -> str:
     return _VT_BY_TAG[yamlmeta.infer_tag(node.value, node.style is not None)]
 
 
-def _flatten_node(node, path, rpath, key, elems, rows) -> None:
+def _node_range(node) -> tuple[int, int, int]:
+    """Reference ``NewLineByYAMLNode`` (range.go:14-30): 1-based line
+    and column of the node's start, end column = start + value length
+    (+2 when single/double-quoted; containers count 0). PyYAML marks
+    are 0-based, go-yaml's are 1-based — hence the +1."""
+    c = (
+        0
+        if isinstance(node, (yaml.MappingNode, yaml.SequenceNode))
+        else len(node.value)
+    )
+    if getattr(node, "style", None) in ("'", '"'):
+        c += 2
+    line = node.start_mark.line + 1
+    col = node.start_mark.column + 1
+    return line, col, col + c
+
+
+_NO_RANGE = (None, None, None)
+
+
+def _flatten_node(
+    node, path, rpath, key, elems, rows,
+    key_node=None, child_idx=None, parent_rng=_NO_RANGE,
+) -> None:
     parent_path, _, _ = path.rpartition(".") if "." in path else ("", "", path)
     parent_rpath = rpath.rpartition(".")[0] if "." in rpath else ""
     vt = _node_vt(node)
     value = node.value if not isinstance(
         node, (yaml.MappingNode, yaml.SequenceNode)
     ) else ""
-    rows.append((path, rpath, parent_path, parent_rpath, key, vt, value, elems))
+    vrng = _node_range(node)
+    krng = _node_range(key_node) if key_node is not None else _NO_RANGE
+    rows.append(
+        (path, rpath, parent_path, parent_rpath, key, vt, value, elems,
+         child_idx, *vrng, *krng, *parent_rng)
+    )
     if isinstance(node, yaml.MappingNode):
-        for k, v in node.value:
+        for i, (k, v) in enumerate(node.value):
             kn = k.value if isinstance(k, yaml.ScalarNode) else str(k.value)
             cp = f"{path}.{kn}" if path else kn
             crp = f"{rpath}.{kn}" if rpath else kn
-            _flatten_node(v, cp, crp, kn, elems, rows)
+            _flatten_node(v, cp, crp, kn, elems, rows,
+                          key_node=k, child_idx=i, parent_rng=vrng)
     elif isinstance(node, yaml.SequenceNode):
         for i, v in enumerate(node.value):
             cp = f"{path}.{i}" if path else str(i)
             crp = f"{rpath}.*" if rpath else "*"
-            _flatten_node(v, cp, crp, str(i), elems + [i], rows)
+            _flatten_node(v, cp, crp, str(i), elems + [i], rows,
+                          child_idx=i, parent_rng=vrng)
 
 
 def flatten_document(text_or_node, doc_id: str) -> list[tuple]:
@@ -177,7 +210,10 @@ def yaml_docs_from_table(
 
     cols = [
         "doc_id", "path", "rpath", "parent_path", "parent_rpath",
-        "key", "vtype", "value", "elems",
+        "key", "vtype", "value", "elems", "child_idx",
+        "line", "col_start", "col_end",
+        "kline", "kcol_start", "kcol_end",
+        "pline", "pcol_start", "pcol_end",
     ]
 
     def parse(batches):
@@ -189,7 +225,9 @@ def yaml_docs_from_table(
                     out.extend(flatten_document(txt, did))
                 except Exception as e:  # malformed YAML → sentinel
                     out.append(
-                        (did, "", "", "", "", "", "$error", str(e)[:500], [])
+                        (did, "", "", "", "", "", "$error", str(e)[:500], [],
+                         None, None, None, None, None, None, None,
+                         None, None, None)
                     )
             yield pd.DataFrame(out, columns=cols)
 
@@ -208,7 +246,10 @@ def parse_errors(fields: DataFrame) -> DataFrame:
 def _flatten_rules(rules: RuleSet) -> list[tuple]:
     out: list[tuple] = []
 
-    def walk(rule: Rule, rpath: str, parent_rpath: str, pos_path: str) -> None:
+    def walk(
+        rule: Rule, rpath: str, parent_rpath: str, pos_path: str,
+        rule_idx: int,
+    ) -> None:
         constraint_scalar = (
             rule.constraint if isinstance(rule.constraint, str) else None
         )
@@ -227,6 +268,7 @@ def _flatten_rules(rules: RuleSet) -> list[tuple]:
                 constraint_scalar,
                 rule.key_reg,
                 pos_path,
+                rule_idx,
             )
         )
         for i, c in enumerate(rule.children):
@@ -235,6 +277,7 @@ def _flatten_rules(rules: RuleSet) -> list[tuple]:
                 f"{rpath}.{c.key}" if rpath else c.key,
                 rpath,
                 f"{pos_path}.{i:05d}" if pos_path else f"{i:05d}",
+                i,
             )
         if isinstance(rule.constraint, Rule):
             # $arr object constraint: applies to every element — the
@@ -246,10 +289,11 @@ def _flatten_rules(rules: RuleSet) -> list[tuple]:
                     f"{rpath}.*.{c.key}",
                     f"{rpath}.*",
                     f"{pos_path}.*.{i:05d}",
+                    i,
                 )
 
     for i, c in enumerate(rules.root.children):
-        walk(c, c.key, "", f"{i:05d}")
+        walk(c, c.key, "", f"{i:05d}", i)
     return out
 
 
@@ -271,9 +315,12 @@ def _fill(template: Column, elems: Column) -> Column:
 
 def validate_yaml_docs(fields: DataFrame, rules: RuleSet) -> DataFrame:
     """Violations over the flattened node table: (doc_id, path, key,
-    error_type, message, ord). Empty result = pass (reference
-    rule.go:131-141). Sort by ``ord`` for the reference's depth-first
-    emission order."""
+    error_type, message, ord, line, col_start, col_end). Empty result
+    = pass (reference rule.go:131-141). Sort by ``ord`` for the
+    reference's depth-first emission order. ``line``/``col_start``/
+    ``col_end`` are the reference's 1-based source Range
+    (result.go:18-22, range.go:8-30) — how a config author finds the
+    offending line."""
     spark = fields.sparkSession
     rdf = spark.createDataFrame(_flatten_rules(rules), _RULE_SCHEMA)
     r = F.broadcast(rdf)
@@ -357,9 +404,18 @@ def validate_yaml_docs(fields: DataFrame, rules: RuleSet) -> DataFrame:
             ),
         )
     )
+    # Every violation row carries the reference's source Range
+    # (result.go:18-22, range.go:8-30): scalar checks anchor to the
+    # field's VALUE node, array-element checks to the ARRAY node
+    # (rule.go:178 uses f.getValueRange() of the array), $key-reg to
+    # the KEY node, keyMissing to the parent's rule_idx-th child
+    # (rule.go:161 `field.Fields()[i]`; where the reference would
+    # index out of range the columns are NULL — documented divergence
+    # from a panic).
     scalar_v = (
         j.select(
             "doc_id", "path", "key", "pos_path", "elems",
+            "line", "col_start", "col_end",
             F.explode(checks).alias("c"),
         )
         .select(
@@ -368,6 +424,7 @@ def validate_yaml_docs(fields: DataFrame, rules: RuleSet) -> DataFrame:
             F.col("c.msg").alias("message"),
             F.concat(_fill(F.col("pos_path"), F.col("elems")),
                      F.lit("."), F.col("c.sub")).alias("ord"),
+            "line", "col_start", "col_end",
         )
     )
 
@@ -412,6 +469,9 @@ def validate_yaml_docs(fields: DataFrame, rules: RuleSet) -> DataFrame:
                 _fill(F.concat("arr_pos", F.lit(".*")), F.col("elems")),
                 F.lit(".s1"),
             ).alias("ord"),
+            F.col("pline").alias("line"),
+            F.col("pcol_start").alias("col_start"),
+            F.col("pcol_end").alias("col_end"),
         )
     )
 
@@ -434,13 +494,16 @@ def validate_yaml_docs(fields: DataFrame, rules: RuleSet) -> DataFrame:
             ).alias("message"),
             F.concat(_fill(F.col("obj_pos"), F.col("elems")),
                      F.lit(".s9")).alias("ord"),
+            F.col("kline").alias("line"),
+            F.col("kcol_start").alias("col_start"),
+            F.col("kcol_end").alias("col_end"),
         )
     )
 
     # ---- required-key presence (anti-join per parent instance) -----
     req = rdf.filter("required").select(
         F.col("parent_rpath"), F.col("key").alias("rkey"),
-        F.col("pos_path").alias("rpos"),
+        F.col("pos_path").alias("rpos"), F.col("rule_idx"),
     )
     cand = (
         fields.join(F.broadcast(req), fields.rpath == req.parent_rpath)
@@ -449,21 +512,37 @@ def validate_yaml_docs(fields: DataFrame, rules: RuleSet) -> DataFrame:
             F.when(F.col("path") == "", F.col("rkey"))
             .otherwise(F.concat("path", F.lit("."), "rkey"))
             .alias("child_path"),
-            "rkey", "rpos", "elems",
+            F.col("path").alias("par_path"),
+            "rkey", "rpos", "elems", "rule_idx",
         )
     )
     present = fields.select(
         "doc_id", F.col("path").alias("child_path")
     )
-    km_v = cand.join(present, ["doc_id", "child_path"], "left_anti").select(
+    # keyMissing range: the parent's rule_idx-th existing child's
+    # VALUE range (reference `field.Fields()[i]`, rule.go:161) —
+    # fetched with one join against the node table keyed on the
+    # parent path + document-order child index
+    child_rng = fields.select(
         "doc_id",
-        F.col("child_path").alias("path"),
-        F.col("rkey").alias("key"),
-        F.lit("keyMissing").alias("error_type"),
-        F.concat(F.lit("key ["), F.col("rkey"),
-                 F.lit("] is expected here")).alias("message"),
-        F.concat(_fill(F.col("rpos"), F.col("elems")),
-                 F.lit(".s0")).alias("ord"),
+        F.col("parent_path").alias("par_path"),
+        F.col("child_idx").alias("rule_idx"),
+        "line", "col_start", "col_end",
+    )
+    km_v = (
+        cand.join(present, ["doc_id", "child_path"], "left_anti")
+        .join(child_rng, ["doc_id", "par_path", "rule_idx"], "left")
+        .select(
+            "doc_id",
+            F.col("child_path").alias("path"),
+            F.col("rkey").alias("key"),
+            F.lit("keyMissing").alias("error_type"),
+            F.concat(F.lit("key ["), F.col("rkey"),
+                     F.lit("] is expected here")).alias("message"),
+            F.concat(_fill(F.col("rpos"), F.col("elems")),
+                     F.lit(".s0")).alias("ord"),
+            "line", "col_start", "col_end",
+        )
     )
 
     all_v = scalar_v.unionByName(elem_v).unionByName(kr_v).unionByName(km_v)

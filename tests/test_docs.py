@@ -318,3 +318,62 @@ def test_constraint_null_and_any_elements(spark, tmp_path):
     assert [(r["key"], r["error_type"]) for r in rows] == [
         ("bad.0", "typeMismatch")
     ]
+
+
+def test_source_ranges_type_mismatch_golden(spark):
+    """Violation rows carry the reference's source Range
+    (result.go:18-22, range.go:14-30): 1-based line/column of the
+    anchoring node, end = start + value length (+2 when quoted;
+    containers count 0). Scalar checks anchor to the VALUE node;
+    array-element checks to the ARRAY node (rule.go:178 uses the
+    array field's getValueRange). Expected values read off the
+    type_mismatch fixture by hand."""
+    v = docs.validate_yaml_files(
+        spark,
+        os.path.join(FIX, "yaml-cases", "type_mismatch.yaml"),
+        os.path.join(FIX, "exam", "type_mismatch.yaml"),
+    )
+    got = [
+        (r["key"], r["line"], r["col_start"], r["col_end"])
+        for r in v.orderBy("ord").collect()
+    ]
+    assert got == [
+        ("stringVal", 3, 14, 18),   # 1234
+        ("intVal", 4, 11, 26),      # something wrong
+        ("booVal", 5, 11, 14),      # yes
+        ("floatVal", 6, 13, 18),    # 12345
+        ("nullVal", 7, 12, 23),     # some string
+        # list.0..2 all anchor to the flow-sequence "[" (container,
+        # zero-width end)
+        ("list.0", 8, 9, 9),
+        ("list.1", 8, 9, 9),
+        ("list.2", 8, 9, 9),
+    ]
+
+
+def test_source_ranges_key_missing_and_quoted(spark, tmp_path):
+    """keyMissing anchors to the parent's rule_idx-th existing child
+    (reference field.Fields()[i], rule.go:161) — for the key_missing
+    fixture, missing bar1 (rule_idx 1) → the range of [bar: 1111]'s
+    value. Quoted scalars count +2 columns (range.go:20-23)."""
+    v = docs.validate_yaml_files(
+        spark,
+        os.path.join(FIX, "yaml-cases", "key_missing.yaml"),
+        os.path.join(FIX, "exam", "key_missing.yaml"),
+    )
+    rows = v.collect()
+    assert [(r["key"], r["error_type"]) for r in rows] == [
+        ("bar1", "keyMissing")
+    ]
+    assert (rows[0]["line"], rows[0]["col_start"], rows[0]["col_end"]) == (
+        6, 12, 16
+    )
+    # quoted-style +2: a double-quoted value failing a regex
+    data = tmp_path / "d.yaml"
+    data.write_text('v: "abc"\n')
+    rules = tmp_path / "r.yaml"
+    rules.write_text("v: {$type: $str, $reg: '^z'}\n")
+    r = docs.validate_yaml_files(spark, str(data), str(rules)).collect()
+    assert [(x["line"], x["col_start"], x["col_end"]) for x in r] == [
+        (1, 4, 9)  # col 4, len("abc")+2 quotes = 5 → end 9
+    ]
