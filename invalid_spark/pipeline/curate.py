@@ -97,8 +97,20 @@ def curation_decisions(
     text_col: str = "text",
     key_col: str = "doc_id",
     parallelism: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
-    """(id, keep, reason) for every input document."""
+    """(id, keep, reason) for every input document.
+
+    ``cache=True`` (default) materializes the base projection — id,
+    text, and every row-local signal — as an eager local checkpoint,
+    so the corpus is SCANNED ONCE and the quality/lang/fingerprint
+    expressions evaluated once; the exact-dup, near-dup, and final
+    decision stages all feed from the checkpoint (storage is
+    reclaimed by Spark once the result is unreferenced). With
+    ``cache=False`` the plan stays fully lazy at the cost of
+    re-scanning the corpus for the near-dup stage and the final
+    join — prefer it only when the corpus is too large to spill its
+    decoded form to executor disks."""
     t = F.col(text_col)
     # one projection computes every row-local signal (codegen, no
     # shuffle): quality, language, exact-dup fingerprint — the
@@ -106,10 +118,13 @@ def curation_decisions(
     # curation can never diverge from the standalone operators
     base = df.select(
         F.col(key_col).alias("id"),
+        t.alias("__txt"),
         T.quality_ok_col(t).alias("qok"),
         T.lang_guess_col(t).isin(list(langs)).alias("lok"),
         T.fingerprint(t).alias("fp"),
     )
+    if cache:
+        base = base.localCheckpoint(eager=True)
 
     surv1 = base.filter("qok").filter("lok").select("id", "fp")
     keep_exact = surv1.groupBy("fp").agg(F.min("id").alias("keep_id"))
@@ -118,9 +133,10 @@ def curation_decisions(
     surv2_ids = s1k.filter(F.col("id") == F.col("keep_id")).select("id")
 
     # near-dup only over rows that survived the cheap gates: the LSH
-    # shuffle sees the pruned corpus, not the raw one
-    surv2 = df.join(
-        surv2_ids.withColumnRenamed("id", key_col), key_col, "left_semi"
+    # shuffle sees the pruned corpus (fed from the cached base, not a
+    # re-scan of the raw input), not the raw one
+    surv2 = base.join(surv2_ids, "id", "left_semi").select(
+        F.col("id").alias(key_col), F.col("__txt").alias(text_col)
     )
     pairs = dedup.minhash_lsh_dedup(
         surv2, threshold=threshold, text_col=text_col, key_col=key_col,

@@ -242,9 +242,12 @@ def lsh_candidates(
     # persist the banded signatures: both sides of the self-join read
     # them, and without materialization the whole shingle→md5→minhash
     # aggregation pipeline runs twice (alias-renamed subtrees defeat
-    # ReuseExchange). Candidates are materialized eagerly so the
-    # (corpus × bands)-sized cache can be RELEASED here — only the
-    # tiny candidate-pair cache outlives the call.
+    # ReuseExchange). Candidates are materialized eagerly as a LOCAL
+    # CHECKPOINT so the (corpus × bands)-sized cache can be RELEASED
+    # here — and unlike an explicit persist(), checkpoint blocks are
+    # reclaimed by Spark's ContextCleaner once the returned frame is
+    # unreferenced, so repeated calls in a long-lived session (e.g.
+    # curation over many corpora) don't accumulate executor storage.
     b = minhash_bands(df, bands, rows, n, text_col, key_col).persist()
     l = b.select(F.col("id").alias("a"), "band", "band_hash")
     r = b.select(F.col("id").alias("b"), "band", "band_hash")
@@ -253,9 +256,8 @@ def lsh_candidates(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    out.count()
     b.unpersist()
     return out
 

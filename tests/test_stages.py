@@ -589,3 +589,20 @@ def test_multi_grid_clip_bounds_outliers(spark):
     lo_h, hi_h, _ = grids["h"]
     exact = df.selectExpr("min(h) lo", "max(h) hi").collect()[0]
     assert (lo_h, hi_h) == (float(exact["lo"]), float(exact["hi"]))
+
+
+def test_curation_single_corpus_scan(spark):
+    """With cache=True (default) the corpus parquet is scanned once —
+    into the eager base checkpoint — and every later stage (exact
+    dedup, near-dup, final decision join) feeds from the checkpoint:
+    the decisions plan contains ZERO file scans. cache=False must
+    produce identical decisions."""
+    from invalid_spark.pipeline import curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    dec = curate.curation_decisions(docs)
+    assert _scan_count(dec) == 0  # all stages feed from the checkpoint
+    cold = curate.curation_decisions(docs, cache=False)
+    got = sorted(tuple(r) for r in dec.collect())
+    want = sorted(tuple(r) for r in cold.collect())
+    assert got == want
