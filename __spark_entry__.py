@@ -580,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks_events": q_drift_ks_events,
         "drift_chi2_events": q_drift_chi2_events,
         "streaming_validate_events": q_streaming_validate_events,
+        "streaming_chi2_windows": q_streaming_chi2_windows,
         "text_quality_documents": q_text_quality_documents,
         "text_langid_documents": q_text_langid_documents,
         "text_fingerprint_documents": q_text_fingerprint_documents,
@@ -813,6 +814,101 @@ SELECT 'event_type' AS column_name,
        CAST(any_value(n) AS BIGINT) AS n_cur,
        CAST(any_value(m) AS BIGINT) AS n_prior
 FROM terms
+"""
+
+
+_STREAM_CHI2_REF = {
+    "click": 0.25, "error": 0.25, "purchase": 0.25, "signup": 0.25,
+}  # "view" deliberately absent → exercises the unknown-category path
+
+
+def _chi2_crit(dof: int, threshold: float) -> float:
+    """The same driver-side bisected critical value
+    streaming.windowed_chi2_drift computes — replicated so the oracle
+    SQL can embed the identical literal."""
+    from invalid_spark import mathutil
+
+    lo, hi = 0.0, 1e6
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if mathutil.chi2_pvalue(mid, dof) < threshold:
+            hi = mid
+        else:
+            lo = mid
+    return (lo + hi) / 2
+
+
+def q_streaming_chi2_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed goodness-of-fit drift (streaming.windowed_chi2_drift)
+    over daily event-time windows: chi-square of each day's
+    event_type mix against a fixed reference, with the
+    out-of-reference category ("view") reported as explicit
+    n_unknown/unknown_frac mass. Executed on the batch path — pytest
+    proves the streaming execution emits identical rows — so the
+    whole computation is SQL-replayable and fully oracle-checked."""
+    from invalid_spark import streaming
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    out = streaming.windowed_chi2_drift(
+        ev, "event_type", _STREAM_CHI2_REF, window="1 day",
+        watermark="1 day",
+    )
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.col("window_end").cast("string").alias("window_end"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_unknown").cast("long").alias("n_unknown"),
+        F.round("unknown_frac", 6).alias("unknown_frac"),
+        F.round("statistic", 6).alias("statistic"),
+        "drifted",
+    )
+
+
+def _sql_streaming_chi2_windows() -> str:
+    # float-order parity: the statistic is the same left-to-right sum
+    # of per-category (o-e)^2/e terms in sorted category order plus
+    # the unknown sentinel term, so double accumulation is identical;
+    # the drifted comparison uses the UNROUNDED statistic against the
+    # same bisected critical value, embedded as a literal
+    crit = _chi2_crit(dof=len(_STREAM_CHI2_REF) - 1, threshold=0.01)
+    cats = sorted(_STREAM_CHI2_REF)
+    o_cols = ",\n         ".join(
+        f"CAST(coalesce(sum(CASE WHEN event_type = '{c}' THEN 1 END), 0) "
+        f"AS DOUBLE) AS o_{c}"
+        for c in cats
+    )
+    terms = "\n    + ".join(
+        f"(CASE WHEN e > 0 THEN (o_{c} - e) * (o_{c} - e) / e "
+        f"ELSE 0.0 END)"
+        for c in cats
+    )
+    known = " + ".join(f"o_{c}" for c in cats)
+    return f"""
+WITH w AS (
+  SELECT date_trunc('day', ts) AS ws, event_type FROM events
+), tab AS (
+  SELECT ws, count(*) AS n,
+         {o_cols}
+  FROM w GROUP BY ws
+), t AS (
+  SELECT ws, n, {', '.join('o_' + c for c in cats)},
+         CAST(n AS DOUBLE) * 0.25 AS e,
+         CAST(n AS DOUBLE) - ({known}) AS unk
+  FROM tab
+), s AS (
+  SELECT ws, n, unk,
+    {terms}
+    + (CASE WHEN unk > 0 THEN unk * unk / 0.5 ELSE 0.0 END) AS stat
+  FROM t
+)
+SELECT CAST(CAST(ws AS TIMESTAMP) AS VARCHAR) AS window_start,
+       CAST(ws + INTERVAL 1 DAY AS VARCHAR) AS window_end,
+       CAST(n AS BIGINT) AS n,
+       CAST(unk AS BIGINT) AS n_unknown,
+       round(unk / CAST(n AS DOUBLE), 6) AS unknown_frac,
+       round(stat, 6) AS statistic,
+       stat > {crit!r} AS drifted
+FROM s
 """
 
 
@@ -1541,6 +1637,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_ks_events": _sql_drift_ks_events(),
         "drift_chi2_events": _sql_drift_chi2_events(),
         "streaming_validate_events": _sql_streaming_validate_events(),
+        "streaming_chi2_windows": _sql_streaming_chi2_windows(),
         "text_quality_documents": _sql_text_quality(),
         "text_langid_documents": _sql_text_langid(),
         "text_fingerprint_documents": _sql_text_fingerprint(),

@@ -2,18 +2,21 @@
 typed metadata, processed through the same Arrow-batch machinery as
 images.
 
-The container has no audio/video codecs (no ffmpeg/librosa), so the
-DECODE step is stubbed two ways — the Spark-side plumbing (schemas,
-column pruning, Arrow batch shape, mapInPandas signatures,
-parallelism control) is real and tested either way:
+Decode support is tiered by what the sandbox can genuinely do:
 
-- ``decoder="strict"`` raises :class:`NotImplementedError` at the
-  decode call site — the production integration point where
-  ffmpeg/libsndfile plugs in;
-- ``decoder="fake"`` (default in tests) derives a deterministic
+- **audio WAV/PCM is decoded for real** — the stdlib ``wave`` module
+  plus numpy need no external codec (:func:`decode_wav` /
+  :func:`encode_wav`, 8/16/24/32-bit PCM, multi-channel downmix).
+  ``decoder="strict"`` runs this real decode and raises
+  :class:`NotImplementedError` only for non-WAV payloads (mp3/flac —
+  the production integration point where libsndfile/ffmpeg plugs in);
+- video decode stays an honest stub (``decoder="strict"`` raises —
+  no container-format parser without ffmpeg);
+- ``decoder="fake"`` (plumbing tests) derives a deterministic
   pseudo-signal from the payload bytes (seeded by content hash), so
   batch shapes, feature schemas, and violation plumbing are
-  exercised end-to-end with stable goldens.
+  exercised end-to-end with stable goldens regardless of codec
+  availability.
 
 Schemas (typed metadata around the opaque payload — the multimodal
 analog of the image table's ``(bytes, w, h, fmt)``):
@@ -27,6 +30,8 @@ analog of the image table's ``(bytes, w, h, fmt)``):
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -52,6 +57,66 @@ FRAME_SAMPLE_SCHEMA = (
 )
 
 
+def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
+    """REAL PCM WAV decode — stdlib ``wave`` + numpy, no external
+    codec. Returns (mono float32 signal in [-1, 1], sample_rate).
+    Handles 8-bit unsigned and 16/24/32-bit signed little-endian PCM;
+    multi-channel audio is downmixed by per-frame mean."""
+    with wave.open(io.BytesIO(raw), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if sw == 1:
+        sig = (
+            np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0
+        ) / 128.0
+    elif sw == 2:
+        sig = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 3:
+        b = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+        v = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        sig = v.astype(np.float32) / float(1 << 23)
+    elif sw == 4:
+        sig = np.frombuffer(frames, dtype="<i4").astype(np.float32) / float(
+            1 << 31
+        )
+    else:
+        raise ValueError(f"unsupported PCM sample width: {sw}")
+    if nch > 1:
+        sig = sig.reshape(-1, nch).mean(axis=1).astype(np.float32)
+    return sig, sr
+
+
+def encode_wav(
+    sig: np.ndarray, sample_rate: int, sampwidth: int = 2
+) -> bytes:
+    """Encode a float signal in [-1, 1] as 16-bit (or 8/32-bit) PCM
+    WAV bytes — the synthesis side of :func:`decode_wav`, used to
+    plant payloads with known sample counts/RMS."""
+    sig = np.clip(np.asarray(sig, dtype=np.float64), -1.0, 1.0)
+    if sampwidth == 1:
+        data = (sig * 127.0 + 128.0).round().astype(np.uint8).tobytes()
+    elif sampwidth == 2:
+        data = (sig * 32767.0).round().astype("<i2").tobytes()
+    elif sampwidth == 4:
+        data = (sig * 2147483647.0).round().astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported PCM sample width: {sampwidth}")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sample_rate)
+        w.writeframes(data)
+    return buf.getvalue()
+
+
 def _fake_signal(raw: bytes, n: int) -> np.ndarray:
     """Deterministic stand-in decode: a pseudo-waveform seeded by the
     content hash. Replaced by a real codec in production."""
@@ -70,23 +135,35 @@ def audio_features(
     """Per-clip audio features over Arrow batches (RMS, peak,
     zero-crossing count, duration) — the feature-extraction stage of
     an audio curation pipeline. Scan prunes to (id, bytes, metadata);
-    batches stay small because payloads are binary."""
-    pruned = df.select(clip_col, bytes_col, "sample_rate", "n_samples")
+    batches stay small because payloads are binary.
+
+    ``decoder="strict"`` decodes WAV payloads FOR REAL
+    (:func:`decode_wav` — stdlib, no external codec; n_samples and
+    sample_rate come from the decoded file, not the metadata
+    columns) and raises :class:`NotImplementedError` for non-WAV
+    formats, where libsndfile/ffmpeg would plug in."""
+    pruned = df.select(clip_col, bytes_col, "sample_rate", "n_samples", "fmt")
     if parallelism:
         pruned = pruned.repartition(parallelism)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for cid, raw, sr, n in zip(
-                pdf[clip_col], pdf[bytes_col], pdf["sample_rate"], pdf["n_samples"]
+            for cid, raw, sr, n, fmt in zip(
+                pdf[clip_col], pdf[bytes_col], pdf["sample_rate"],
+                pdf["n_samples"], pdf["fmt"],
             ):
                 if decoder == "strict":
-                    raise NotImplementedError(
-                        "audio decode requires libsndfile/ffmpeg; "
-                        "plug the real codec in here"
-                    )
-                sig = _fake_signal(bytes(raw), int(n))
+                    if str(fmt).lower() != "wav":
+                        raise NotImplementedError(
+                            f"audio decode for [{fmt}] requires "
+                            "libsndfile/ffmpeg; plug the real codec in "
+                            "here (WAV/PCM decodes natively)"
+                        )
+                    sig, sr = decode_wav(bytes(raw))
+                    n = len(sig)
+                else:
+                    sig = _fake_signal(bytes(raw), int(n))
                 zc = int(np.sum(np.abs(np.diff(np.signbit(sig)))))
                 out.append(
                     (
@@ -148,7 +225,9 @@ def video_frame_sample(
 
 
 def synth_audio(spark, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic audio table (fake payloads + metadata)."""
+    """Deterministic synthetic audio table — OPAQUE fake payloads
+    (labeled ``opus`` — not decodable without a real codec) for
+    plumbing tests; :func:`synth_wav` plants real decodable WAVs."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -159,7 +238,40 @@ def synth_audio(spark, n: int, seed: int = 42) -> DataFrame:
                 n_samples = int(rng.integers(8000, 16001))
                 payload = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
                 rows.append(
-                    (f"clip-{i:08d}", payload, 16000, n_samples, "wav")
+                    (f"clip-{i:08d}", payload, 16000, n_samples, "opus")
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "bytes", "sample_rate", "n_samples", "fmt"],
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+def synth_wav(spark, n: int, seed: int = 42) -> DataFrame:
+    """Synthetic audio table whose payloads are REAL 16-bit PCM WAV
+    files: clip ``i`` is a sine of amplitude 0.5 (RMS = 0.5/√2) with a
+    content-derived frequency and a planted sample count, so strict
+    decode can be asserted against exact expectations."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                rng = np.random.default_rng(seed * 1_000_003 + i)
+                n_samples = int(rng.integers(8000, 16001))
+                freq = float(rng.integers(100, 2001))
+                t = np.arange(n_samples, dtype=np.float64) / 16000.0
+                sig = 0.5 * np.sin(2 * np.pi * freq * t)
+                rows.append(
+                    (
+                        f"clip-{i:08d}",
+                        encode_wav(sig, 16000),
+                        16000,
+                        n_samples,
+                        "wav",
+                    )
                 )
             yield pd.DataFrame(
                 rows,

@@ -160,9 +160,17 @@ def windowed_chi2_drift(
     (window, category), then the O(|categories|) statistic folds into
     the same grouped aggregation via collected counts — no
     stream-stream join, no second stateful stage. Emits
-    (window_start, window_end, n, statistic, drifted) per closed
-    window; the threshold is on the statistic against the chi-square
-    critical value computed driver-side once (no per-row Python).
+    (window_start, window_end, n, n_unknown, unknown_frac, statistic,
+    drifted) per closed window; the threshold is on the statistic
+    against the chi-square critical value computed driver-side once
+    (no per-row Python).
+
+    Out-of-reference categories have expected count 0; they load the
+    statistic through a pseudo-expectation of 0.5 (to stay finite),
+    which makes the value a sentinel rather than a true chi-square
+    whenever they appear — ``n_unknown``/``unknown_frac`` report that
+    mass explicitly so consumers can tell genuine distribution drift
+    (unknown_frac = 0) from new-category arrival.
 
     Works identically on a batch frame (tested both ways)."""
     from invalid_spark import mathutil
@@ -218,6 +226,10 @@ def windowed_chi2_drift(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
         F.col("n").alias("n"),
+        unknown.cast("long").alias("n_unknown"),
+        F.when(
+            F.col("n") > 0, unknown / F.col("n").cast("double")
+        ).otherwise(F.lit(0.0)).alias("unknown_frac"),
         stat.alias("statistic"),
         (stat > F.lit(crit)).alias("drifted"),
     )

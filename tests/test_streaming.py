@@ -233,6 +233,13 @@ def test_windowed_chi2_drift_batch_and_stream(spark, tmp_path):
     assert not out["2024-01-01 00:00:00"]["drifted"]
     assert out["2024-01-01 00:05:00"]["drifted"]
     assert out["2024-01-01 00:10:00"]["drifted"]
+    # unknown-category mass is reported explicitly: windows A/B have
+    # none (their statistics are true chi-square values), window C is
+    # 100% unknown (its statistic is the documented sentinel loading)
+    assert out["2024-01-01 00:00:00"]["n_unknown"] == 0
+    assert out["2024-01-01 00:05:00"]["unknown_frac"] == 0.0
+    assert out["2024-01-01 00:10:00"]["n_unknown"] == 50
+    assert out["2024-01-01 00:10:00"]["unknown_frac"] == 1.0
     # streaming execution of the same query
     d = str(tmp_path / "ev")
     src.coalesce(1).write.mode("overwrite").parquet(d)
@@ -248,7 +255,8 @@ def test_windowed_chi2_drift_batch_and_stream(spark, tmp_path):
     # subset equality are the streaming assertions
     got = spark.read.parquet(sink).collect()
     assert set(spark.read.parquet(sink).columns) == {
-        "window_start", "window_end", "n", "statistic", "drifted"
+        "window_start", "window_end", "n", "n_unknown", "unknown_frac",
+        "statistic", "drifted",
     }
     for r in got:
         b = out[str(r["window_start"])]
