@@ -323,11 +323,19 @@ def q_emb_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (seeded k-means codebook → probe nprobe
-    lists). Rows-only: the codebook comes from driver-side numpy."""
+    """IVF approximate top-k with the md5-derived sample codebook
+    (similarity.ivf_md5_centroids — the n_lists vectors with smallest
+    md5-key, normalized, rank = centroid id), so the DuckDB oracle
+    re-derives the identical codebook and replays nearest-centroid
+    assignment, nprobe probing, and ranking — a full value check of
+    the IVF path. The k-means codebook (ivf_centroids) remains the
+    production-quality path, recall-asserted in pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    out = similarity.ivf_ann(emb, q, k=5, n_lists=16, nprobe=4)
+    cent = similarity.ivf_md5_centroids(emb, n_lists=16)
+    out = similarity.ivf_ann(
+        emb, q, k=5, n_lists=16, nprobe=4, centroids=cent
+    )
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )
@@ -1472,6 +1480,65 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+def _sql_ann_ivf() -> str:
+    # Replays the ENTIRE IVF path: md5-ranked codebook (16 smallest
+    # (md5-key, id) normalized vectors, rank = centroid id), corpus
+    # assignment = argmax centroid dot (tie-break: larger centroid id,
+    # matching similarity._nearest_lists' reverse(array_sort)), query
+    # multi-probe = top-4 lists by the same order, cosine ranking.
+    # All dots are the strict left fold, so doubles are bit-identical.
+    return """
+WITH nvt AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), un AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_reduce(
+           list_transform(v, y -> y * y), (a, b) -> a + b))) AS nv
+  FROM nvt
+  WHERE sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b)) > 0
+), cent AS (
+  SELECT row_number() OVER (
+           ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                         AS BIGINT), vec_id
+         ) - 1 AS cid,
+         nv AS cv
+  FROM un
+  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT),
+           vec_id
+  LIMIT 16
+), sims AS (
+  SELECT u.vec_id AS id, u.nv, ct.cid,
+         list_reduce(list_transform(range(64),
+           i -> u.nv[i+1] * ct.cv[i+1]), (a, b) -> a + b) AS sim
+  FROM un u CROSS JOIN cent ct
+), ranked_sims AS (
+  SELECT id, nv, cid, sim,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY sim DESC, cid DESC) AS rn
+  FROM sims
+), assign AS (
+  SELECT id, nv, cid AS list_id FROM ranked_sims WHERE rn = 1
+), qprobe AS (
+  SELECT id AS qid, nv AS qv, cid AS list_id
+  FROM ranked_sims WHERE id < 10 AND rn <= 4
+), cand AS (
+  SELECT DISTINCT q.qid AS query_id, a.id AS neighbor_id,
+         list_reduce(list_transform(range(64),
+           i -> a.nv[i+1] * q.qv[i+1]), (x, y) -> x + y) AS cosine
+  FROM qprobe q JOIN assign a
+    ON a.list_id = q.list_id AND a.id <> q.qid
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM cand
+)
+SELECT query_id, neighbor_id, rnk AS "rank", round(cosine, 6) AS cosine
+FROM ranked WHERE rnk <= 5
+"""
+
+
 def _sql_caption_eq_documents() -> str:
     return """
 SELECT CAST(doc_id AS VARCHAR) AS row_key, 'caption' AS col_name,
@@ -1662,6 +1729,7 @@ def oracle_sql() -> dict[str, str]:
         "unique_phash_skew": _sql_unique_phash_skew(),
         "ann_brute_topk_embeddings": _sql_ann_brute_topk(),
         "ann_lsh_embeddings": _sql_ann_lsh(),
+        "ann_ivf_embeddings": _sql_ann_ivf(),
         # ann_ivf_embeddings: sampled-k-means codebook (iterative,
         #   driver-side numpy) — rows-only
         # tdigest_quantiles_lineitem: sketch, not SQL-exact — rows-only

@@ -218,6 +218,32 @@ def ivf_centroids(
     return cent
 
 
+def ivf_md5_centroids(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> np.ndarray:
+    """Codebook any SQL engine can re-derive (the oracle-checked IVF
+    path, mirroring ``dedup.neardup_planes`` for LSH): the ``n_lists``
+    corpus vectors with the smallest (md5-derived key, id), unit
+    normalized, in that order — centroid index = rank. No RNG, no
+    iteration: a deterministic sample codebook. Recall is below a
+    k-means codebook's (``ivf_centroids`` remains the quality path);
+    value-exactness of assignment/probe/ranking is what this buys."""
+    nv = with_norm(corpus, vec_col, key_col)
+    h = F.conv(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    rows = (
+        nv.select("id", "nv", h.alias("h"))
+        .orderBy("h", "id")
+        .limit(n_lists)
+        .collect()
+    )
+    return np.array([r["nv"] for r in rows])
+
+
 def _nearest_lists(nv: Column, cent: "np.ndarray", nprobe: int) -> Column:
     """Array of the nprobe centroid ids closest to the vector."""
     sims = F.array(
@@ -238,6 +264,7 @@ def ivf_ann(
     seed: int = 7,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: assign every corpus
     vector to its nearest coarse centroid (one projection — the
@@ -245,8 +272,12 @@ def ivf_ann(
     ``nprobe`` nearest lists. Recall/cost trade via nprobe; the
     assignment shuffle key is the list id, roughly uniform by
     k-means construction. The scale shape: build once, probe per
-    query batch."""
-    cent = ivf_centroids(
+    query batch.
+
+    ``centroids`` overrides the seeded k-means codebook — pass
+    :func:`ivf_md5_centroids` for an index a SQL oracle can
+    re-derive."""
+    cent = centroids if centroids is not None else ivf_centroids(
         corpus, n_lists, seed=seed, vec_col=vec_col, key_col=key_col
     )
     c = with_norm(corpus, vec_col, key_col).withColumn(
