@@ -223,6 +223,25 @@ def q_text_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_contamination_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train/eval contamination by word 3-gram overlap
+    (text.contamination_flags): docs with doc_id % 29 == 0 play the
+    eval/benchmark set, the rest are the training corpus; a training
+    doc sharing any distinct 3-gram with the eval set is flagged.
+    The documents table contains planted near-duplicate families, so
+    both contaminated and clean rows occur naturally."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 29 == 0)
+    tr = d.filter(F.col("doc_id") % 29 != 0)
+    out = text.contamination_flags(tr, ev, n=3)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_shingles", "n_matched",
+        "contaminated",
+    )
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "documents")
     # plant exact duplicates: re-append every 10th doc (shifted key)
@@ -502,7 +521,7 @@ def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs the exact all-pairs result is asserted in pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     p = dedup.embedding_neardup_lsh(
-        emb, threshold=0.3, planes=8, probe_hamming=1
+        emb, threshold=0.3, planes=8, probe_hamming=1, dim=64
     )
     return p.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
@@ -593,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_documents": q_text_langid_documents,
         "text_fingerprint_documents": q_text_fingerprint_documents,
         "text_repetition_documents": q_text_repetition_documents,
+        "text_contamination_documents": q_text_contamination_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_lsh_documents": q_dedup_minhash_lsh_documents,
@@ -1110,6 +1130,32 @@ SELECT a, b,
          AS jaccard
 FROM pairs
 WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.8
+"""
+
+
+def _sql_text_contamination() -> str:
+    # same shared shingle CTE as the dedup oracles (array_distinct
+    # 3-grams of the normalized text), split into eval (% 29 == 0)
+    # and train sides; per-train-doc count of grams present in the
+    # eval set's distinct gram pool
+    return f"""
+WITH {_SQL_SHINGLE_CTE},
+ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 29 = 0),
+tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 29 <> 0),
+agg AS (
+  SELECT tr.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(coalesce(sum(CASE WHEN ev.g IS NOT NULL THEN 1 END), 0)
+              AS BIGINT) AS n_matched
+  FROM tr LEFT JOIN ev ON tr.g = ev.g
+  GROUP BY tr.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(agg.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(agg.n_matched, 0) AS BIGINT) AS n_matched,
+       coalesce(agg.n_matched, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 29 <> 0) d
+LEFT JOIN agg ON agg.doc_id = d.doc_id
 """
 
 
@@ -1709,6 +1755,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid_documents": _sql_text_langid(),
         "text_fingerprint_documents": _sql_text_fingerprint(),
         "text_repetition_documents": _sql_text_repetition(),
+        "text_contamination_documents": _sql_text_contamination(),
         "dedup_exact_documents": _sql_dedup_exact(),
         "dedup_jaccard_documents": _sql_dedup_jaccard(),
         "dedup_minhash_lsh_documents": _sql_dedup_minhash_lsh(),

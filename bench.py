@@ -70,12 +70,13 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
     validated = 0
 
     def timed(name, fn):
-        # best-of-2: this host shows intermittent 2-4x slowdowns
-        # (co-tenant CPU steal); min over two trials reports the
-        # engine's cost, not the neighbor's
+        # best-of-3: this host shows intermittent 2-4x slowdowns
+        # (co-tenant CPU steal); min over three trials reports the
+        # engine's cost, not the neighbor's (n=2 still let one noisy
+        # capture burn a round of signal — VERDICT r2 item 7)
         nonlocal validated
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             n = fn()
             el = time.perf_counter() - t0
@@ -288,17 +289,23 @@ def main() -> None:
         _scaling_main()
         return
 
+    load_before = os.getloadavg()
     validated, total, timings, _ = run_once(CPUS, SF_DIR)
+    load_after = os.getloadavg()
     print(json.dumps({
         "metric": "validated_rows_per_sec",
         "value": round(validated / total, 1),
         "unit": "rows/sec",
         "queries": timings,
         "sf": sf_val,
-        # every per-query time is already min-of-2 trials (the timed()
-        # loop) — recorded so a single driver capture shows the trial
-        # count (VERDICT r1 bench-hygiene note)
-        "n": 2,
+        # every per-query time is min-of-3 trials (the timed() loop);
+        # the load markers make a co-tenant-noisy capture
+        # self-identifying: 1-min loadavg far above this job's own
+        # core budget means the numbers measured the neighbor
+        "n": 3,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+        "cores": CPUS,
     }))
 
 

@@ -571,10 +571,12 @@ def embedding_neardup_lsh(
     probe_hamming: int = 1,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale-shaped embedding near-dup: (a, b, cosine) with cosine ≥
     threshold, found via random-hyperplane LSH buckets instead of the
-    quadratic all-pairs join.
+    quadratic all-pairs join. Pass ``dim`` (the vector width) to keep
+    the builder action-free; otherwise one ``first()`` probes it.
 
     Plan shape (the 100 TB route): one projection computes each
     vector's sign-pattern bucket code; candidates are an EQUI-join on
@@ -593,7 +595,8 @@ def embedding_neardup_lsh(
     """
     from invalid_spark.pipeline.similarity import dot, with_norm
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     pls = neardup_planes(dim, planes)
     v = with_norm(df, vec_col, key_col)
     code = F.lit(0)

@@ -276,3 +276,57 @@ def fingerprints(df: DataFrame, text_col: str = "text",
         token_count(F.col(text_col)).alias("n_tokens"),
         token_count_bpe(F.col(text_col)).alias("n_tokens_bpe"),
     )
+
+
+def contamination_flags(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_key_col: str | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train/eval contamination by word n-gram overlap — the
+    decontamination rule LLM corpora apply before training: a
+    training document is ``contaminated`` when it shares at least one
+    distinct word ``n``-gram with the eval/benchmark set. Returns one
+    row per training document: (id, n_shingles, n_matched,
+    contaminated); documents shorter than ``n`` words have zero
+    shingles and cannot be contaminated.
+
+    Scale shape: the eval side collapses to its DISTINCT gram set —
+    benchmark suites are tiny next to a training corpus — and
+    broadcasts (``broadcast_eval=False`` flips to a shuffle hash join
+    for unusually large eval sets). The corpus side explodes to
+    distinct (doc, gram) rows via the shared
+    :func:`~invalid_spark.pipeline.dedup.shingle_terms` (distributed
+    dedup, partial combine) and aggregates matches per document: one
+    corpus-linear pass + one shuffle keyed by doc id, never an
+    all-pairs comparison. Grams use the one shared n-gram
+    constructor (:func:`word_ngrams`), so contamination, dedup, and
+    repetition features can never disagree on tokenization."""
+    from invalid_spark.pipeline import dedup
+
+    ev = dedup.shingle_terms(
+        eval_df, n, eval_text_col or text_col, eval_key_col or key_col
+    ).select("g").distinct().withColumn("__hit", F.lit(1))
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = dedup.shingle_terms(df, n, text_col, key_col)
+    agg = (
+        tr.join(ev, "g", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_matched"),
+        )
+    )
+    ids = df.select(F.col(key_col).alias("id"))
+    return ids.join(agg, "id", "left").select(
+        "id",
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+        (F.coalesce("n_matched", F.lit(0)) > 0).alias("contaminated"),
+    )

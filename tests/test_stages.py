@@ -606,3 +606,28 @@ def test_curation_single_corpus_scan(spark):
     got = sorted(tuple(r) for r in dec.collect())
     want = sorted(tuple(r) for r in cold.collect())
     assert got == want
+
+
+def test_contamination_flags_planted(spark):
+    """Eval-overlap decontamination: a train doc quoting a 3-gram
+    from the eval set flags; clean and too-short docs do not."""
+    from invalid_spark.pipeline import text as T
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "he saw the quick brown fox jumps away yesterday"),
+            (2, "completely unrelated sentence about databases and planes"),
+            (3, "two words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in T.contamination_flags(tr, ev, n=3).collect()}
+    assert out[1]["contaminated"] and out[1]["n_matched"] >= 2
+    assert not out[2]["contaminated"] and out[2]["n_matched"] == 0
+    assert out[3]["n_shingles"] == 0 and not out[3]["contaminated"]
+    # every train doc gets exactly one row
+    assert len(out) == 3
