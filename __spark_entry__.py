@@ -613,6 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint_documents": q_text_fingerprint_documents,
         "text_repetition_documents": q_text_repetition_documents,
         "text_contamination_documents": q_text_contamination_documents,
+        "text_pii_documents": q_text_pii_documents,
+        "sample_documents": q_sample_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_lsh_documents": q_dedup_minhash_lsh_documents,
@@ -864,6 +866,49 @@ def _chi2_crit(dof: int, threshold: float) -> float:
         else:
             lo = mid
     return (lo + hi) / 2
+
+
+def q_text_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub gate (text.pii_features): emails/IPv4/SSN/phone
+    counts per document, one codegen projection. PII is planted by
+    deterministic text surgery (the corpus itself is synthetic), so
+    every pattern fires on a known subset and the oracle replays both
+    the surgery and the RE2-safe counts."""
+    d = _t(spark, sf_dir, "documents")
+    derived = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                "text",
+                F.lit(" contact bob@example.com or admin@test.org at 10.1.2.3"),
+            ),
+        ).when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                "text", F.lit(" ssn 123-45-6789 phone 555-867-5309 end")
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = text.pii_features(derived)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_email", "n_ipv4", "n_ssn",
+        "n_phone", "n_pii", "has_pii",
+    )
+
+
+def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (curate.hash_sample):
+    keep all English docs, half the French, 10% of everything else —
+    a pure md5-bucket filter, stable across engines and
+    partitionings."""
+    from invalid_spark.pipeline import curate
+
+    d = _t(spark, sf_dir, "documents")
+    out = curate.hash_sample(
+        d, rate=0.1, strata_col="lang", rates={"en": 1.0, "fr": 0.5}
+    )
+    return out.select("doc_id", "lang")
 
 
 def q_streaming_chi2_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1130,6 +1175,55 @@ SELECT a, b,
          AS jaccard
 FROM pairs
 WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.8
+"""
+
+
+def _sql_text_pii() -> str:
+    from invalid_spark.pipeline.text import PII_PATTERNS
+
+    surgery = (
+        "CASE WHEN doc_id % 13 = 0 THEN text || "
+        "' contact bob@example.com or admin@test.org at 10.1.2.3' "
+        "WHEN doc_id % 17 = 0 THEN text || "
+        "' ssn 123-45-6789 phone 555-867-5309 end' "
+        "ELSE text END"
+    )
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT) AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"n_{k}" for k in PII_PATTERNS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, coalesce({surgery}, '') AS t FROM documents
+), c AS (
+  SELECT doc_id,
+       {counts}
+  FROM d
+)
+SELECT doc_id, n_email, n_ipv4, n_ssn, n_phone,
+       CAST({total} AS BIGINT) AS n_pii,
+       ({total}) > 0 AS has_pii
+FROM c
+"""
+
+
+def _sql_sample_documents() -> str:
+    # bucket = md5('sample-v1-' || key) first 8 hex digits → bigint
+    # mod 1e6; strata limits: en 1.0, fr 0.5, default 0.1
+    return """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5('sample-v1-' ||
+              coalesce(CAST(doc_id AS VARCHAR), '__null__')), 1, 8)
+              AS BIGINT) % 1000000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang FROM b
+WHERE bucket < CASE CAST(lang AS VARCHAR)
+                 WHEN 'en' THEN 1000000
+                 WHEN 'fr' THEN 500000
+                 ELSE 100000 END
 """
 
 
@@ -1756,6 +1850,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint_documents": _sql_text_fingerprint(),
         "text_repetition_documents": _sql_text_repetition(),
         "text_contamination_documents": _sql_text_contamination(),
+        "text_pii_documents": _sql_text_pii(),
+        "sample_documents": _sql_sample_documents(),
         "dedup_exact_documents": _sql_dedup_exact(),
         "dedup_jaccard_documents": _sql_dedup_jaccard(),
         "dedup_minhash_lsh_documents": _sql_dedup_minhash_lsh(),

@@ -163,3 +163,55 @@ def curation_decisions(
         .select("id", "keep", "reason")
     )
     return out
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float | None = None,
+    key_col: str = "doc_id",
+    salt: str = "sample-v1",
+    strata_col: str | None = None,
+    rates: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic (down)sampling by key hash — the reproducible
+    alternative to ``df.sample`` for corpus curation: the same
+    (key, salt) is kept or dropped on every engine, partitioning, and
+    re-run, so a 10% pilot corpus is a stable SUBSET of the 100%
+    corpus (``md5`` buckets nest: rate 0.1 keeps a subset of rate
+    0.5's rows). Pure projection + filter, no shuffle, no RNG state.
+
+    Stratified mode: pass ``strata_col`` and per-stratum ``rates``
+    (e.g. ``{"en": 0.1, "de": 1.0}``) — strata absent from the dict
+    fall back to ``rate`` (or 0.0 when no default is given), which is
+    how a curation pipeline up-samples rare languages while
+    down-sampling the head. NULL keys share the ``__null__`` sentinel
+    bucket (kept or dropped atomically, same as deterministic_split)."""
+    if rate is None and not rates:
+        raise ValueError("hash_sample needs rate= and/or rates=")
+    if rates and strata_col is None:
+        raise ValueError("per-stratum rates need strata_col=")
+    key_s = F.coalesce(F.col(key_col).cast("string"), F.lit("__null__"))
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit("-"), key_s)), 1, 8
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    def bound(r: float) -> int:
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"sample rate must be in [0, 1], got {r}")
+        return int(round(r * 1_000_000))
+    if rates:
+        expr = None
+        s = F.col(strata_col).cast("string")
+        for name, r in rates.items():
+            cond = s == name
+            lim = F.lit(bound(r))
+            expr = F.when(cond, lim) if expr is None else expr.when(cond, lim)
+        expr = expr.otherwise(F.lit(bound(rate if rate is not None else 0.0)))
+    else:
+        expr = F.lit(bound(rate))
+    return df.filter(bucket < expr)

@@ -330,3 +330,61 @@ def contamination_flags(
         F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
         (F.coalesce("n_matched", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+# PII patterns shared by detection and redaction. Conservative,
+# RE2-compatible (no lookaround) so the same pattern runs in Spark
+# (Java regex) and any RE2-based SQL engine — counts agree because
+# both scan leftmost non-overlapping.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\b\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
+}
+
+
+def pii_features(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-document PII counts — the scrub gate a training corpus
+    runs before release: (id, n_<kind>... , n_pii, has_pii). One
+    codegen projection (regexp_extract_all + size per pattern), no
+    shuffle, no Python; patterns are RE2-safe so a SQL oracle
+    reproduces the counts."""
+    pats = patterns or PII_PATTERNS
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        kind: F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0)))
+        for kind, p in pats.items()
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return df.select(
+        F.col(key_col).alias("id"),
+        *[c.cast("long").alias(f"n_{k}") for k, c in counts.items()],
+        total.cast("long").alias("n_pii"),
+        (total > 0).alias("has_pii"),
+    )
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Replace every PII match with a typed placeholder
+    (``[EMAIL]``, ``[IPV4]``, ...) — the redaction counterpart of
+    :func:`pii_features`, applied in one chained regexp_replace
+    projection (global replace, codegen, no shuffle). Pattern
+    application order is the dict order of ``PII_PATTERNS`` — fixed,
+    so redaction is deterministic and SQL-replayable."""
+    pats = patterns or PII_PATTERNS
+    t = F.col(text_col)
+    for kind, p in pats.items():
+        t = F.regexp_replace(t, p, f"[{kind.upper()}]")
+    return df.withColumn(text_col, t)

@@ -631,3 +631,67 @@ def test_contamination_flags_planted(spark):
     assert out[3]["n_shingles"] == 0 and not out[3]["contaminated"]
     # every train doc gets exactly one row
     assert len(out) == 3
+
+
+def test_pii_features_and_redaction(spark):
+    from invalid_spark.pipeline import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@ex-ample.co.uk or x@y.io thanks"),
+            (2, "server 192.168.0.1 and 10.0.0.255 are up"),
+            (3, "ssn 123-45-6789, call 555-867-5309 or +1 nope"),
+            (4, "no pii here at all"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in T.pii_features(df).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["has_pii"]
+    assert out[2]["n_ipv4"] == 2 and out[2]["n_email"] == 0
+    assert out[3]["n_ssn"] == 1 and out[3]["n_phone"] == 1
+    assert out[4]["n_pii"] == 0 and not out[4]["has_pii"]
+    assert out[5]["n_pii"] == 0  # NULL text → zero counts, not NULL
+    red = {r["doc_id"]: r["text"] for r in T.redact_pii(df).collect()}
+    assert red[1] == "mail me at [EMAIL] or [EMAIL] thanks"
+    assert red[2] == "server [IPV4] and [IPV4] are up"
+    assert red[3] == "ssn [SSN], call [PHONE] or +1 nope"
+    assert red[4] == "no pii here at all"
+    # redacted text has no remaining PII
+    assert all(
+        r["n_pii"] == 0
+        for r in T.pii_features(T.redact_pii(df)).collect()
+    )
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from invalid_spark.pipeline import curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    s10a = {r["doc_id"] for r in
+            curate.hash_sample(docs, 0.1).select("doc_id").collect()}
+    s10b = {r["doc_id"] for r in
+            curate.hash_sample(docs, 0.1).select("doc_id").collect()}
+    s50 = {r["doc_id"] for r in
+           curate.hash_sample(docs, 0.5).select("doc_id").collect()}
+    assert s10a == s10b                      # re-run stable
+    assert s10a <= s50                       # buckets nest
+    n = docs.count()
+    assert abs(len(s50) / n - 0.5) < 0.08    # rate ≈ honored
+    # a different salt draws an independent sample
+    s10c = {r["doc_id"] for r in
+            curate.hash_sample(docs, 0.1, salt="v2").select("doc_id").collect()}
+    assert s10c != s10a
+    # stratified: en kept fully, others at the default rate
+    strat = curate.hash_sample(
+        docs, rate=0.1, strata_col="lang", rates={"en": 1.0}
+    )
+    n_en = docs.filter("lang = 'en'").count()
+    assert strat.filter("lang = 'en'").count() == n_en
+    assert strat.filter("lang <> 'en'").count() < 0.25 * n
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rate"):
+        curate.hash_sample(docs, 1.5)
+    with _pytest.raises(ValueError, match="strata_col"):
+        curate.hash_sample(docs, rates={"en": 0.5})
