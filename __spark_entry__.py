@@ -615,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination_documents": q_text_contamination_documents,
         "text_pii_documents": q_text_pii_documents,
         "sample_documents": q_sample_documents,
+        "rowcheck_pii_documents": q_rowcheck_pii_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_lsh_documents": q_dedup_minhash_lsh_documents,
@@ -895,6 +896,27 @@ def q_text_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "n_email", "n_ipv4", "n_ssn",
         "n_phone", "n_pii", "has_pii",
     )
+
+
+def q_rowcheck_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$pii as a first-class rule inside the compiled row-check
+    projection (zero extra scans): documents with planted emails/IPs
+    yield piiFound violations whose `observed` is the match count."""
+    d = _t(spark, sf_dir, "documents")
+    derived = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                "text",
+                F.lit(" contact bob@example.com or admin@test.org at 10.1.2.3"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    rules = load_rules(
+        "text: {$type: $str, $pii: {kinds: [email, ipv4]}}\n"
+    )
+    return _viol(rows.run_row_checks(derived, rules, "doc_id"))
 
 
 def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1205,6 +1227,31 @@ SELECT doc_id, n_email, n_ipv4, n_ssn, n_phone,
        CAST({total} AS BIGINT) AS n_pii,
        ({total}) > 0 AS has_pii
 FROM c
+"""
+
+
+def _sql_rowcheck_pii_documents() -> str:
+    from invalid_spark.pipeline.text import PII_PATTERNS
+
+    e, i4 = PII_PATTERNS["email"], PII_PATTERNS["ipv4"]
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text ||
+           ' contact bob@example.com or admin@test.org at 10.1.2.3'
+         ELSE text END AS t
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(coalesce(t, ''), '{e}'))
+         + len(regexp_extract_all(coalesce(t, ''), '{i4}')) AS cnt
+  FROM d
+)
+SELECT CAST(doc_id AS VARCHAR) AS row_key, 'text' AS col_name,
+       'text' AS rule_id, 'piiFound' AS error_type,
+       'value of text must not contain PII (email, ipv4)' AS message,
+       CAST(cnt AS VARCHAR) AS observed
+FROM c WHERE cnt > 0
 """
 
 
@@ -1852,6 +1899,7 @@ def oracle_sql() -> dict[str, str]:
         "text_contamination_documents": _sql_text_contamination(),
         "text_pii_documents": _sql_text_pii(),
         "sample_documents": _sql_sample_documents(),
+        "rowcheck_pii_documents": _sql_rowcheck_pii_documents(),
         "dedup_exact_documents": _sql_dedup_exact(),
         "dedup_jaccard_documents": _sql_dedup_jaccard(),
         "dedup_minhash_lsh_documents": _sql_dedup_minhash_lsh(),

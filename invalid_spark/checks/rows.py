@@ -296,6 +296,44 @@ class _Compiler:
                 _mk_struct(path, rule_id, ErrorType.RANGE_MISMATCH, msg, sval),
             )
 
+        if rule.pii is not None:
+            # $pii: {kinds: [email, ipv4, ssn, phone], max: 0} — the
+            # PII scrub gate as a first-class rule: the match counts
+            # evaluate inside this same codegen projection (size of
+            # regexp_extract_all per kind, RE2-safe shared patterns),
+            # so the check costs zero extra scans. `observed` is the
+            # total match count (the value itself may be a document).
+            from invalid_spark.pipeline.text import PII_PATTERNS
+
+            kinds = rule.pii.get("kinds") or list(PII_PATTERNS)
+            unknown = [k for k in kinds if k not in PII_PATTERNS]
+            if unknown:
+                raise ValueError(
+                    f"$pii kinds {unknown} not in "
+                    f"{sorted(PII_PATTERNS)} for [{key}]"
+                )
+            maxn = int(rule.pii.get("max", 0))
+            cnt = None
+            for kd in kinds:
+                c = F.size(
+                    F.regexp_extract_all(
+                        F.coalesce(sval, F.lit("")),
+                        F.lit(PII_PATTERNS[kd]), F.lit(0),
+                    )
+                )
+                cnt = c if cnt is None else cnt + c
+            self._emit(
+                gate & (cnt > F.lit(maxn)),
+                _mk_struct(
+                    path,
+                    rule_id,
+                    ErrorType.PII_FOUND,
+                    f"value of {key} must not contain PII "
+                    f"({', '.join(kinds)})",
+                    cnt,
+                ),
+            )
+
     # -- array element checks (inside transform, still codegen'd) ----------
 
     def _array_checks(self, col: Column, rule: Rule, path: str, gate: Column) -> None:

@@ -37,6 +37,9 @@ Engine extensions (all optional, ignored by reference-parity tests):
   quantiles instead of min/max (outlier-proof, applied to both the
   comparison and the persisted state)
 - ``$pixel: {psnr_min: 40.0}``     — decoded-pixel invariant (binary col)
+- ``$pii: {kinds: [email, ipv4, ssn, phone], max: 0}`` — PII scrub
+  gate (violation when total matches exceed ``max``; kinds default to
+  every pattern in ``pipeline.text.PII_PATTERNS``)
 - ``$caption-eq: {table: t, key: k, column: c}`` — byte equality vs ref
 - ``$dynamic: true``               — column holds stringly scalars;
   type-check by YAML core-schema spelling (reference semantics) rather
@@ -66,7 +69,7 @@ _DIRECTIVES = {
     "$reg", "$key-reg", "$constraint", "$of",
     # engine extensions
     "$unique", "$ref", "$range", "$stats", "$drift", "$pixel",
-    "$caption-eq", "$dynamic", "$vector",
+    "$caption-eq", "$dynamic", "$vector", "$pii",
 }
 
 
@@ -97,6 +100,7 @@ class Rule:
     pixel: Optional[dict] = None
     caption_eq: Optional[dict] = None
     vector: Optional[dict] = None  # $arr: {dim, no_nan, no_zero}
+    pii: Optional[dict] = None  # $str: {kinds: [...], max: n}
     dynamic: bool = False
 
     def get(self, key: str) -> Optional["Rule"]:
@@ -286,6 +290,7 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
         ("$ref", "ref"),
         ("$range", "range"),
         ("$drift", "drift"),
+        ("$pii", "pii"),
         ("$pixel", "pixel"),
         ("$caption-eq", "caption_eq"),
         ("$vector", "vector"),

@@ -38,6 +38,7 @@ class ErrorType:
     PIXEL_MISMATCH = "pixelMismatch"
     DECODE_ERROR = "decodeError"
     CAPTION_MISMATCH = "captionMismatch"
+    PII_FOUND = "piiFound"  # $pii: regex PII gate (observed = match count)
 
 
 # message constructors — exact reference strings

@@ -430,3 +430,51 @@ def test_seq_any_table_mode(spark):
     rows_ = vb.collect()
     assert len(rows_) == 1 and rows_[0]["error_type"] == "typeMismatch"
     assert "[$seq]" in rows_[0]["message"]
+
+
+def test_pii_rule_gate(spark):
+    """$pii as a first-class row check: counts evaluate inside the
+    row-check projection; max bounds the allowed matches; kinds
+    restrict which patterns fire; bad kinds fail at compile."""
+    df = spark.createDataFrame(
+        [
+            (1, "email me a@b.io and c@d.org"),
+            (2, "server 10.0.0.1"),
+            (3, "clean text"),
+            (4, None),
+        ],
+        "rid long, text string",
+    )
+    v = _violations(
+        spark, df, "text: {$type: $str, $optional: true, $pii: {}}\n"
+    ).collect()
+    got = {int(r["row_key"]): r for r in v}
+    assert set(got) == {1, 2}
+    assert got[1]["error_type"] == "piiFound" and got[1]["observed"] == "2"
+    assert got[2]["observed"] == "1"
+    # max: 1 tolerates a single match
+    v2 = _violations(
+        spark, df, "text: {$type: $str, $optional: true, $pii: {max: 1}}\n"
+    ).collect()
+    assert [int(r["row_key"]) for r in v2] == [1]
+    # kinds: only emails fire
+    v3 = _violations(
+        spark, df,
+        "text: {$type: $str, $optional: true, $pii: {kinds: [email]}}\n",
+    ).collect()
+    assert [int(r["row_key"]) for r in v3] == [1]
+    with pytest.raises(ValueError, match="kinds"):
+        _violations(
+            spark, df,
+            "text: {$type: $str, $optional: true, $pii: {kinds: [dna]}}\n",
+        ).collect()
+    # still one codegen projection, no shuffle
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _violations(
+            spark, df, "text: {$type: $str, $optional: true, $pii: {}}\n"
+        ).explain()
+    assert "Exchange" not in buf.getvalue()
