@@ -616,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_documents": q_text_pii_documents,
         "sample_documents": q_sample_documents,
         "rowcheck_pii_documents": q_rowcheck_pii_documents,
+        "text_linefilter_documents": q_text_linefilter_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_lsh_documents": q_dedup_minhash_lsh_documents,
@@ -895,6 +896,30 @@ def q_text_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), "n_email", "n_ipv4", "n_ssn",
         "n_phone", "n_pii", "has_pii",
+    )
+
+
+def q_text_linefilter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate removal (text.line_filter):
+    planted nav/JS/copyright lines are dropped, the document body
+    survives; the filtered text is compared by md5 so the oracle row
+    stays small."""
+    d = _t(spark, sf_dir, "documents")
+    derived = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit("Enable JavaScript to continue\nMenu\n"),
+                "text",
+                F.lit("\nCopyright 2024 All Rights Reserved"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = text.line_filter(derived)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_lines", "n_kept",
+        F.md5("text").alias("text_md5"),
     )
 
 
@@ -1227,6 +1252,37 @@ SELECT doc_id, n_email, n_ipv4, n_ssn, n_phone,
        CAST({total} AS BIGINT) AS n_pii,
        ({total}) > 0 AS has_pii
 FROM c
+"""
+
+
+def _sql_text_linefilter() -> str:
+    from invalid_spark.pipeline.text import BOILERPLATE_PATTERNS
+
+    drops = " AND ".join(
+        f"NOT regexp_matches(x, '{p}')" for p in BOILERPLATE_PATTERNS
+    )
+    keep = (
+        "x -> len(list_filter(string_split_regex(trim(x), '\\s+'), "
+        f"t -> t <> '')) >= 3 AND {drops}"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN
+           'Enable JavaScript to continue' || chr(10) || 'Menu' || chr(10)
+           || text || chr(10) || 'Copyright 2024 All Rights Reserved'
+         ELSE text END AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, string_split(coalesce(t, ''), chr(10)) AS lines FROM d
+), k AS (
+  SELECT doc_id, lines, list_filter(lines, {keep}) AS kept FROM s
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       md5(array_to_string(kept, chr(10))) AS text_md5
+FROM k
 """
 
 
@@ -1900,6 +1956,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_documents": _sql_text_pii(),
         "sample_documents": _sql_sample_documents(),
         "rowcheck_pii_documents": _sql_rowcheck_pii_documents(),
+        "text_linefilter_documents": _sql_text_linefilter(),
         "dedup_exact_documents": _sql_dedup_exact(),
         "dedup_jaccard_documents": _sql_dedup_jaccard(),
         "dedup_minhash_lsh_documents": _sql_dedup_minhash_lsh(),

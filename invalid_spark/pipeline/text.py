@@ -388,3 +388,51 @@ def redact_pii(
     for kind, p in pats.items():
         t = F.regexp_replace(t, p, f"[{kind.upper()}]")
     return df.withColumn(text_col, t)
+
+
+# Default line-drop patterns for boilerplate filtering (C4-style
+# heuristics); RE2-safe, case-insensitivity spelled inline so the
+# same pattern string runs in Spark and a SQL oracle.
+BOILERPLATE_PATTERNS: tuple[str, ...] = (
+    r"(?i)enable javascript",
+    r"(?i)\bcookies?\b.*\b(policy|consent|accept)",
+    r"(?i)all rights reserved",
+    r"(?i)^\s*(home|menu|login|sign in|subscribe)\s*$",
+)
+
+
+def line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    min_words: int = 3,
+    drop_patterns: tuple[str, ...] = BOILERPLATE_PATTERNS,
+) -> DataFrame:
+    """C4-style line-level boilerplate removal: keep only lines with
+    at least ``min_words`` whitespace words that match none of
+    ``drop_patterns``; re-join survivors with newlines. Returns
+    (id, n_lines, n_kept, text) — the cleaning stage a web-scraped
+    corpus runs before quality scoring.
+
+    Entirely row-local (split → higher-order filter → array_join in
+    one projection; no shuffle, no Python). The HOF lambda keeps this
+    projection off whole-stage codegen, which is fine here — line
+    filtering is a transform stage, not the per-row-check hot path
+    (see PLANS.md §1 for why the row-check projection must stay
+    HOF-free)."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+
+    def keep(ln: Column) -> Column:
+        words = F.filter(F.split(F.trim(ln), r"\s+"), lambda t: t != F.lit(""))
+        cond = F.size(words) >= F.lit(min_words)
+        for p in drop_patterns:
+            cond = cond & ~F.regexp_like(ln, F.lit(p))
+        return cond
+
+    kept = F.filter(lines, keep)
+    return df.select(
+        F.col(key_col).alias("id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, "\n").alias(text_col),
+    )

@@ -695,3 +695,28 @@ def test_hash_sample_deterministic_and_nested(spark):
         curate.hash_sample(docs, 1.5)
     with _pytest.raises(ValueError, match="strata_col"):
         curate.hash_sample(docs, rates={"en": 0.5})
+
+
+def test_line_filter_boilerplate(spark):
+    from invalid_spark.pipeline import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "Enable JavaScript to continue\nA real sentence with "
+                "several words here\nAll Rights Reserved"),
+            (2, "Menu\nLogin\nthe actual article body text goes here"),
+            (3, "one two\nshort"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in T.line_filter(df).collect()}
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 1
+    assert out[1]["text"] == "A real sentence with several words here"
+    assert out[2]["n_kept"] == 1
+    assert out[2]["text"] == "the actual article body text goes here"
+    assert out[3]["n_kept"] == 0 and out[3]["text"] == ""  # all too short
+    assert out[4]["n_kept"] == 0  # NULL text → empty, not crash
+    # accepts a custom pattern set
+    custom = T.line_filter(df, drop_patterns=(), min_words=1)
+    assert {r["id"]: r["n_kept"] for r in custom.collect()}[1] == 3
