@@ -617,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents": q_sample_documents,
         "rowcheck_pii_documents": q_rowcheck_pii_documents,
         "text_linefilter_documents": q_text_linefilter_documents,
+        "stat_assertions_lineitem": q_stat_assertions_lineitem,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_lsh_documents": q_dedup_minhash_lsh_documents,
@@ -896,6 +897,28 @@ def q_text_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), "n_email", "n_ipv4", "n_ssn",
         "n_phone", "n_pii", "has_pii",
+    )
+
+
+ASSERT_SPECS = [
+    {"col": "l_quantity", "stat": "null_rate", "max": 0.0},
+    {"col": "l_quantity", "stat": "mean", "min": 20.0, "max": 30.0},
+    {"col": "l_discount", "stat": "max", "max": 0.05},  # fails: max=0.1
+    {"col": "l_returnflag", "stat": "ndv", "min": 3.0, "max": 3.0},
+    {"col": "l_extendedprice", "stat": "min", "min": 0.0},
+]
+
+
+def q_stat_assertions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style table-level constraint verification
+    (stats.stat_assertions): corpus-level gates (null-rate ceiling,
+    mean band, exact ndv, bound checks) evaluated in ONE aggregation;
+    one includes a deliberate failure so both verdicts appear."""
+    df = _t(spark, sf_dir, "lineitem")
+    out = stats.stat_assertions(df, ASSERT_SPECS)
+    return out.select(
+        "col_name", "stat", F.round("value", 6).alias("value"),
+        "bound_min", "bound_max", "passed",
     )
 
 
@@ -1253,6 +1276,46 @@ SELECT doc_id, n_email, n_ipv4, n_ssn, n_phone,
        ({total}) > 0 AS has_pii
 FROM c
 """
+
+
+def _sql_stat_assertions() -> str:
+    # one aggregate row, unpivoted to one row per assertion; `passed`
+    # compares the UNROUNDED value (bounds sit far from the actual
+    # values, so float accumulation order cannot flip the verdict)
+    exprs = {
+        ("l_quantity", "null_rate"):
+            "CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) "
+            "AS DOUBLE) / CAST(count(*) AS DOUBLE)",
+        ("l_quantity", "mean"):
+            "sum(CAST(l_quantity AS DOUBLE)) "
+            "/ CAST(count(l_quantity) AS DOUBLE)",
+        ("l_discount", "max"): "CAST(max(l_discount) AS DOUBLE)",
+        ("l_returnflag", "ndv"):
+            "CAST(count(DISTINCT l_returnflag) AS DOUBLE)",
+        ("l_extendedprice", "min"): "CAST(min(l_extendedprice) AS DOUBLE)",
+    }
+    sel = ", ".join(
+        f"{e} AS v_{i}" for i, e in enumerate(exprs.values())
+    )
+    rows = []
+    for i, spec in enumerate(ASSERT_SPECS):
+        lo = spec.get("min")
+        hi = spec.get("max")
+        cond = ["a.v_%d IS NOT NULL" % i]
+        if lo is not None:
+            cond.append(f"a.v_{i} >= {float(lo)!r}")
+        if hi is not None:
+            cond.append(f"a.v_{i} <= {float(hi)!r}")
+        rows.append(
+            f"SELECT '{spec['col']}' AS col_name, '{spec['stat']}' AS stat, "
+            f"round(a.v_{i}, 6) AS value, "
+            f"CAST({'NULL' if lo is None else float(lo)} AS DOUBLE) AS bound_min, "
+            f"CAST({'NULL' if hi is None else float(hi)} AS DOUBLE) AS bound_max, "
+            f"({' AND '.join(cond)}) AS passed FROM a"
+        )
+    return f"WITH a AS (SELECT {sel} FROM lineitem)\n" + "\nUNION ALL\n".join(
+        rows
+    )
 
 
 def _sql_text_linefilter() -> str:
@@ -1957,6 +2020,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": _sql_sample_documents(),
         "rowcheck_pii_documents": _sql_rowcheck_pii_documents(),
         "text_linefilter_documents": _sql_text_linefilter(),
+        "stat_assertions_lineitem": _sql_stat_assertions(),
         "dedup_exact_documents": _sql_dedup_exact(),
         "dedup_jaccard_documents": _sql_dedup_jaccard(),
         "dedup_minhash_lsh_documents": _sql_dedup_minhash_lsh(),

@@ -176,3 +176,73 @@ def tdigest_quantiles(
     final.weights = [r["weight"] for r in parts]
     final._compress()
     return {q: final.quantile(q) for q in qs}
+
+
+ASSERT_STATS = ("null_rate", "min", "max", "mean", "ndv")
+
+
+def stat_assertions(
+    df: DataFrame,
+    specs: list[dict],
+    run_id: str = "",
+) -> DataFrame:
+    """Deequ-style table-level constraint verification: each spec is
+    ``{"col": c, "stat": s, "min": lo?, "max": hi?}`` with ``stat`` in
+    {null_rate, min, max, mean, ndv}; the output has one row per
+    assertion — (col_name, stat, value, bound_min, bound_max, passed)
+    — so a suite can gate a snapshot on corpus-level properties
+    ("null rate under 1%", "mean in range") the way per-row rules
+    gate individual records.
+
+    ALL assertions evaluate in ONE partial+final aggregation over a
+    single column-pruned scan (the multi-column pattern shared with
+    drift.multi_grid); ndv is exact (count distinct) so any SQL
+    engine reproduces the values bit-for-bit."""
+    aggs = []
+    n = F.count(F.lit(1))
+    for i, spec in enumerate(specs):
+        col, stat = spec["col"], spec["stat"]
+        if stat not in ASSERT_STATS:
+            raise ValueError(
+                f"unknown assertion stat [{stat}] (choose from "
+                f"{ASSERT_STATS})"
+            )
+        c = F.col(col)
+        if stat == "null_rate":
+            e = (
+                F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("double")
+                / n.cast("double")
+            )
+        elif stat == "min":
+            e = F.min(c).cast("double")
+        elif stat == "max":
+            e = F.max(c).cast("double")
+        elif stat == "mean":
+            e = F.sum(c.cast("double")) / F.count(c).cast("double")
+        else:  # ndv
+            e = F.count_distinct(c).cast("double")
+        aggs.append(e.alias(f"v_{i}"))
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    out = []
+    for i, spec in enumerate(specs):
+        v = row[f"v_{i}"]
+        lo = spec.get("min")
+        hi = spec.get("max")
+        passed = v is not None
+        if passed and lo is not None:
+            passed = v >= float(lo)
+        if passed and hi is not None:
+            passed = v <= float(hi)
+        out.append((
+            spec["col"], spec["stat"],
+            float(v) if v is not None else None,
+            float(lo) if lo is not None else None,
+            float(hi) if hi is not None else None,
+            bool(passed), run_id,
+        ))
+    return spark.createDataFrame(
+        out,
+        "col_name string, stat string, value double, bound_min double, "
+        "bound_max double, passed boolean, run_id string",
+    )

@@ -720,3 +720,35 @@ def test_line_filter_boilerplate(spark):
     # accepts a custom pattern set
     custom = T.line_filter(df, drop_patterns=(), min_words=1)
     assert {r["id"]: r["n_kept"] for r in custom.collect()}[1] == 3
+
+
+def test_stat_assertions_single_pass(spark):
+    """Table-level constraint verification: every assertion evaluates
+    in one aggregation over one scan; verdicts honor min/max bounds;
+    an all-NULL column yields passed=False (value NULL fails)."""
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "a"), (4, 30.0, None)],
+        "id long, v double, c string",
+    )
+    specs = [
+        {"col": "v", "stat": "null_rate", "max": 0.3},
+        {"col": "v", "stat": "mean", "min": 19.0, "max": 21.0},
+        {"col": "v", "stat": "min", "min": 15.0},           # fails (10)
+        {"col": "c", "stat": "ndv", "min": 2.0, "max": 2.0},
+        {"col": "id", "stat": "max", "max": 4.0},
+    ]
+    out = {(r["col_name"], r["stat"]): r
+           for r in stats.stat_assertions(df, specs).collect()}
+    assert out[("v", "null_rate")]["passed"]  # 1/4 = 0.25 <= 0.3
+    assert out[("v", "null_rate")]["value"] == 0.25
+    assert out[("v", "mean")]["passed"] and out[("v", "mean")]["value"] == 20.0
+    assert not out[("v", "min")]["passed"]
+    assert out[("c", "ndv")]["value"] == 2.0 and out[("c", "ndv")]["passed"]
+    assert out[("id", "max")]["passed"]
+    with pytest.raises(ValueError, match="stat"):
+        stats.stat_assertions(df, [{"col": "v", "stat": "median"}])
+    # all-NULL column: value NULL -> failed, not crash
+    nn = spark.createDataFrame([(None,), (None,)], "x double")
+    r = stats.stat_assertions(nn, [{"col": "x", "stat": "mean", "min": 0}])
+    row = r.collect()[0]
+    assert row["value"] is None and not row["passed"]
