@@ -618,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rowcheck_pii_documents": q_rowcheck_pii_documents,
         "text_linefilter_documents": q_text_linefilter_documents,
         "stat_assertions_lineitem": q_stat_assertions_lineitem,
+        "suggest_rules_documents": q_suggest_rules_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_lsh_documents": q_dedup_minhash_lsh_documents,
@@ -919,6 +920,43 @@ def q_stat_assertions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "col_name", "stat", F.round("value", 6).alias("value"),
         "bound_min", "bound_max", "passed",
+    )
+
+
+def q_suggest_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suggestion (invalid_spark.suggest): profile the
+    documents table and emit the suggested rule per column as a
+    structured row — type, optionality, numeric range, enum list or
+    byte-length bounds, uniqueness. exact_ndv=True makes the
+    enum-vs-length decision engine-reproducible, so the oracle
+    replays the whole suggestion from SQL aggregates. The suggested
+    YAML itself round-trips to zero violations (pytest)."""
+    import yaml as _y
+
+    from invalid_spark import suggest
+
+    d = _t(spark, sf_dir, "documents")
+    parsed = _y.safe_load(
+        suggest.suggest_rules(d, row_key="doc_id", exact_ndv=True)
+    )
+    rows = []
+    for col_name, r in parsed.items():
+        rng = r.get("$range") or {}
+        ln = r.get("$length") or {}
+        rows.append((
+            col_name, r["$type"], bool(r.get("$optional", False)),
+            float(rng["$min"]) if rng else None,
+            float(rng["$max"]) if rng else None,
+            ",".join(r["$of"]) if "$of" in r else None,
+            int(ln["$min"]) if ln else None,
+            int(ln["$max"]) if ln else None,
+            bool(r.get("$unique", False)),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "col_name string, rule_type string, optional boolean, "
+        "range_min double, range_max double, of_csv string, "
+        "len_min long, len_max long, is_unique boolean",
     )
 
 
@@ -1275,6 +1313,62 @@ SELECT doc_id, n_email, n_ipv4, n_ssn, n_phone,
        CAST({total} AS BIGINT) AS n_pii,
        ({total}) > 0 AS has_pii
 FROM c
+"""
+
+
+def _sql_suggest_rules() -> str:
+    # Data-driven replay of the suggestion logic for the documents
+    # schema: enum iff exact ndv <= 16 (string_agg DISTINCT sorted =
+    # the engine's sorted collect_set), else byte-length bounds
+    # (strlen = octet_length); numeric range from min/max; optional
+    # iff any NULLs. text's enum csv is deliberately NULL — its ndv
+    # is corpus-sized, and if that ever stopped being true the hash
+    # mismatch would flag it loudly.
+    def str_col(c, of_expr):
+        return f"""
+SELECT '{c}' AS col_name, '$str' AS rule_type, p.nn_{c} > 0 AS optional,
+       CAST(NULL AS DOUBLE) AS range_min, CAST(NULL AS DOUBLE) AS range_max,
+       CASE WHEN p.ndv_{c} BETWEEN 1 AND 16 THEN {of_expr} END AS of_csv,
+       CASE WHEN p.ndv_{c} BETWEEN 1 AND 16 THEN NULL
+            WHEN p.lmax_{c} > 0 THEN p.lmin_{c} END AS len_min,
+       CASE WHEN p.ndv_{c} BETWEEN 1 AND 16 THEN NULL
+            WHEN p.lmax_{c} > 0 THEN p.lmax_{c} END AS len_max,
+       false AS is_unique
+FROM p, ev"""
+
+    def num_col(c, uniq):
+        return f"""
+SELECT '{c}' AS col_name, '$int' AS rule_type, p.nn_{c} > 0 AS optional,
+       p.mi_{c} AS range_min, p.ma_{c} AS range_max,
+       CAST(NULL AS VARCHAR) AS of_csv,
+       CAST(NULL AS BIGINT) AS len_min, CAST(NULL AS BIGINT) AS len_max,
+       {uniq} AS is_unique
+FROM p, ev"""
+
+    stats_parts = []
+    for c in ("doc_id", "n_chars"):
+        stats_parts.append(
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nn_{c}, "
+            f"CAST(min({c}) AS DOUBLE) AS mi_{c}, "
+            f"CAST(max({c}) AS DOUBLE) AS ma_{c}"
+        )
+    for c in ("text", "lang", "source"):
+        stats_parts.append(
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nn_{c}, "
+            f"count(DISTINCT {c}) AS ndv_{c}, "
+            f"CAST(min(strlen({c})) AS BIGINT) AS lmin_{c}, "
+            f"CAST(max(strlen({c})) AS BIGINT) AS lmax_{c}"
+        )
+    return f"""
+WITH p AS (SELECT {', '.join(stats_parts)} FROM documents),
+ev AS (SELECT string_agg(DISTINCT lang, ',' ORDER BY lang) AS of_lang,
+              string_agg(DISTINCT source, ',' ORDER BY source) AS of_source
+       FROM documents)
+{num_col('doc_id', 'true')}
+UNION ALL {str_col('text', 'NULL')}
+UNION ALL {str_col('lang', 'ev.of_lang')}
+UNION ALL {str_col('source', 'ev.of_source')}
+UNION ALL {num_col('n_chars', 'false')}
 """
 
 
@@ -2021,6 +2115,7 @@ def oracle_sql() -> dict[str, str]:
         "rowcheck_pii_documents": _sql_rowcheck_pii_documents(),
         "text_linefilter_documents": _sql_text_linefilter(),
         "stat_assertions_lineitem": _sql_stat_assertions(),
+        "suggest_rules_documents": _sql_suggest_rules(),
         "dedup_exact_documents": _sql_dedup_exact(),
         "dedup_jaccard_documents": _sql_dedup_jaccard(),
         "dedup_minhash_lsh_documents": _sql_dedup_minhash_lsh(),

@@ -1,0 +1,135 @@
+"""Constraint suggestion: profile a table once and emit a rule file
+(the DSL of :mod:`invalid_spark.dsl`) that the table itself satisfies
+— the deequ-style "suggest then verify" on-ramp for a corpus nobody
+has written rules for yet. The suggested YAML is a starting point a
+human tightens, but it is already a valid, loadable, zero-violation
+ruleset for the profiled snapshot (round-trip asserted in tests).
+
+Scale shape: one partial+final aggregation over a single column-pruned
+scan collects every signal (null counts, min/max, approximate ndv,
+byte-length bounds); a second aggregation touches ONLY the columns
+whose approximate ndv qualifies them as enums (collect_set bounded by
+``ndv_enum_max``, so the set can never blow driver memory). Binary and
+array columns get structural rules only.
+
+Mapping (column profile → rule):
+
+- Spark type        → ``$type`` (string→$str, integral→$int,
+  fractional→$float, boolean→$bool, binary→$bin, array→$arr)
+- any NULLs seen    → ``$optional: true`` (required is the DSL default)
+- numeric           → ``$range {$min, $max}`` at the observed bounds
+- low-ndv string    → ``$of`` with the exact observed spellings
+- other strings     → ``$length {$min, $max}`` at the observed byte
+  bounds (0 disables a side, matching the DSL's semantics — a 0
+  min is therefore widened to 1 only when no empty string was seen)
+- ``row_key``       → ``$unique: true``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _rule_type(dt: T.DataType) -> str | None:
+    if isinstance(dt, T.StringType):
+        return "$str"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "$int"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "$float"
+    if isinstance(dt, T.BooleanType):
+        return "$bool"
+    if isinstance(dt, T.BinaryType):
+        return "$bin"
+    if isinstance(dt, T.ArrayType):
+        return "$arr"
+    return None  # maps/structs/timestamps: no row rule suggested
+
+
+def suggest_rules(
+    df: DataFrame,
+    row_key: str | None = None,
+    ndv_enum_max: int = 16,
+    columns: list[str] | None = None,
+    exact_ndv: bool = False,
+) -> str:
+    """Profile ``df`` and return a rule-file YAML string (loadable by
+    :func:`invalid_spark.dsl.load_rules`) the table currently
+    satisfies. ``exact_ndv=True`` swaps the HLL sketch for an exact
+    distinct count — needed when the suggestion must be reproducible
+    across engines (the oracle-checked path); the sketch is the
+    100 TB default."""
+    import yaml
+
+    cols = [
+        (f.name, f.dataType)
+        for f in df.schema.fields
+        if (columns is None or f.name in columns)
+        and _rule_type(f.dataType) is not None
+    ]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, dt in cols:
+        c = F.col(name)
+        aggs.append(F.sum(c.isNull().cast("long")).alias(f"nn_{name}"))
+        rt = _rule_type(dt)
+        if rt in ("$int", "$float"):
+            aggs.append(F.min(c).alias(f"min_{name}"))
+            aggs.append(F.max(c).alias(f"max_{name}"))
+        elif rt == "$str":
+            ndv = (
+                F.count_distinct(c) if exact_ndv
+                else F.approx_count_distinct(c)
+            )
+            aggs.append(ndv.alias(f"ndv_{name}"))
+            aggs.append(F.min(F.octet_length(c)).alias(f"lmin_{name}"))
+            aggs.append(F.max(F.octet_length(c)).alias(f"lmax_{name}"))
+    prof = df.agg(*aggs).collect()[0]
+
+    # second (tiny) pass: exact value sets for enum candidates only
+    enum_cols = [
+        name
+        for name, dt in cols
+        if _rule_type(dt) == "$str"
+        and (prof[f"ndv_{name}"] or 0) <= ndv_enum_max * 1.2
+    ]
+    enums: dict[str, list[str]] = {}
+    if enum_cols:
+        row = df.agg(
+            *[F.collect_set(F.col(n)).alias(n) for n in enum_cols]
+        ).collect()[0]
+        for n in enum_cols:
+            vals = sorted(row[n])
+            if 1 <= len(vals) <= ndv_enum_max:
+                enums[n] = vals
+
+    rules: dict[str, dict] = {}
+    for name, dt in cols:
+        rt = _rule_type(dt)
+        rule: dict = {"$type": rt}
+        if (prof[f"nn_{name}"] or 0) > 0:
+            rule["$optional"] = True
+        if rt in ("$int", "$float"):
+            lo, hi = prof[f"min_{name}"], prof[f"max_{name}"]
+            if lo is not None and hi is not None:
+                rule["$range"] = {
+                    "$min": int(lo) if rt == "$int" else float(lo),
+                    "$max": int(hi) if rt == "$int" else float(hi),
+                }
+        elif rt == "$str":
+            if name in enums:
+                rule["$of"] = enums[name]
+            else:
+                lmin, lmax = prof[f"lmin_{name}"], prof[f"lmax_{name}"]
+                if lmin is not None and lmax is not None and lmax > 0:
+                    # a 0 bound disables that side in the DSL, so an
+                    # observed empty string means "no min bound"
+                    rule["$length"] = {
+                        "$min": int(lmin) if lmin > 0 else 0,
+                        "$max": int(lmax),
+                    }
+        if row_key is not None and name == row_key:
+            rule["$unique"] = True
+        rules[name] = rule
+    return yaml.safe_dump(rules, sort_keys=False, allow_unicode=True)

@@ -752,3 +752,30 @@ def test_stat_assertions_single_pass(spark):
     r = stats.stat_assertions(nn, [{"col": "x", "stat": "mean", "min": 0}])
     row = r.collect()[0]
     assert row["value"] is None and not row["passed"]
+
+
+def test_suggest_rules_round_trip(spark):
+    """Constraint suggestion: the suggested YAML loads, and the
+    profiled table passes its own suggested rules with ZERO
+    violations; data violating the suggested bounds is flagged."""
+    from invalid_spark import suggest
+    from invalid_spark.checks.rows import run_row_checks
+    from invalid_spark.dsl import load_rules
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    yml = suggest.suggest_rules(docs, row_key="doc_id")
+    rules = load_rules(yml)
+    assert run_row_checks(docs, rules, "doc_id").count() == 0
+    # the suggested rules are real constraints: a row outside the
+    # observed ranges / enums violates them
+    bad = docs.limit(1).withColumn("lang", F.lit("zz-unseen"))
+    v = run_row_checks(bad, rules, "doc_id").collect()
+    assert any(r["error_type"] == "ofMismatch" for r in v) or any(
+        r["error_type"] == "strLengthMismatch" for r in v
+    )
+    # numeric range rule fires too
+    import yaml as _y
+
+    parsed = _y.safe_load(yml)
+    num_cols = [k for k, r in parsed.items() if "$range" in r]
+    assert num_cols, yml
