@@ -619,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_linefilter_documents": q_text_linefilter_documents,
         "stat_assertions_lineitem": q_stat_assertions_lineitem,
         "suggest_rules_documents": q_suggest_rules_documents,
+        "rowcheck_json_docs": q_rowcheck_json_docs,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_lsh_documents": q_dedup_minhash_lsh_documents,
@@ -920,6 +921,34 @@ def q_stat_assertions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "col_name", "stat", F.round("value", 6).alias("value"),
         "bound_min", "bound_max", "passed",
+    )
+
+
+def q_rowcheck_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-mode JSON validation (docs.json_docs_from_table →
+    the SAME rule engine as YAML documents): events.props strings
+    flatten on the executors and a required $int rule validates k.
+    Planted surgery: % 13 → empty object (keyMissing, fail-fast),
+    % 11 → string k (typeMismatch). Realizes the reference's planned
+    NewJSON (json_field.go stub)."""
+    from invalid_spark import docs
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 13 == 0, F.lit("{}"))
+        .when(
+            F.col("event_id") % 11 == 0,
+            F.lit('{"k": "oops"}'),
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    fields = docs.json_docs_from_table(ev, text_col="props", key_col="event_id")
+    rules = load_rules("k: {$type: $int}\n")
+    v = docs.validate_yaml_docs(fields, rules)
+    return v.select(
+        F.col("doc_id"), "path", F.col("key").alias("key_name"),
+        "error_type", "message", "ord",
     )
 
 
@@ -1313,6 +1342,23 @@ SELECT doc_id, n_email, n_ipv4, n_ssn, n_phone,
        CAST({total} AS BIGINT) AS n_pii,
        ({total}) > 0 AS has_pii
 FROM c
+"""
+
+
+def _sql_rowcheck_json_docs() -> str:
+    # the planted surgery makes the violation set closed-form: % 13
+    # docs lost their k (keyMissing, rule 0 → ord 00000.s0), % 11
+    # (and not % 13) docs have a string k (typeMismatch → 00000.s1);
+    # everything else passes
+    return """
+SELECT CAST(event_id AS VARCHAR) AS doc_id, 'k' AS path, 'k' AS key_name,
+       'keyMissing' AS error_type,
+       'key [k] is expected here' AS message, '00000.s0' AS ord
+FROM events WHERE event_id % 13 = 0
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), 'k', 'k', 'typeMismatch',
+       'type for [k] must be [$int]', '00000.s1'
+FROM events WHERE event_id % 11 = 0 AND event_id % 13 <> 0
 """
 
 
@@ -2116,6 +2162,7 @@ def oracle_sql() -> dict[str, str]:
         "text_linefilter_documents": _sql_text_linefilter(),
         "stat_assertions_lineitem": _sql_stat_assertions(),
         "suggest_rules_documents": _sql_suggest_rules(),
+        "rowcheck_json_docs": _sql_rowcheck_json_docs(),
         "dedup_exact_documents": _sql_dedup_exact(),
         "dedup_jaccard_documents": _sql_dedup_jaccard(),
         "dedup_minhash_lsh_documents": _sql_dedup_minhash_lsh(),

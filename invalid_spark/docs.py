@@ -236,6 +236,108 @@ def yaml_docs_from_table(
     ).mapInPandas(parse, FIELD_SCHEMA)
 
 
+_JSON_VT = {str: "$str", bool: "$bool", int: "$int", float: "$float"}
+
+
+def _json_vt(v) -> str:
+    if v is None:
+        return "$nil"
+    if isinstance(v, dict):
+        return "$obj"
+    if isinstance(v, list):
+        return "$arr"
+    if isinstance(v, bool):  # before int — bool is an int subclass
+        return "$bool"
+    return _JSON_VT[type(v)]
+
+
+def _json_value(v) -> str:
+    if v is None or isinstance(v, (dict, list)):
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v) if not isinstance(v, float) else repr(v)
+
+
+def _flatten_json(v, path, rpath, key, elems, rows, child_idx=None) -> None:
+    parent_path = path.rpartition(".")[0] if "." in path else ""
+    parent_rpath = rpath.rpartition(".")[0] if "." in rpath else ""
+    rows.append(
+        (path, rpath, parent_path, parent_rpath, key, _json_vt(v),
+         _json_value(v), elems, child_idx,
+         None, None, None, None, None, None, None, None, None)
+    )
+    if isinstance(v, dict):
+        for i, (k, c) in enumerate(v.items()):
+            kn = str(k)
+            cp = f"{path}.{kn}" if path else kn
+            crp = f"{rpath}.{kn}" if rpath else kn
+            _flatten_json(c, cp, crp, kn, elems, rows, child_idx=i)
+    elif isinstance(v, list):
+        for i, c in enumerate(v):
+            cp = f"{path}.{i}" if path else str(i)
+            crp = f"{rpath}.*" if rpath else "*"
+            _flatten_json(c, cp, crp, str(i), elems + [i], rows, child_idx=i)
+
+
+def flatten_json_document(text_or_obj, doc_id: str) -> list[tuple]:
+    """One JSON document → the same node table
+    :func:`flatten_document` produces for YAML — realizing the
+    reference's PLANNED JSON support (json_field.go is an empty stub)
+    with identical validation semantics: the whole rule engine
+    (:func:`validate_yaml_docs`) runs unchanged over the flattened
+    rows. Scalar spellings are canonical JSON (``true``/``false``,
+    ``repr`` floats); source ranges are NULL (json.loads carries no
+    positions — the one divergence from the YAML path)."""
+    import json as _json
+
+    obj = (
+        _json.loads(text_or_obj) if isinstance(text_or_obj, str)
+        else text_or_obj
+    )
+    rows: list[tuple] = []
+    _flatten_json(obj, "", "", "", [], rows)
+    return [(doc_id, *r) for r in rows]
+
+
+def json_docs_from_table(
+    df: DataFrame,
+    text_col: str = "json",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-scale JSON ingest: a table column of JSON strings →
+    the flattened node table via ``mapInPandas`` (same contract and
+    ``$error`` sentinel as :func:`yaml_docs_from_table`)."""
+    import pandas as pd
+
+    cols = [
+        "doc_id", "path", "rpath", "parent_path", "parent_rpath",
+        "key", "vtype", "value", "elems", "child_idx",
+        "line", "col_start", "col_end",
+        "kline", "kcol_start", "kcol_end",
+        "pline", "pcol_start", "pcol_end",
+    ]
+
+    def parse(batches):
+        for pdf in batches:
+            out: list[tuple] = []
+            for did, txt in zip(pdf[key_col], pdf[text_col]):
+                did = str(did)
+                try:
+                    out.extend(flatten_json_document(txt, did))
+                except Exception as e:  # malformed JSON → sentinel
+                    out.append(
+                        (did, "", "", "", "", "", "$error", str(e)[:500], [],
+                         None, None, None, None, None, None, None,
+                         None, None, None)
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(
+        F.col(key_col).cast("string").alias(key_col), F.col(text_col)
+    ).mapInPandas(parse, FIELD_SCHEMA)
+
+
 def parse_errors(fields: DataFrame) -> DataFrame:
     """(doc_id, message) for documents that failed to parse."""
     return fields.filter(F.col("vtype") == "$error").select(

@@ -377,3 +377,43 @@ def test_source_ranges_key_missing_and_quoted(spark, tmp_path):
     assert [(x["line"], x["col_start"], x["col_end"]) for x in r] == [
         (1, 4, 9)  # col 4, len("abc")+2 quotes = 5 → end 9
     ]
+
+
+def test_json_document_mode(spark):
+    """JSON documents flatten into the same node table and validate
+    through the same rule engine as YAML (the reference's planned
+    NewJSON): type discrimination incl. bool-vs-int, required keys,
+    nested objects/arrays, malformed-input sentinel."""
+    from invalid_spark.dsl import load_rules
+
+    src = spark.createDataFrame(
+        [
+            (1, '{"a": 5, "b": {"c": "x"}, "l": [1, 2]}'),   # clean
+            (2, '{"a": true, "b": {"c": "x"}, "l": [1]}'),   # a bool≠int
+            (3, '{"a": 5, "b": {}, "l": []}'),               # c missing
+            (4, 'not json at all {{{'),                      # sentinel
+        ],
+        "doc_id long, json string",
+    )
+    fields = docs.json_docs_from_table(src)
+    assert [e["doc_id"] for e in docs.parse_errors(fields).collect()] == ["4"]
+    rules = load_rules(
+        "a: {$type: $int}\n"
+        "b:\n  $type: $obj\n  c: {$type: $str}\n"
+        "l: {$type: $arr, $constraint: $int}\n"
+    )
+    v = docs.validate_yaml_docs(fields, rules)
+    got = sorted(
+        (r["doc_id"], r["key"], r["error_type"]) for r in v.collect()
+        if r["doc_id"] != "4"
+    )
+    assert got == [
+        ("2", "a", "typeMismatch"),       # JSON true is $bool, not $int
+        ("3", "c", "keyMissing"),
+    ]
+    # YAML and JSON spellings of the same document validate identically
+    y = docs.flatten_document("a: 5\nb:\n  c: x\nl: [1, 2]\n", "d")
+    j = docs.flatten_json_document('{"a": 5, "b": {"c": "x"}, "l": [1, 2]}', "d")
+    y_core = sorted((r[1], r[5], r[6], r[7]) for r in y)  # path, key, vtype, value
+    j_core = sorted((r[1], r[5], r[6], r[7]) for r in j)
+    assert y_core == j_core
