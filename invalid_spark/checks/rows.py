@@ -134,6 +134,7 @@ class RowCheckPlan:
     ref_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     stats_specs: list[tuple[str, list[str]]] = dc_field(default_factory=list)
     drift_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
+    assert_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     pixel_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     caption_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     vector_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
@@ -510,6 +511,8 @@ class _Compiler:
                 self.plan.caption_specs.append((path, child.caption_eq))
             if child.vector is not None:
                 self.plan.vector_specs.append((path, child.vector))
+            if child.assert_ is not None:
+                self.plan.assert_specs.append((path, child.assert_))
 
             if dt is None:
                 # column absent from the table schema

@@ -70,6 +70,16 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--out", default=None, help="optional parquet output")
     pp.add_argument("--local-cores", type=int, default=None)
 
+    ps = sub.add_parser(
+        "suggest",
+        help="profile a table and print a suggested rule YAML the "
+        "table satisfies (deequ-style suggestion on-ramp)",
+    )
+    ps.add_argument("--table", required=True)
+    ps.add_argument("--row-key", default=None)
+    ps.add_argument("--ndv-enum-max", type=int, default=16)
+    ps.add_argument("--local-cores", type=int, default=None)
+
     args = ap.parse_args(argv)
     spark = _get_session(args)
 
@@ -77,8 +87,19 @@ def main(argv: list[str] | None = None) -> int:
     from invalid_spark.dsl import load_rules_file
     from invalid_spark.io import snapshot_id
 
-    rules = load_rules_file(args.rules)
     df = spark.read.parquet(args.table)
+
+    if args.cmd == "suggest":
+        from invalid_spark import suggest
+
+        sys.stdout.write(
+            suggest.suggest_rules(
+                df, row_key=args.row_key, ndv_enum_max=args.ndv_enum_max
+            )
+        )
+        return 0
+
+    rules = load_rules_file(args.rules)
 
     if args.cmd == "profile":
         prof = runner.profile(df, rules)

@@ -40,6 +40,10 @@ Engine extensions (all optional, ignored by reference-parity tests):
 - ``$pii: {kinds: [email, ipv4, ssn, phone], max: 0}`` — PII scrub
   gate (violation when total matches exceed ``max``; kinds default to
   every pattern in ``pipeline.text.PII_PATTERNS``)
+- ``$assert: {stat: null_rate|min|max|mean|ndv, min: lo, max: hi}`` —
+  table-level constraint on a column statistic (deequ-style); runner
+  evaluates every $assert in one aggregation and writes the verdicts
+  to the ``assertions`` sink
 - ``$caption-eq: {table: t, key: k, column: c}`` — byte equality vs ref
 - ``$dynamic: true``               — column holds stringly scalars;
   type-check by YAML core-schema spelling (reference semantics) rather
@@ -69,7 +73,7 @@ _DIRECTIVES = {
     "$reg", "$key-reg", "$constraint", "$of",
     # engine extensions
     "$unique", "$ref", "$range", "$stats", "$drift", "$pixel",
-    "$caption-eq", "$dynamic", "$vector", "$pii",
+    "$caption-eq", "$dynamic", "$vector", "$pii", "$assert",
 }
 
 
@@ -101,6 +105,7 @@ class Rule:
     caption_eq: Optional[dict] = None
     vector: Optional[dict] = None  # $arr: {dim, no_nan, no_zero}
     pii: Optional[dict] = None  # $str: {kinds: [...], max: n}
+    assert_: Optional[dict] = None  # $assert: {stat, min, max}
     dynamic: bool = False
 
     def get(self, key: str) -> Optional["Rule"]:
@@ -291,6 +296,7 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
         ("$range", "range"),
         ("$drift", "drift"),
         ("$pii", "pii"),
+        ("$assert", "assert_"),
         ("$pixel", "pixel"),
         ("$caption-eq", "caption_eq"),
         ("$vector", "vector"),

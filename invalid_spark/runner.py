@@ -78,6 +78,9 @@ class RunResult:
     def metrics(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.out_dir, "metrics"))
 
+    def assertions(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.out_dir, "assertions"))
+
 
 def _stage_violations(
     df: DataFrame,
@@ -343,6 +346,17 @@ def validate(
         verd.write.mode("overwrite").parquet(os.path.join(out_dir, "verdicts"))
         met = report.rule_metrics(all_v, run_id)
         met.write.mode("overwrite").parquet(os.path.join(out_dir, "metrics"))
+
+    # ---- table-level stat assertions ($assert), one aggregation --------
+    if plan.assert_specs and not plan.fail_fast:
+        a_specs = [
+            {"col": col, "stat": spec.get("stat", "null_rate"),
+             **{k: spec[k] for k in ("min", "max") if k in spec}}
+            for col, spec in plan.assert_specs
+        ]
+        stats.stat_assertions(df, a_specs, run_id=run_id).withColumn(
+            "snapshot_id", F.lit(snapshot)
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "assertions"))
 
     # ---- drift stage (snapshot-vs-snapshot, outside unit loop) ---------
     # Comparison source, in priority order: an explicit prev_df

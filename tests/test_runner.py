@@ -371,3 +371,20 @@ def test_drift_clip_threaded_to_state(spark, tmp_path):
     state = spark.read.parquet(os.path.join(out, "drift_state"))
     row = state.limit(1).collect()[0]
     assert row["hi"] < 100001 and row["lo"] > 0
+
+
+def test_assert_directive_runs_in_suite(spark, tmp_path):
+    """$assert rules become one-aggregation table-level verdicts in
+    the assertions sink alongside the per-row outputs."""
+    out = str(tmp_path / "asserts")
+    rules = load_rules(
+        "w: {$type: $int, $assert: {stat: null_rate, max: 0.0}}\n"
+        "h: {$type: $int, $assert: {stat: mean, min: 100000, max: 200000}}\n"
+    )
+    df = synth.images_df(spark, 50)
+    res = runner.validate(spark, df, rules, "image_id", out, snapshot="s1")
+    got = {(r["col_name"], r["stat"]): r for r in res.assertions(spark).collect()}
+    assert got[("w", "null_rate")]["passed"]          # no NULL w
+    assert not got[("h", "mean")]["passed"]           # mean h ~ hundreds
+    assert all(r["snapshot_id"] == "s1"
+               for r in res.assertions(spark).collect())
