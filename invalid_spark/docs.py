@@ -420,9 +420,13 @@ def validate_yaml_docs(fields: DataFrame, rules: RuleSet) -> DataFrame:
     error_type, message, ord, line, col_start, col_end). Empty result
     = pass (reference rule.go:131-141). Sort by ``ord`` for the
     reference's depth-first emission order. ``line``/``col_start``/
-    ``col_end`` are the reference's 1-based source Range
+    ``col_end`` are the reference's 1-based source ``Range.Start``
     (result.go:18-22, range.go:8-30) — how a config author finds the
-    offending line."""
+    offending line. For container-anchored violations the reference's
+    ``Range`` also carries an End expanded over the children
+    (``expend``, range.go:70-105); only the Start triple is emitted
+    here (Start == End for every scalar anchor) — documented
+    divergence."""
     spark = fields.sparkSession
     rdf = spark.createDataFrame(_flatten_rules(rules), _RULE_SCHEMA)
     r = F.broadcast(rdf)
