@@ -859,18 +859,11 @@ _STREAM_CHI2_REF = {
 
 def _chi2_crit(dof: int, threshold: float) -> float:
     """The same driver-side bisected critical value
-    streaming.windowed_chi2_drift computes — replicated so the oracle
-    SQL can embed the identical literal."""
+    streaming.windowed_chi2_drift uses — one shared implementation
+    (mathutil.chi2_critical) so the oracle literal cannot diverge."""
     from invalid_spark import mathutil
 
-    lo, hi = 0.0, 1e6
-    for _ in range(200):
-        mid = (lo + hi) / 2
-        if mathutil.chi2_pvalue(mid, dof) < threshold:
-            hi = mid
-        else:
-            lo = mid
-    return (lo + hi) / 2
+    return mathutil.chi2_critical(dof, threshold)
 
 
 def q_text_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

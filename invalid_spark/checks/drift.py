@@ -119,8 +119,16 @@ def chi2_statistic_df(
     distributed (partial combine), the O(|categories|) statistic is
     a second tiny aggregation, all exact int/double math any SQL
     engine reproduces."""
-    both = cur.select(F.col(col).alias("cat"), F.lit(1).alias("is_cur")).unionByName(
-        prev.select(F.col(col).alias("cat"), F.lit(0).alias("is_cur"))
+    # categories compare as their STRING spellings everywhere (this
+    # frame, the persisted categorical_state, and multi_state), so the
+    # canonical fold order is identical for numeric category columns
+    # across all three drift paths
+    both = cur.select(
+        F.col(col).cast("string").alias("cat"), F.lit(1).alias("is_cur")
+    ).unionByName(
+        prev.select(
+            F.col(col).cast("string").alias("cat"), F.lit(0).alias("is_cur")
+        )
     )
     tab = both.groupBy("cat").agg(
         F.sum("is_cur").alias("o1"), F.sum(1 - F.col("is_cur")).alias("o2")
@@ -467,15 +475,22 @@ def multi_drift(
     prev: DataFrame,
     specs: list[tuple[str, dict]],
     bins_default: int = 256,
+    cur_grids: dict[str, tuple[float | None, float | None, int]] | None = None,
 ) -> dict[str, DriftResult]:
     """Every ``$drift`` column's two-sample test in a CONSTANT number
     of scans — 2 per side (grid aggregation + tagged histogram pass)
     regardless of how many drift rules there are. For an unclipped
     numeric column the shared grid and bucketing are identical to
     :func:`ks_drift`'s, so the statistic is bit-identical; chi2
-    matches :func:`chi2_drift`'s canonical-order fold."""
+    matches :func:`chi2_drift`'s canonical-order fold.
+
+    ``cur_grids`` (a precomputed :func:`multi_grid` of ``cur``) lets a
+    caller that also persists drift state reuse the current side's
+    grid aggregation instead of scanning for it twice."""
     grids = merge_grids(
-        multi_grid(cur, specs, bins_default), multi_grid(prev, specs, bins_default)
+        cur_grids if cur_grids is not None
+        else multi_grid(cur, specs, bins_default),
+        multi_grid(prev, specs, bins_default),
     )
     cur_rows = multi_state(cur, specs, grids).collect()
     prev_rows = multi_state(prev, specs, grids).collect()

@@ -511,7 +511,12 @@ class _Compiler:
                 self.plan.caption_specs.append((path, child.caption_eq))
             if child.vector is not None:
                 self.plan.vector_specs.append((path, child.vector))
-            if child.assert_ is not None:
+            if child.assert_ is not None and dt is not None:
+                # a $assert on a column absent from the schema is
+                # skipped (optional-absent parity with the row checks
+                # — required-absent already fail-fasts the run);
+                # collecting it would crash the runner's assertion
+                # aggregation with an unresolved column
                 self.plan.assert_specs.append((path, child.assert_))
 
             if dt is None:

@@ -87,3 +87,19 @@ def chi2_statistic(obs: list[float], exp: list[float]) -> float:
         if e > 0:
             s += (o - e) ** 2 / e
     return s
+
+
+def chi2_critical(dof: int, threshold: float) -> float:
+    """Critical value c with P(X >= c) = threshold for chi-square with
+    ``dof`` degrees of freedom, by bisection of :func:`chi2_pvalue`.
+    The ONE shared implementation — streaming drift thresholds and the
+    oracle SQL literals must come from the same bisection or they
+    silently diverge."""
+    lo, hi = 0.0, 1e6
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if chi2_pvalue(mid, dof) < threshold:
+            hi = mid
+        else:
+            lo = mid
+    return (lo + hi) / 2

@@ -106,11 +106,14 @@ def curation_decisions(
     so the corpus is SCANNED ONCE and the quality/lang/fingerprint
     expressions evaluated once; the exact-dup, near-dup, and final
     decision stages all feed from the checkpoint (storage is
-    reclaimed by Spark once the result is unreferenced). With
-    ``cache=False`` the plan stays fully lazy at the cost of
-    re-scanning the corpus for the near-dup stage and the final
-    join — prefer it only when the corpus is too large to spill its
-    decoded form to executor disks."""
+    reclaimed by Spark once the result is unreferenced). The trade:
+    a local checkpoint truncates lineage, so losing an executor's
+    blocks mid-pipeline (spot preemption) fails the job instead of
+    recomputing. With ``cache=False`` the plan stays fully lazy —
+    fault-tolerant and memory-light at the cost of re-scanning the
+    corpus for the near-dup stage and the final join — prefer it on
+    preemptible clusters or when the corpus is too large to spill
+    its decoded form to executor disks."""
     t = F.col(text_col)
     # one projection computes every row-local signal (codegen, no
     # shuffle): quality, language, exact-dup fingerprint — the

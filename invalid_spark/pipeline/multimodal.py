@@ -169,7 +169,9 @@ def audio_features(
                     (
                         str(cid),
                         int(n),
-                        float(np.sqrt(np.mean(sig**2))),
+                        # empty signal (zero-frame WAV): 0.0, not the
+                        # NaN np.mean would emit
+                        float(np.sqrt(np.mean(sig**2))) if len(sig) else 0.0,
                         float(np.max(np.abs(sig))) if len(sig) else 0.0,
                         zc,
                         float(n) / float(sr) if sr else 0.0,

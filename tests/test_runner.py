@@ -388,3 +388,15 @@ def test_assert_directive_runs_in_suite(spark, tmp_path):
     assert not got[("h", "mean")]["passed"]           # mean h ~ hundreds
     assert all(r["snapshot_id"] == "s1"
                for r in res.assertions(spark).collect())
+    # a $assert on an optional column ABSENT from the table is
+    # skipped (like its row checks), not an unresolved-column crash
+    out2 = str(tmp_path / "asserts2")
+    rules2 = load_rules(
+        "w: {$type: $int, $assert: {stat: null_rate, max: 0.0}}\n"
+        "ghost: {$type: $int, $optional: true, "
+        "$assert: {stat: mean, min: 0}}\n"
+    )
+    res2 = runner.validate(spark, df, rules2, "image_id", out2,
+                           snapshot="s1")
+    cols = {r["col_name"] for r in res2.assertions(spark).collect()}
+    assert cols == {"w"}

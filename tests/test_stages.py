@@ -540,6 +540,15 @@ def test_multi_drift_matches_per_column(spark):
         assert got[col].drifted == ref.drifted, col
         assert got[col].n_current == ref.n_current
         assert got[col].n_prior == ref.n_prior
+    # NUMERIC category column (chi2 on ints): categories canonicalize
+    # to string spellings in every path, so the fold order — and the
+    # statistic — still matches the per-column wrapper bit-for-bit
+    num_cat = [("h", {"test": "chi2"})]
+    g = drift.multi_drift(cur, prev, num_cat)["h"]
+    r = drift.chi2_drift(cur, prev, "h")
+    assert (g.statistic, g.p_value, g.drifted) == (
+        r.statistic, r.p_value, r.drifted
+    )
 
 
 def test_multi_state_scan_count_independent_of_rules(spark):
