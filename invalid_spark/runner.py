@@ -81,6 +81,11 @@ class RunResult:
     def assertions(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.out_dir, "assertions"))
 
+    def schema_changes(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(self.out_dir, "schema_changes")
+        )
+
 
 def _stage_violations(
     df: DataFrame,
@@ -346,6 +351,39 @@ def validate(
         verd.write.mode("overwrite").parquet(os.path.join(out_dir, "verdicts"))
         met = report.rule_metrics(all_v, run_id)
         met.write.mode("overwrite").parquet(os.path.join(out_dir, "metrics"))
+
+    # ---- schema-change detection (zero scans: driver metadata) ---------
+    # The previous snapshot's schema fingerprint is stored as JSON
+    # beside the manifest; a run against a NEW snapshot diffs the live
+    # schema against it and writes one row per change to the
+    # schema_changes sink, then stores the current fingerprint
+    # (tmp + atomic replace, local-POSIX like the manifest).
+    from invalid_spark.checks import schema as schema_checks
+
+    schema_path = os.path.join(out_dir, "schema_state.json")
+    fp = schema_checks.schema_fingerprint(df)
+    stored_schema = None
+    if os.path.exists(schema_path):
+        import json as _json
+
+        with open(schema_path, encoding="utf-8") as f:
+            stored_schema = _json.load(f)
+    if stored_schema is not None and stored_schema.get("snapshot") != snapshot:
+        changes = schema_checks.schema_changes(fp, stored_schema["schema"])
+        spark.createDataFrame(
+            [(c, ch, b, a, run_id, snapshot) for c, ch, b, a in changes],
+            "col_name string, change string, before string, after string, "
+            "run_id string, snapshot_id string",
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "schema_changes")
+        )
+    if stored_schema is None or stored_schema.get("snapshot") != snapshot:
+        import json as _json
+
+        tmp = schema_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            _json.dump({"snapshot": snapshot, "schema": fp}, f)
+        os.replace(tmp, schema_path)
 
     # ---- table-level stat assertions ($assert), one aggregation --------
     if plan.assert_specs and not plan.fail_fast:

@@ -400,3 +400,35 @@ def test_assert_directive_runs_in_suite(spark, tmp_path):
                            snapshot="s1")
     cols = {r["col_name"] for r in res2.assertions(spark).collect()}
     assert cols == {"w"}
+
+
+def test_schema_change_detection(spark, tmp_path):
+    """A new snapshot with an added / retyped / removed column yields
+    schema_changes rows; the same snapshot re-run does not
+    self-compare; zero scans (metadata only)."""
+    out = str(tmp_path / "schemachg")
+    rules = load_rules("w: {$type: $int}\n")
+    df = synth.images_df(spark, 20)
+    runner.validate(spark, df, rules, "image_id", out, snapshot="s1",
+                    manifest_dir=os.path.join(out, "m1"))
+    assert os.path.exists(os.path.join(out, "schema_state.json"))
+    assert not os.path.exists(os.path.join(out, "schema_changes"))
+    # evolve: drop caption, retype w, add extra
+    df2 = (
+        df.drop("caption")
+        .withColumn("w", F.col("w").cast("double"))
+        .withColumn("extra", F.lit(1))
+    )
+    res = runner.validate(spark, df2, rules, "image_id", out, snapshot="s2",
+                          manifest_dir=os.path.join(out, "m2"))
+    got = {(r["col_name"], r["change"]): (r["before"], r["after"])
+           for r in res.schema_changes(spark).collect()}
+    assert got[("caption", "removed")][0] == "string"
+    assert got[("w", "type_changed")] == ("int", "double")
+    assert got[("extra", "added")][1] == "int"
+    # re-run of the SAME snapshot keeps the s1→s2 diff (no self-diff)
+    runner.validate(spark, df2, rules, "image_id", out, snapshot="s2",
+                    manifest_dir=os.path.join(out, "m2"))
+    again = {(r["col_name"], r["change"])
+             for r in res.schema_changes(spark).collect()}
+    assert ("caption", "removed") in again

@@ -788,3 +788,29 @@ def test_suggest_rules_round_trip(spark):
     parsed = _y.safe_load(yml)
     num_cols = [k for k, r in parsed.items() if "$range" in r]
     assert num_cols, yml
+
+
+def test_round3_operator_plan_shapes(spark):
+    """Plan assertions for the round-3 operators: contamination's
+    candidate join is a broadcast equi-join (never cartesian),
+    hash_sample and pii_features stay shuffle-free projections."""
+    import contextlib
+    import io as _io
+
+    from invalid_spark.pipeline import curate
+    from invalid_spark.pipeline import text as T
+
+    def plan_of(df_):
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df_.explain()
+        return buf.getvalue()
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    ev = docs.filter("doc_id % 29 = 0")
+    tr = docs.filter("doc_id % 29 <> 0")
+    p = plan_of(T.contamination_flags(tr, ev, n=3))
+    assert "BroadcastHashJoin" in p and "Cartesian" not in p
+    assert plan_of(curate.hash_sample(docs, 0.1)).count("Exchange") == 0
+    assert plan_of(T.pii_features(docs)).count("Exchange") == 0
+    assert plan_of(T.redact_pii(docs)).count("Exchange") == 0
