@@ -62,6 +62,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="prior snapshot for $drift checks")
     pv.add_argument("--run-id", default=None)
     pv.add_argument("--udf-parallelism", type=int, default=None)
+    pv.add_argument("--quarantine", action="store_true",
+                    help="also write clean/ and quarantine/ row splits "
+                    "(only once every unit is validated)")
     pv.add_argument("--local-cores", type=int, default=None)
 
     pp = sub.add_parser("profile", help="column statistics ($stats rules)")
@@ -127,6 +130,7 @@ def main(argv: list[str] | None = None) -> int:
         unit_batch=args.unit_batch,
         prev_df=prev_df,
         udf_parallelism=args.udf_parallelism,
+        quarantine=args.quarantine,
     )
     n_viol = res.violations(spark).count()
     verd = [r.asDict() for r in res.verdicts(spark).collect()]

@@ -86,6 +86,12 @@ class RunResult:
             os.path.join(self.out_dir, "schema_changes")
         )
 
+    def clean(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.out_dir, "clean"))
+
+    def quarantined(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.out_dir, "quarantine"))
+
 
 def _stage_violations(
     df: DataFrame,
@@ -159,6 +165,7 @@ def validate(
     udf_parallelism: int | None = None,
     max_batches: int | None = None,
     manifest_dir: str | None = None,
+    quarantine: bool = False,
 ) -> RunResult:
     """Run the full validation suite, resumably.
 
@@ -171,6 +178,13 @@ def validate(
     state would silently skip new data while keeping stale pass
     verdicts. Start a fresh ``out_dir`` (or ``manifest_dir``) per
     snapshot, or pass the same snapshot to resume it.
+
+    ``quarantine=True`` additionally writes the clean / quarantined
+    row split (:func:`invalid_spark.report.split_valid`) under
+    ``out_dir/clean`` and ``out_dir/quarantine`` — but only once
+    EVERY unit (including the global uniqueness ones) is done, so a
+    partial resume can never publish a "clean" table that unvalidated
+    units would have dirtied.
     """
     import re
 
@@ -351,6 +365,20 @@ def validate(
         verd.write.mode("overwrite").parquet(os.path.join(out_dir, "verdicts"))
         met = report.rule_metrics(all_v, run_id)
         met.write.mode("overwrite").parquet(os.path.join(out_dir, "metrics"))
+
+    # ---- quarantine split (opt-in), only under FULL coverage -----------
+    if quarantine and all_v is not None and not plan.fail_fast:
+        expected = (
+            {"__all__"} if unit_of is None else set(vals)
+        ) | {f"__unique__{c}" for c in plan.unique_cols}
+        if expected <= manifest.done_units():
+            clean, quarantined = report.split_valid(df, all_v, row_key)
+            clean.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "clean")
+            )
+            quarantined.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "quarantine")
+            )
 
     # ---- schema-change detection (zero scans: driver metadata) ---------
     # The previous snapshot's schema fingerprint is stored as JSON

@@ -432,3 +432,30 @@ def test_schema_change_detection(spark, tmp_path):
     again = {(r["col_name"], r["change"])
              for r in res.schema_changes(spark).collect()}
     assert ("caption", "removed") in again
+
+
+def test_quarantine_split_full_coverage_only(spark, tmp_path):
+    """quarantine=True publishes clean/quarantine sinks only once
+    every unit is done — a partial (killed) run must not emit a
+    'clean' table that unvalidated units would have dirtied."""
+    df = synth.images_df(spark, 60).withColumn(
+        "shard", F.pmod(F.xxhash64("image_id"), F.lit(4)).cast("string")
+    )
+    rules = load_rules("w: {$type: $int, $range: {$min: 1, $max: 100000}}\n")
+    out = str(tmp_path / "quar")
+    r1 = runner.validate(
+        spark, df, rules, "image_id", out, partition_col="shard",
+        unit_batch=2, max_batches=1, quarantine=True,
+    )
+    assert not os.path.exists(os.path.join(out, "clean"))  # partial: held back
+    res = runner.validate(
+        spark, df, rules, "image_id", out, partition_col="shard",
+        unit_batch=2, quarantine=True,
+    )
+    clean, quar = res.clean(spark), res.quarantined(spark)
+    n_bad = quar.count()
+    assert clean.count() + n_bad == 60
+    assert n_bad == len(synth.violation_indices(60, "range_w"))
+    # no violating key survives in clean
+    bad = {r["row_key"] for r in res.violations(spark).collect()}
+    assert not {r["image_id"] for r in clean.collect()} & bad
