@@ -608,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_chi2_events": q_drift_chi2_events,
         "streaming_validate_events": q_streaming_validate_events,
         "streaming_chi2_windows": q_streaming_chi2_windows,
+        "streaming_ks_windows": q_streaming_ks_windows,
         "text_quality_documents": q_text_quality_documents,
         "text_langid_documents": q_text_langid_documents,
         "text_fingerprint_documents": q_text_fingerprint_documents,
@@ -1039,6 +1040,75 @@ def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, rate=0.1, strata_col="lang", rates={"en": 1.0, "fr": 0.5}
     )
     return out.select("doc_id", "lang")
+
+
+_KS_WINDOW_GRID = (0.0, 200.0, 16)  # lo, hi, bins — uniform reference
+
+
+def q_streaming_ks_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed ONE-sample KS drift (streaming.windowed_ks_drift):
+    each day's `value` distribution against a uniform reference on
+    [0, 200) — the numeric sibling of streaming_chi2_windows, with
+    the drifted flag evaluated in λ-space against one constant so
+    per-window sample sizes need no driver round-trip. Batch
+    execution path; pytest proves stream/batch identity for the
+    windowed drift family."""
+    from invalid_spark import streaming
+
+    lo, hi, bins = _KS_WINDOW_GRID
+    ev = _t(spark, sf_dir, "events").select("value", "ts")
+    out = streaming.windowed_ks_drift(
+        ev, "value", [1.0 / bins] * bins, lo, hi,
+        window="1 day", watermark="1 day",
+    )
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.col("window_end").cast("string").alias("window_end"),
+        F.col("n").cast("long").alias("n"),
+        F.round("statistic", 6).alias("statistic"),
+        "drifted",
+    )
+
+
+def _sql_streaming_ks_windows() -> str:
+    from invalid_spark import mathutil
+
+    lo, hi, bins = _KS_WINDOW_GRID
+    width = (hi - lo) / bins
+    lam_crit = mathutil.kolmogorov_lambda_critical(0.01)
+    cdf = [(b + 1) / bins for b in range(bins)]
+    c_cols = ",\n         ".join(
+        f"CAST(coalesce(sum(CASE WHEN b = {b} THEN 1 END), 0) AS DOUBLE) "
+        f"AS c{b}"
+        for b in range(bins)
+    )
+    gaps = []
+    for b in range(bins):
+        cum = " + ".join(f"c{i}" for i in range(b + 1))
+        gaps.append(f"abs(({cum}) / CAST(n AS DOUBLE) - {cdf[b]!r})")
+    stat = "greatest(\n      " + ",\n      ".join(gaps) + ")"
+    return f"""
+WITH w AS (
+  SELECT date_trunc('day', ts) AS ws,
+         least({bins - 1}, greatest(0,
+           CAST(floor((CAST(value AS DOUBLE) - {lo!r}) / {width!r}) AS INT)))
+           AS b
+  FROM events WHERE value IS NOT NULL
+), tab AS (
+  SELECT ws, count(*) AS n,
+         {c_cols}
+  FROM w GROUP BY ws
+), s AS (
+  SELECT ws, n, {stat} AS stat FROM tab
+)
+SELECT CAST(CAST(ws AS TIMESTAMP) AS VARCHAR) AS window_start,
+       CAST(ws + INTERVAL 1 DAY AS VARCHAR) AS window_end,
+       CAST(n AS BIGINT) AS n,
+       round(stat, 6) AS statistic,
+       (sqrt(CAST(n AS DOUBLE)) + 0.12 + 0.11 / sqrt(CAST(n AS DOUBLE)))
+         * stat > {lam_crit!r} AS drifted
+FROM s
+"""
 
 
 def q_streaming_chi2_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2144,6 +2214,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_chi2_events": _sql_drift_chi2_events(),
         "streaming_validate_events": _sql_streaming_validate_events(),
         "streaming_chi2_windows": _sql_streaming_chi2_windows(),
+        "streaming_ks_windows": _sql_streaming_ks_windows(),
         "text_quality_documents": _sql_text_quality(),
         "text_langid_documents": _sql_text_langid(),
         "text_fingerprint_documents": _sql_text_fingerprint(),

@@ -103,3 +103,41 @@ def chi2_critical(dof: int, threshold: float) -> float:
         else:
             lo = mid
     return (lo + hi) / 2
+
+
+def _kolmogorov_sf(lam: float) -> float:
+    """Kolmogorov survival function Q(lam) = 2 Σ (-1)^{k-1} e^{-2k²λ²}."""
+    if lam <= 0:
+        return 1.0
+    s = 0.0
+    for k in range(1, 101):
+        term = 2.0 * (-1) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+        s += term
+        if abs(term) < 1e-12:
+            break
+    return min(max(s, 0.0), 1.0)
+
+
+def ks1_pvalue(d: float, n: int) -> float:
+    """Asymptotic ONE-sample KS p-value (observed vs a fully-known
+    reference distribution): the Kolmogorov series with effective
+    size n instead of the two-sample nm/(n+m)."""
+    if d <= 0 or n <= 0:
+        return 1.0
+    return _kolmogorov_sf((math.sqrt(n) + 0.12 + 0.11 / math.sqrt(n)) * d)
+
+
+def kolmogorov_lambda_critical(threshold: float) -> float:
+    """λ* with Q(λ*) = threshold. Because Q is monotone decreasing,
+    ``p(d, n) < threshold  ⇔  (√n + 0.12 + 0.11/√n)·d > λ*`` — the
+    per-size critical value collapses to ONE constant, so a windowed
+    streaming query (whose n varies per window) can evaluate the
+    drifted flag with plain arithmetic against this literal."""
+    lo, hi = 0.0, 10.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if _kolmogorov_sf(mid) < threshold:
+            hi = mid
+        else:
+            lo = mid
+    return (lo + hi) / 2

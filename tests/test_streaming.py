@@ -261,3 +261,40 @@ def test_windowed_chi2_drift_batch_and_stream(spark, tmp_path):
     for r in got:
         b = out[str(r["window_start"])]
         assert abs(r["statistic"] - b["statistic"]) < 1e-9
+
+
+def test_windowed_ks_drift_batch_and_stream(spark, tmp_path):
+    """One-sample windowed KS: a window matching the uniform
+    reference passes, a concentrated window flags; the same query
+    runs as Structured Streaming with identical statistics."""
+    ref = [0.25, 0.25, 0.25, 0.25]  # uniform on [0, 100), 4 buckets
+    rows = []
+    # window A: spread across all buckets evenly → no drift
+    for i in range(48):
+        rows.append((float((i % 4) * 25 + 5), "2024-01-01 00:00:%02d" % (i % 60)))
+    # window B: everything in bucket 0 → strong drift
+    rows += [(3.0, "2024-01-01 00:05:%02d" % (i % 60)) for i in range(48)]
+    src = spark.createDataFrame(rows, "value double, ts_s string").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    ).drop("ts_s")
+    out = {str(r["window_start"]): r for r in
+           streaming.windowed_ks_drift(src, "value", ref, 0.0, 100.0).collect()}
+    assert not out["2024-01-01 00:00:00"]["drifted"]
+    assert out["2024-01-01 00:05:00"]["drifted"]
+    assert out["2024-01-01 00:05:00"]["statistic"] == pytest.approx(0.75)
+    # streaming execution emits identical rows for closed windows
+    d = str(tmp_path / "ks_ev")
+    src.coalesce(1).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(src.schema).parquet(d)
+    q = streaming.windowed_ks_drift(sdf, "value", ref, 0.0, 100.0)
+    sink = str(tmp_path / "ks_sink")
+    h = q.writeStream.format("parquet").outputMode("append").option(
+        "checkpointLocation", str(tmp_path / "ks_ck")
+    ).option("path", sink).trigger(availableNow=True).start()
+    h.awaitTermination(120)
+    for r in spark.read.parquet(sink).collect():
+        b = out[str(r["window_start"])]
+        assert abs(r["statistic"] - b["statistic"]) < 1e-12
+        assert r["drifted"] == b["drifted"]
+    with pytest.raises(ValueError, match="buckets"):
+        streaming.windowed_ks_drift(src, "value", [1.0], 0.0, 100.0)
