@@ -23,14 +23,7 @@ def ks_pvalue(d: float, n: int, m: int) -> float:
     if d <= 0:
         return 1.0
     ne = n * m / (n + m)
-    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
-    s = 0.0
-    for k in range(1, 101):
-        term = 2.0 * (-1) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
-        s += term
-        if abs(term) < 1e-12:
-            break
-    return min(max(s, 0.0), 1.0)
+    return _kolmogorov_sf((math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d)
 
 
 def _gamma_p(a: float, x: float) -> float:

@@ -176,8 +176,12 @@ def validate(
     A resume refuses to proceed when the manifest was written against
     a different ``snapshot``: done-unit marks from another table
     state would silently skip new data while keeping stale pass
-    verdicts. Start a fresh ``out_dir`` (or ``manifest_dir``) per
-    snapshot, or pass the same snapshot to resume it.
+    verdicts. For CONTINUOUS validation keep ONE ``out_dir`` across
+    snapshots and pass a per-snapshot ``manifest_dir`` — that is what
+    lets the drift state and schema fingerprint persist between runs.
+    (A fresh ``out_dir`` per snapshot also works for one-shot runs,
+    but forfeits drift and schema-change continuity: each run would
+    be a first run.)
 
     ``quarantine=True`` additionally writes the clean / quarantined
     row split (:func:`invalid_spark.report.split_valid`) under
@@ -381,22 +385,25 @@ def validate(
             )
 
     # ---- schema-change detection (zero scans: driver metadata) ---------
-    # The previous snapshot's schema fingerprint is stored as JSON
-    # beside the manifest; a run against a NEW snapshot diffs the live
-    # schema against it and writes one row per change to the
-    # schema_changes sink, then stores the current fingerprint
-    # (tmp + atomic replace, local-POSIX like the manifest).
+    # The previous snapshot's schema fingerprint lives under OUT_DIR
+    # (like the drift state): the continuous workflow is one out_dir
+    # across snapshots with a per-snapshot manifest_dir. A fresh
+    # out_dir per snapshot forfeits schema (and drift) continuity —
+    # there is nothing to compare against.
+    import json as _json
+
     from invalid_spark.checks import schema as schema_checks
 
     schema_path = os.path.join(out_dir, "schema_state.json")
     fp = schema_checks.schema_fingerprint(df)
     stored_schema = None
     if os.path.exists(schema_path):
-        import json as _json
-
         with open(schema_path, encoding="utf-8") as f:
             stored_schema = _json.load(f)
-    if stored_schema is not None and stored_schema.get("snapshot") != snapshot:
+    schema_stale = (
+        stored_schema is None or stored_schema.get("snapshot") != snapshot
+    )
+    if stored_schema is not None and schema_stale:
         changes = schema_checks.schema_changes(fp, stored_schema["schema"])
         spark.createDataFrame(
             [(c, ch, b, a, run_id, snapshot) for c, ch, b, a in changes],
@@ -405,9 +412,8 @@ def validate(
         ).write.mode("overwrite").parquet(
             os.path.join(out_dir, "schema_changes")
         )
-    if stored_schema is None or stored_schema.get("snapshot") != snapshot:
-        import json as _json
-
+    if schema_stale:
+        # tmp + atomic replace, local-POSIX like the manifest
         tmp = schema_path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             _json.dump({"snapshot": snapshot, "schema": fp}, f)

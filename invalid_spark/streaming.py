@@ -262,15 +262,19 @@ def windowed_ks_drift(
     bins = len(ref_probs)
     if bins < 2:
         raise ValueError("ref_probs needs at least 2 buckets")
+    if any(p < 0 for p in ref_probs):
+        raise ValueError("ref_probs must not contain negative mass")
     total = sum(ref_probs)
     if total <= 0:
         raise ValueError("ref_probs must sum to a positive mass")
+    if not hi > lo:
+        raise ValueError(f"degenerate grid: need hi > lo, got [{lo}, {hi})")
     ref_cdf = []
     acc = 0.0
     for p in ref_probs:
         acc += p / total
         ref_cdf.append(acc)
-    width = (hi - lo) / bins or 1.0
+    width = (hi - lo) / bins
     lam_crit = mathutil.kolmogorov_lambda_critical(threshold)
 
     v = F.col(num_col).cast("double")

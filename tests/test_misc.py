@@ -120,3 +120,29 @@ def test_minhash_signature_estimates_jaccard(spark):
     j01 = true_jaccard(docs.collect()[0]["text"], docs.collect()[1]["text"])
     assert abs(agree_01 - j01) < 0.2
     assert agree_02 < 0.1  # disjoint docs share ~no minima
+
+
+def test_ks1_pvalue_consistent_with_lambda_critical():
+    """The one-sample p-value and the lambda-space critical constant
+    must agree: p(d, n) < thr  ⇔  (√n + 0.12 + 0.11/√n)·d > λ* —
+    the identity windowed_ks_drift relies on to evaluate the drifted
+    flag without per-window driver round-trips."""
+    import math
+
+    from invalid_spark import mathutil
+
+    for thr in (0.01, 0.05):
+        lam_crit = mathutil.kolmogorov_lambda_critical(thr)
+        for n in (30, 100, 1000, 50000):
+            for d in (0.005, 0.01, 0.02, 0.05, 0.1, 0.3, 0.8):
+                lam = (math.sqrt(n) + 0.12 + 0.11 / math.sqrt(n)) * d
+                if abs(lam - lam_crit) < 1e-9:
+                    continue  # knife-edge: either verdict acceptable
+                assert (mathutil.ks1_pvalue(d, n) < thr) == (lam > lam_crit), (
+                    thr, n, d
+                )
+    # and the two-sample p-value still matches its historical values
+    # after the shared-series refactor (m -> inf degenerates to ks1)
+    assert mathutil.ks_pvalue(0.05, 2000, 2000) == pytest.approx(
+        mathutil.ks1_pvalue(0.05, 1000), rel=1e-12
+    )

@@ -438,10 +438,13 @@ def test_quarantine_split_full_coverage_only(spark, tmp_path):
     """quarantine=True publishes clean/quarantine sinks only once
     every unit is done — a partial (killed) run must not emit a
     'clean' table that unvalidated units would have dirtied."""
-    df = synth.images_df(spark, 60).withColumn(
+    n = 330  # > plant periods, so range_w violations actually exist
+    df = synth.images_df(spark, n).withColumn(
         "shard", F.pmod(F.xxhash64("image_id"), F.lit(4)).cast("string")
     )
     rules = load_rules("w: {$type: $int, $range: {$min: 1, $max: 100000}}\n")
+    exp_bad = len(synth.violation_indices(n, "range_w"))
+    assert exp_bad > 0  # guard against a vacuous test
     out = str(tmp_path / "quar")
     r1 = runner.validate(
         spark, df, rules, "image_id", out, partition_col="shard",
@@ -454,8 +457,11 @@ def test_quarantine_split_full_coverage_only(spark, tmp_path):
     )
     clean, quar = res.clean(spark), res.quarantined(spark)
     n_bad = quar.count()
-    assert clean.count() + n_bad == 60
-    assert n_bad == len(synth.violation_indices(60, "range_w"))
-    # no violating key survives in clean
+    assert clean.count() + n_bad == n
+    # quarantine is key-based: every ROW whose image_id ever violated
+    # routes there (a duplicated id quarantines both copies)
     bad = {r["row_key"] for r in res.violations(spark).collect()}
+    assert len(bad) >= exp_bad > 0
+    assert n_bad == df.filter(F.col("image_id").isin(list(bad))).count()
+    # no violating key survives in clean
     assert not {r["image_id"] for r in clean.collect()} & bad

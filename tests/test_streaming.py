@@ -274,6 +274,10 @@ def test_windowed_ks_drift_batch_and_stream(spark, tmp_path):
         rows.append((float((i % 4) * 25 + 5), "2024-01-01 00:00:%02d" % (i % 60)))
     # window B: everything in bucket 0 → strong drift
     rows += [(3.0, "2024-01-01 00:05:%02d" % (i % 60)) for i in range(48)]
+    # window C: far enough ahead that the 5-minute watermark passes
+    # windows A and B — without it append mode would close NO window
+    # and the streaming half of this test would assert nothing
+    rows += [(50.0, "2024-01-01 00:20:%02d" % (i % 60)) for i in range(8)]
     src = spark.createDataFrame(rows, "value double, ts_s string").withColumn(
         "ts", F.col("ts_s").cast("timestamp")
     ).drop("ts_s")
@@ -292,9 +296,17 @@ def test_windowed_ks_drift_batch_and_stream(spark, tmp_path):
         "checkpointLocation", str(tmp_path / "ks_ck")
     ).option("path", sink).trigger(availableNow=True).start()
     h.awaitTermination(120)
-    for r in spark.read.parquet(sink).collect():
+    got = spark.read.parquet(sink).collect()
+    closed = {str(r["window_start"]) for r in got}
+    # both interesting windows actually closed and were compared
+    assert {"2024-01-01 00:00:00", "2024-01-01 00:05:00"} <= closed, closed
+    for r in got:
         b = out[str(r["window_start"])]
         assert abs(r["statistic"] - b["statistic"]) < 1e-12
         assert r["drifted"] == b["drifted"]
     with pytest.raises(ValueError, match="buckets"):
         streaming.windowed_ks_drift(src, "value", [1.0], 0.0, 100.0)
+    with pytest.raises(ValueError, match="grid"):
+        streaming.windowed_ks_drift(src, "value", ref, 100.0, 0.0)
+    with pytest.raises(ValueError, match="negative"):
+        streaming.windowed_ks_drift(src, "value", [0.5, -0.1, 0.6], 0.0, 1.0)
