@@ -458,7 +458,17 @@ def _results_from_states(
             bins = prev_c[0]["bins"] or 256
             prev_h = [0] * bins
             for r in prev_c:
-                prev_h[int(r["bucket"])] = r["cnt"]
+                b = int(r["bucket"])
+                if not 0 <= b < bins:
+                    # a stored state whose bins field disagrees with
+                    # its bucket values (hand-edited / legacy state)
+                    # must fail loudly, not alias via negative index
+                    raise ValueError(
+                        f"stored drift state for column [{col}] has "
+                        f"bucket {b} outside bins={bins}; the state "
+                        "directory is corrupt — delete it to rebuild"
+                    )
+                prev_h[b] = r["cnt"]
             cur_h = [0] * bins
             for r in cur_c:
                 b = int(r["bucket"])

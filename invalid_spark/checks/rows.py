@@ -517,6 +517,21 @@ class _Compiler:
                 # — required-absent already fail-fasts the run);
                 # collecting it would crash the runner's assertion
                 # aggregation with an unresolved column
+                a_stat = child.assert_.get("stat", "null_rate")
+                if a_stat in ("min", "max", "mean") and not isinstance(
+                    dt, T.NumericType
+                ):
+                    # stat_assertions casts these to double — on a
+                    # string/date/timestamp column that yields NULL
+                    # and a spurious passed=False: a RULE error, so
+                    # it surfaces here at compile time (reference
+                    # NewRule parity), not as a fake data failure
+                    raise ValueError(
+                        f"$assert stat [{a_stat}] on column [{path}] "
+                        f"requires a numeric column, got "
+                        f"{dt.simpleString()}; use null_rate or ndv "
+                        "for non-numeric columns"
+                    )
                 self.plan.assert_specs.append((path, child.assert_))
 
             if dt is None:

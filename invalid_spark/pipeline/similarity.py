@@ -130,6 +130,7 @@ def lsh_ann(
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     plane_matrix: list[list[float]] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: join queries to corpus buckets within
     Hamming distance ``probe_hamming`` of the query's bucket
@@ -142,8 +143,12 @@ def lsh_ann(
     ``plane_matrix`` overrides the seeded-numpy hyperplanes — pass
     :func:`invalid_spark.pipeline.dedup.neardup_planes` for an index
     any SQL engine can re-derive (the oracle-checked path).
+
+    Pass ``dim`` (the embedding width) to keep the index build
+    action-free; without it a one-row ``.first()`` probe derives it.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None and plane_matrix is None:
+        dim = len(corpus.select(vec_col).first()[0])
     pl = plane_matrix if plane_matrix is not None else hyperplanes(
         dim, planes, seed
     )
@@ -244,8 +249,14 @@ def ivf_md5_centroids(
     return np.array([r["nv"] for r in rows])
 
 
-def _nearest_lists(nv: Column, cent: "np.ndarray", nprobe: int) -> Column:
-    """Array of the nprobe centroid ids closest to the vector."""
+def _nearest_lists_expr(nv: Column, cent: "np.ndarray", nprobe: int) -> Column:
+    """Array of the nprobe centroid ids closest to the vector, as a
+    pure Catalyst expression (one strict-left-fold dot per centroid
+    embedded as literals). O(n_lists·dim) expression terms — fine for
+    a handful of centroids, but at production IVF sizing (n_lists ~
+    √N, thousands of lists) the expression tree and codegen blow up.
+    Retained as the bit-parity reference for
+    :func:`nearest_lists_udf`; :func:`ivf_ann` always uses the UDF."""
     sims = F.array(
         *[dot(nv, F.array(*[F.lit(float(v)) for v in c])) for c in cent]
     )
@@ -253,6 +264,50 @@ def _nearest_lists(nv: Column, cent: "np.ndarray", nprobe: int) -> Column:
     pairs = F.arrays_zip(sims.alias("s"), idx.alias("i"))
     ordered = F.reverse(F.array_sort(pairs))
     return F.slice(F.transform(ordered, lambda p: p["i"]), 1, nprobe)
+
+
+def nearest_lists_udf(spark, cent: "np.ndarray", nprobe: int):
+    """Arrow-batched nearest-centroid assignment against a BROADCAST
+    numpy codebook — the 100 TB shape: the codebook ships once per
+    executor (``sc.broadcast``, not n_lists×dim literal expressions),
+    and each Arrow batch scores against it with O(dim) vectorized
+    numpy ops, so production IVF sizing (n_lists in the thousands)
+    neither blows up the Catalyst expression tree nor pays
+    O(n_lists·dim) scalar ops per row.
+
+    Bit-parity contract (what keeps the ``ann_ivf_embeddings`` oracle
+    green): similarities accumulate as a strict LEFT FOLD over
+    dimensions — ``acc = (...(0 + x₀c₀) + x₁c₁...)`` — the exact IEEE
+    op order of the :func:`dot` fold and the DuckDB oracle's
+    ``list_reduce``; ties rank (sim DESC, cid DESC), matching
+    ``F.reverse(F.array_sort(struct(s, i)))``. numpy's pairwise-sum
+    ``@`` would be faster but last-ulp different; IVF assignment is
+    a different plan, not different math.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(cent, dtype=np.float64)
+    n_lists, dim = C.shape
+    nprobe = min(nprobe, n_lists)
+    bc = spark.sparkContext.broadcast(C)
+
+    @pandas_udf("array<int>")
+    def nearest(v: pd.Series) -> pd.Series:
+        cb = bc.value
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array(v.tolist(), dtype=np.float64)
+        acc = np.zeros((x.shape[0], cb.shape[0]))
+        for d in range(cb.shape[1]):  # strict left fold over dims
+            acc = acc + x[:, d : d + 1] * cb[:, d]
+        # (sim DESC, cid DESC): stable argsort of -sims over REVERSED
+        # cid positions breaks float ties toward the larger cid
+        rev = acc[:, ::-1]
+        order = np.argsort(-rev, axis=1, kind="stable")[:, :nprobe]
+        cids = (cb.shape[0] - 1) - order
+        return pd.Series(list(cids.astype("int32")))
+
+    return nearest
 
 
 def ivf_ann(
@@ -267,12 +322,15 @@ def ivf_ann(
     centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: assign every corpus
-    vector to its nearest coarse centroid (one projection — the
-    codebook broadcasts as literals), then each query probes only its
-    ``nprobe`` nearest lists. Recall/cost trade via nprobe; the
-    assignment shuffle key is the list id, roughly uniform by
-    k-means construction. The scale shape: build once, probe per
-    query batch.
+    vector to its nearest coarse centroid (one Arrow-batched pass
+    against the BROADCAST numpy codebook — see
+    :func:`nearest_lists_udf`; never n_lists×dim literal
+    expressions), then each query probes only its ``nprobe`` nearest
+    lists. Recall/cost trade via nprobe; the assignment shuffle key
+    is the list id, roughly uniform by k-means construction. The
+    scale shape: build once, probe per query batch; production
+    n_lists ~ √N (thousands of lists) only grows the broadcast, not
+    the plan.
 
     ``centroids`` overrides the seeded k-means codebook — pass
     :func:`ivf_md5_centroids` for an index a SQL oracle can
@@ -280,13 +338,16 @@ def ivf_ann(
     cent = centroids if centroids is not None else ivf_centroids(
         corpus, n_lists, seed=seed, vec_col=vec_col, key_col=key_col
     )
+    # ONE udf (one codebook broadcast) serves both sides: the probe
+    # list is ordered nearest-first, so element 0 is the assignment
+    probe = nearest_lists_udf(corpus.sparkSession, cent, nprobe)
     c = with_norm(corpus, vec_col, key_col).withColumn(
-        "list_id", _nearest_lists(F.col("nv"), cent, 1)[0]
+        "list_id", probe(F.col("nv")).getItem(0)
     )
     q = with_norm(queries, vec_col, key_col).select(
         F.col("id").alias("qid"),
         F.col("nv").alias("qv"),
-        F.explode(_nearest_lists(F.col("nv"), cent, nprobe)).alias("list_id"),
+        F.explode(probe(F.col("nv"))).alias("list_id"),
     )
     cand = c.join(F.broadcast(q), "list_id").filter(F.col("id") != F.col("qid"))
     scored = cand.select(

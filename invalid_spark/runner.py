@@ -352,8 +352,18 @@ def validate(
 
     # ---- verdicts + metrics from the written violations ----------------
     # verdicts cover COMPLETED units only: a pending unit has no
-    # violation rows yet and must not read as a pass
+    # violation rows yet and must not read as a pass.
+    # The violations sink is APPEND-mode across snapshots (the
+    # continuous workflow keeps one out_dir), so verdict / metric /
+    # quarantine stages must see only THIS snapshot's rows: a row
+    # fixed since the previous snapshot would otherwise stay
+    # quarantined forever and metric counts would duplicate per run.
+    # A resume of the same snapshot shares its snapshot_id, so the
+    # filter keeps resumability intact. (Violation history across
+    # snapshots remains queryable from the sink itself.)
     all_v = spark.read.parquet(v_dir) if os.path.exists(v_dir) else None
+    if all_v is not None:
+        all_v = all_v.filter(F.col("snapshot_id") == F.lit(snapshot))
     if all_v is not None:
         if unit_of is None:
             verd = report.partition_verdicts(df, all_v, run_id)

@@ -402,6 +402,24 @@ def test_assert_directive_runs_in_suite(spark, tmp_path):
     assert cols == {"w"}
 
 
+def test_assert_non_numeric_stat_rejected(spark):
+    """$assert with a numeric stat (min/max/mean) on a non-numeric
+    column is a RULE-configuration error and surfaces at compile time
+    — not as a NULL-valued passed=False row in the assertions sink."""
+    from invalid_spark.checks import rows as rowchecks
+
+    df = synth.images_df(spark, 10)
+    bad = load_rules("caption: {$type: $str, $assert: {stat: mean, min: 0}}\n")
+    with pytest.raises(ValueError, match="numeric"):
+        rowchecks.compile_row_checks(df, bad)
+    # null_rate / ndv stay legal on any type
+    ok = load_rules(
+        "caption: {$type: $str, $assert: {stat: null_rate, max: 0.5}}\n"
+    )
+    plan = rowchecks.compile_row_checks(df, ok)
+    assert plan.assert_specs
+
+
 def test_schema_change_detection(spark, tmp_path):
     """A new snapshot with an added / retyped / removed column yields
     schema_changes rows; the same snapshot re-run does not
@@ -465,3 +483,47 @@ def test_quarantine_split_full_coverage_only(spark, tmp_path):
     assert n_bad == df.filter(F.col("image_id").isin(list(bad))).count()
     # no violating key survives in clean
     assert not {r["image_id"] for r in clean.collect()} & bad
+
+
+def test_continuous_snapshots_verdicts_current_only(spark, tmp_path):
+    """The violations sink is append-mode across snapshots (ONE
+    out_dir is the continuous workflow), but verdicts / metrics /
+    quarantine must reflect only the CURRENT snapshot: a row fixed
+    since the previous snapshot must read clean again, and metric
+    counts must not duplicate per run."""
+    n = 330
+    df = synth.images_df(spark, n)
+    rules = load_rules("w: {$type: $int, $range: {$min: 1, $max: 100000}}\n")
+    exp_bad = len(synth.violation_indices(n, "range_w"))
+    assert exp_bad > 0
+    out = str(tmp_path / "cont_verd")
+    r1 = runner.validate(
+        spark, df, rules, "image_id", out, snapshot="s1",
+        manifest_dir=os.path.join(out, "m1"), quarantine=True,
+    )
+    assert r1.quarantined(spark).count() > 0
+    assert r1.verdicts(spark).filter("NOT passed").count() > 0
+    m1 = {r["error_type"]: r["n_violations"]
+          for r in r1.metrics(spark).collect()}
+    assert m1["rangeMismatch"] == exp_bad
+    # snapshot 2: every planted w violation fixed
+    fixed = df.withColumn(
+        "w",
+        F.when((F.col("w") < 1) | (F.col("w") > 100000), F.lit(500))
+        .otherwise(F.col("w")),
+    )
+    r2 = runner.validate(
+        spark, fixed, rules, "image_id", out, snapshot="s2",
+        manifest_dir=os.path.join(out, "m2"), quarantine=True,
+    )
+    # history retained in the sink itself...
+    hist = r2.violations(spark)
+    assert hist.filter("snapshot_id = 's1'").count() == exp_bad
+    # ...but the current snapshot's verdict/metrics/quarantine are clean
+    assert r2.quarantined(spark).count() == 0
+    assert r2.clean(spark).count() == n
+    verd = r2.verdicts(spark)
+    assert verd.count() > 0 and verd.filter("NOT passed").count() == 0
+    m2 = {r["error_type"]: r["n_violations"]
+          for r in r2.metrics(spark).collect()}
+    assert m2.get("rangeMismatch", 0) == 0

@@ -169,6 +169,96 @@ def test_lsh_ann_recall(spark):
     assert recall >= 0.4, f"LSH recall too low: {recall}"
 
 
+def test_ivf_assignment_udf_matches_expression(spark):
+    """Bit parity of the Arrow-batched broadcast-codebook assignment
+    (the scale path ivf_ann uses) with the literal-expression strict
+    left fold (the oracle-replayable reference): same centroids, same
+    order, including float TIES broken (sim DESC, cid DESC)."""
+    from invalid_spark.pipeline import similarity
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(300)
+    cent = similarity.ivf_md5_centroids(emb, n_lists=8)
+    nv = similarity.with_norm(emb, "embedding", "vec_id")
+    udf = similarity.nearest_lists_udf(spark, cent, 3)
+    rows = nv.select(
+        "id",
+        udf(F.col("nv")).alias("u"),
+        similarity._nearest_lists_expr(F.col("nv"), cent, 3).alias("e"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert list(r["u"]) == list(r["e"]), r["id"]
+    # constructed exact tie: vector equidistant from both centroids
+    # → the larger centroid id must rank first on BOTH paths
+    import numpy as np
+
+    tie_cent = np.array([[1.0, 0.0], [0.0, 1.0]])
+    s = float(np.sqrt(0.5))
+    tdf = spark.createDataFrame(
+        [("t", [s, s])], "id string, embedding array<double>"
+    )
+    tnv = similarity.with_norm(tdf, "embedding", "id")
+    tudf = similarity.nearest_lists_udf(spark, tie_cent, 2)
+    trow = tnv.select(
+        tudf(F.col("nv")).alias("u"),
+        similarity._nearest_lists_expr(F.col("nv"), tie_cent, 2).alias("e"),
+    ).collect()[0]
+    assert list(trow["u"]) == [1, 0] == list(trow["e"])
+
+
+def test_ivf_large_codebook(spark):
+    """Production IVF sizing (n_lists ≥ 512): the broadcast-codebook
+    assignment neither blows the Catalyst expression tree nor embeds
+    per-centroid literals — the plan carries ONE ArrowEvalPython node
+    whatever n_lists is (the round-3 literal-expression shape failed
+    exactly here)."""
+    from invalid_spark.pipeline import similarity
+
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # the sf0.001 corpus is smaller than 512, so the codebook comes
+    # from seeded numpy — plan shape is what's under test, not recall
+    rng = np.random.default_rng(11)
+    cent = rng.standard_normal((512, 64))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    assert cent.shape[0] == 512
+    q = emb.filter("vec_id < 5")
+    out = similarity.ivf_ann(emb, q, k=3, nprobe=8, centroids=cent)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    # no thousand-term literal projection: the codebook must not
+    # appear value-by-value in the plan text
+    assert len(plan) < 200_000
+    rows = out.collect()
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in rows)
+    assert len(per_q) == 5 and all(v == 3 for v in per_q.values())
+
+
+def test_lsh_ann_dim_param_action_free(spark):
+    """lsh_ann(dim=...) builds the whole index without ANY Spark job
+    (no .first() probe); omitting dim still works via the probe."""
+    from invalid_spark.pipeline import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 3")
+    sc = spark.sparkContext
+    sc.setJobGroup("lsh_build_probe", "dim probe check")
+    try:
+        df = similarity.lsh_ann(emb, q, k=3, planes=4, dim=64)
+        assert sc.statusTracker().getJobIdsForGroup("lsh_build_probe") == []
+        # vacuity guard: WITHOUT dim the probe job does run
+        similarity.lsh_ann(emb, q, k=3, planes=4)
+        assert sc.statusTracker().getJobIdsForGroup("lsh_build_probe") != []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert df.count() > 0
+
+
 def test_vector_violations_planted(spark):
     from invalid_spark.checks import vector as vc
     from pyspark.sql import functions as F
@@ -761,6 +851,20 @@ def test_stat_assertions_single_pass(spark):
     r = stats.stat_assertions(nn, [{"col": "x", "stat": "mean", "min": 0}])
     row = r.collect()[0]
     assert row["value"] is None and not row["passed"]
+
+
+def test_drift_state_out_of_range_bucket_rejected():
+    """A stored drift state whose bucket values disagree with its bins
+    field (legacy / hand-edited state) fails loudly instead of
+    aliasing via negative indices or raising a bare IndexError."""
+    prev = [{"column_name": "w", "test": "ks", "bucket": 9, "cnt": 3,
+             "bins": 4}]
+    with pytest.raises(ValueError, match="corrupt"):
+        drift._results_from_states([("w", {"test": "ks"})], [], prev)
+    neg = [{"column_name": "w", "test": "ks", "bucket": -1, "cnt": 3,
+            "bins": 4}]
+    with pytest.raises(ValueError, match="corrupt"):
+        drift._results_from_states([("w", {"test": "ks"})], [], neg)
 
 
 def test_suggest_rules_round_trip(spark):
