@@ -393,6 +393,40 @@ def q_tdigest_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCT_QS = (0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def q_percentiles_exact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantiles of l_extendedprice (Spark's percentile
+    aggregate ≡ DuckDB quantile_cont, verified bit-identical) — the
+    oracle-checked truth the t-digest sketch is tolerance-tested
+    against in pytest, putting the quantile surface under the oracle
+    gate even though merging digests themselves aren't
+    SQL-replayable."""
+    df = _t(spark, sf_dir, "lineitem")
+    row = df.agg(
+        F.percentile("l_extendedprice", list(_PCT_QS)).alias("p")
+    ).collect()[0]["p"]
+    return spark.createDataFrame(
+        [(q, round(v, 6)) for q, v in zip(_PCT_QS, row)],
+        "quantile double, value double",
+    )
+
+
+def _sql_percentiles_exact_lineitem() -> str:
+    qs = ", ".join(repr(q) for q in _PCT_QS)
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {q!r} AS quantile, round(p[{i + 1}], 6) AS value FROM t"
+        for i, q in enumerate(_PCT_QS)
+    )
+    return f"""
+WITH t AS (
+  SELECT quantile_cont(l_extendedprice, [{qs}]) AS p FROM lineitem
+)
+{sel}
+"""
+
+
 def q_image_validate_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full image+caption validation on the deterministic synthetic
     table (north-rule input_hint schema) — rules, uniqueness, ref,
@@ -609,6 +643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_validate_events": q_streaming_validate_events,
         "streaming_chi2_windows": q_streaming_chi2_windows,
         "streaming_ks_windows": q_streaming_ks_windows,
+        "anomaly_history_events": q_anomaly_history_events,
+        "streaming_dedup_metrics_events": q_streaming_dedup_metrics_events,
         "text_quality_documents": q_text_quality_documents,
         "text_langid_documents": q_text_langid_documents,
         "text_fingerprint_documents": q_text_fingerprint_documents,
@@ -635,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
         "ann_ivf_embeddings": q_ann_ivf_embeddings,
         "tdigest_quantiles_lineitem": q_tdigest_quantiles_lineitem,
+        "percentiles_exact_lineitem": q_percentiles_exact_lineitem,
         "image_validate_synth": q_image_validate_synth,
         "caption_eq_documents": q_caption_eq_documents,
         "unique_phash_skew": q_unique_phash_skew,
@@ -1108,6 +1145,124 @@ SELECT CAST(CAST(ws AS TIMESTAMP) AS VARCHAR) AS window_start,
        (sqrt(CAST(n AS DOUBLE)) + 0.12 + 0.11 / sqrt(CAST(n AS DOUBLE)))
          * stat > {lam_crit!r} AS drifted
 FROM s
+"""
+
+
+def q_anomaly_history_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-history anomaly fold (checks.anomaly.
+    rel_change_over_history — the deequ AnomalyCheck analog): each
+    calendar day of events becomes one history point (metric = rate
+    of value > 150 that day), then every point's relative change vs
+    the mean of the previous 3 days' values; |change| > 0.5 flags.
+    This is exactly the fold the runner's $anomaly stage applies to
+    the metrics_history sink, replayed over a deterministic history
+    so the whole computation is SQL-checkable."""
+    from invalid_spark.checks import anomaly
+
+    ev = _t(spark, sf_dir, "events").select("value", "ts").filter(
+        F.col("ts").isNotNull()
+    )
+    day = F.date_trunc("day", F.col("ts"))
+    hist = (
+        ev.groupBy(day.alias("day"))
+        .agg(
+            (
+                F.sum(F.when(F.col("value") > 150, 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("value")
+        )
+        .select(
+            F.lit("value").alias("col_name"),
+            F.lit("violation_rate").alias("metric"),
+            F.col("value"),
+            F.datediff(
+                F.col("day").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("seq"),
+            F.lit("").alias("run_id"),
+            F.lit("").alias("snapshot_id"),
+        )
+    )
+    out = anomaly.rel_change_over_history(hist, last_k=3)
+    return out.select(
+        "seq",
+        F.round("value", 6).alias("value"),
+        F.round("baseline", 6).alias("baseline"),
+        F.round("rel_change", 6).alias("rel_change"),
+        F.coalesce(
+            F.abs(F.col("rel_change")) > 0.5, F.lit(False)
+        ).alias("flagged"),
+    )
+
+
+def _sql_anomaly_history_events() -> str:
+    return """
+WITH hist AS (
+  SELECT date_diff('day', DATE '1970-01-01',
+                   CAST(date_trunc('day', ts) AS DATE)) AS seq,
+         CAST(SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS value
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1
+), f AS (
+  SELECT seq, value,
+         AVG(value) OVER (ORDER BY seq
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS baseline
+  FROM hist
+)
+SELECT CAST(seq AS BIGINT) AS seq,
+       round(value, 6) AS value,
+       round(baseline, 6) AS baseline,
+       round(CASE WHEN baseline IS NOT NULL AND baseline <> 0
+                  THEN (value - baseline) / baseline END, 6) AS rel_change,
+       coalesce(abs(CASE WHEN baseline IS NOT NULL AND baseline <> 0
+                         THEN (value - baseline) / baseline END) > 0.5,
+                FALSE) AS flagged
+FROM f
+"""
+
+
+def q_streaming_dedup_metrics_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Windowed duplication metrics (streaming.windowed_dedup_metrics
+    — the alerting companion to dedup-on-arrival): per event-time day,
+    how many rows arrived, how many distinct (user_id, event_type)
+    keys, and how many rows were duplicate copies. Executed on the
+    batch path — pytest proves the streaming execution emits
+    identical rows — so the whole computation is SQL-replayable and
+    fully oracle-checked."""
+    from invalid_spark import streaming
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    ).filter(F.col("ts").isNotNull())
+    out = streaming.windowed_dedup_metrics(
+        ev, ["user_id", "event_type"], window="1 day", watermark="1 day"
+    )
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.col("window_end").cast("string").alias("window_end"),
+        "n_rows",
+        "n_keys",
+        "n_dup_rows",
+    )
+
+
+def _sql_streaming_dedup_metrics_events() -> str:
+    return """
+WITH w AS (
+  SELECT date_trunc('day', ts) AS ws, user_id, event_type
+  FROM events WHERE ts IS NOT NULL
+), k AS (
+  SELECT ws, user_id, event_type, count(*) AS c FROM w GROUP BY 1, 2, 3
+)
+SELECT CAST(CAST(ws AS TIMESTAMP) AS VARCHAR) AS window_start,
+       CAST(ws + INTERVAL 1 DAY AS VARCHAR) AS window_end,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c - 1) AS BIGINT) AS n_dup_rows
+FROM k GROUP BY ws
 """
 
 
@@ -2214,6 +2369,9 @@ def oracle_sql() -> dict[str, str]:
         "drift_chi2_events": _sql_drift_chi2_events(),
         "streaming_validate_events": _sql_streaming_validate_events(),
         "streaming_chi2_windows": _sql_streaming_chi2_windows(),
+        "anomaly_history_events": _sql_anomaly_history_events(),
+        "percentiles_exact_lineitem": _sql_percentiles_exact_lineitem(),
+        "streaming_dedup_metrics_events": _sql_streaming_dedup_metrics_events(),
         "streaming_ks_windows": _sql_streaming_ks_windows(),
         "text_quality_documents": _sql_text_quality(),
         "text_langid_documents": _sql_text_langid(),

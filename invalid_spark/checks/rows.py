@@ -135,6 +135,7 @@ class RowCheckPlan:
     stats_specs: list[tuple[str, list[str]]] = dc_field(default_factory=list)
     drift_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     assert_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
+    anomaly_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     pixel_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     caption_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     vector_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
@@ -533,6 +534,23 @@ class _Compiler:
                         "for non-numeric columns"
                     )
                 self.plan.assert_specs.append((path, child.assert_))
+            if child.anomaly is not None and dt is not None:
+                from invalid_spark.checks import anomaly as _anomaly
+
+                a_metric = child.anomaly.get("metric", "violation_rate")
+                if a_metric not in _anomaly.ANOMALY_METRICS:
+                    raise ValueError(
+                        f"unknown $anomaly metric [{a_metric}] on "
+                        f"column [{path}] (choose from "
+                        f"{_anomaly.ANOMALY_METRICS})"
+                    )
+                if a_metric == "mean" and not isinstance(dt, T.NumericType):
+                    raise ValueError(
+                        f"$anomaly metric [mean] on column [{path}] "
+                        f"requires a numeric column, got "
+                        f"{dt.simpleString()}"
+                    )
+                self.plan.anomaly_specs.append((path, child.anomaly))
 
             if dt is None:
                 # column absent from the table schema

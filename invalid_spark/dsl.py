@@ -40,6 +40,11 @@ Engine extensions (all optional, ignored by reference-parity tests):
 - ``$pii: {kinds: [email, ipv4, ssn, phone], max: 0}`` — PII scrub
   gate (violation when total matches exceed ``max``; kinds default to
   every pattern in ``pipeline.text.PII_PATTERNS``)
+- ``$anomaly: {metric: violation_rate|null_rate|mean|row_count,
+  min: lo, max: hi, max_rel_change: r, last_k: k}`` — the current
+  run's metric vs the ``metrics_history`` sink (absolute bounds +
+  relative change vs the mean of the last k runs); verdicts land in
+  the ``anomalies`` sink (:mod:`invalid_spark.checks.anomaly`)
 - ``$assert: {stat: null_rate|min|max|mean|ndv, min: lo, max: hi}`` —
   table-level constraint on a column statistic (deequ-style); runner
   evaluates every $assert in one aggregation and writes the verdicts
@@ -74,6 +79,7 @@ _DIRECTIVES = {
     # engine extensions
     "$unique", "$ref", "$range", "$stats", "$drift", "$pixel",
     "$caption-eq", "$dynamic", "$vector", "$pii", "$assert",
+    "$anomaly",
 }
 
 
@@ -106,6 +112,9 @@ class Rule:
     vector: Optional[dict] = None  # $arr: {dim, no_nan, no_zero}
     pii: Optional[dict] = None  # $str: {kinds: [...], max: n}
     assert_: Optional[dict] = None  # $assert: {stat, min, max}
+    # $anomaly: {metric, min, max, max_rel_change, last_k} — current
+    # run's metric vs the metrics_history sink (checks/anomaly.py)
+    anomaly: Optional[dict] = None
     dynamic: bool = False
 
     def get(self, key: str) -> Optional["Rule"]:
@@ -297,6 +306,7 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
         ("$drift", "drift"),
         ("$pii", "pii"),
         ("$assert", "assert_"),
+        ("$anomaly", "anomaly"),
         ("$pixel", "pixel"),
         ("$caption-eq", "caption_eq"),
         ("$vector", "vector"),

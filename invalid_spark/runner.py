@@ -86,6 +86,14 @@ class RunResult:
             os.path.join(self.out_dir, "schema_changes")
         )
 
+    def anomalies(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.out_dir, "anomalies"))
+
+    def metrics_history(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(self.out_dir, "metrics_history")
+        )
+
     def clean(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.out_dir, "clean"))
 
@@ -439,6 +447,50 @@ def validate(
         stats.stat_assertions(df, a_specs, run_id=run_id).withColumn(
             "snapshot_id", F.lit(snapshot)
         ).write.mode("overwrite").parquet(os.path.join(out_dir, "assertions"))
+
+    # ---- metric history + $anomaly (continuous leg 3) -------------------
+    # Each run appends O(rules) metric rows to out_dir/metrics_history;
+    # $anomaly rules judge the CURRENT value against the prior runs'
+    # history (absolute bounds + relative change vs the last-k mean).
+    # Like drift state and the schema fingerprint this requires ONE
+    # out_dir across snapshots; evaluation is driver-side over the
+    # collected tiny history, the only cluster work one aggregation.
+    if plan.anomaly_specs and not plan.fail_fast:
+        from invalid_spark.checks import anomaly as anomaly_checks
+
+        hist_dir = os.path.join(out_dir, "metrics_history")
+        hist_rows = (
+            spark.read.parquet(hist_dir).collect()
+            if os.path.exists(hist_dir)
+            else []
+        )
+        max_seq = max((r["seq"] for r in hist_rows), default=0)
+        seen_snap = any(r["snapshot_id"] == snapshot for r in hist_rows)
+        # an idempotent re-run of the SAME snapshot must not compare
+        # the run against its own appended metrics
+        prior = [r for r in hist_rows if r["snapshot_id"] != snapshot]
+        cur_vals = anomaly_checks.current_metric_values(
+            df, all_v, plan.anomaly_specs
+        )
+        results = anomaly_checks.evaluate(
+            plan.anomaly_specs, cur_vals, prior
+        )
+        spark.createDataFrame(
+            [
+                (r.col, r.metric, r.value, r.baseline, r.rel_change,
+                 r.n_history, r.passed, run_id, snapshot)
+                for r in results
+            ],
+            anomaly_checks.ANOMALY_SCHEMA,
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "anomalies"))
+        if not seen_snap:
+            new_rows = [
+                (col, m, v, max_seq + 1, run_id, snapshot)
+                for (col, m), v in sorted(cur_vals.items())
+            ]
+            spark.createDataFrame(
+                new_rows, anomaly_checks.HISTORY_SCHEMA
+            ).write.mode("append").parquet(hist_dir)
 
     # ---- drift stage (snapshot-vs-snapshot, outside unit loop) ---------
     # Comparison source, in priority order: an explicit prev_df

@@ -314,6 +314,84 @@ def windowed_ks_drift(
     )
 
 
+def dedup_on_arrival(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the validate-on-arrival sibling of
+    :func:`invalid_spark.pipeline.dedup.exact_dedup`: keep the first
+    arrival per key (e.g. the shared ``text.fingerprint``), drop
+    later copies.
+
+    State is BOUNDED: ``dropDuplicatesWithinWatermark`` retains a
+    key's state only until the watermark passes its first arrival, so
+    memory is O(keys-per-watermark-window), not O(stream lifetime) —
+    the documented contract is "duplicates arriving within
+    ``watermark`` of the first copy are dropped; a copy arriving
+    later than that may be re-emitted" (re-dedup downstream in the
+    batch layer if total uniqueness matters). A bare
+    ``dropDuplicates`` on the key would grow state forever at 100
+    TB-rate ingest.
+
+    On a BATCH frame this is plain ``dropDuplicates`` over the same
+    keys (all data is "within the watermark" of itself) — the
+    batch ≡ stream test relies on that equivalence.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def windowed_dedup_metrics(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    window: str = "1 day",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Duplication metrics per event-time window: (window_start,
+    window_end, n_rows, n_keys, n_dup_rows) — how much of each
+    window's arrival volume was duplicate copies, the alerting
+    companion to :func:`dedup_on_arrival` (parquet sinks can't carry
+    a "rows I dropped" side channel, so the metric is its own
+    stream).
+
+    Streaming-legal shape (the :func:`windowed_chi2_drift` pattern):
+    one watermarked (window, key) aggregation, then a second
+    aggregation keyed by the same window folds the per-key counts —
+    ``count_distinct`` isn't streaming-legal directly, and no
+    stream-stream join. Works identically on a batch frame (the
+    oracle-checked entry query runs this exact code on the batch
+    path; pytest proves the streaming execution emits the same
+    rows)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window).alias("w"),
+            *[F.col(k) for k in keys],
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_w = counts.groupBy("w").agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("c") - F.lit(1)).alias("n_dup_rows"),
+    )
+    return per_w.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("n_dup_rows").cast("long").alias("n_dup_rows"),
+    )
+
+
 def running_rule_totals(
     violations: DataFrame,
 ) -> DataFrame:

@@ -485,6 +485,55 @@ def test_quarantine_split_full_coverage_only(spark, tmp_path):
     assert not {r["image_id"] for r in clean.collect()} & bad
 
 
+def test_anomaly_detection_three_snapshots(spark, tmp_path):
+    """$anomaly(metric=violation_rate, max_rel_change): three runs
+    into one out_dir — steady rate passes twice (first run has no
+    history; second's change is ~0), then a planted rate jump on the
+    third run alone is flagged. Re-running the third snapshot is
+    idempotent (no duplicate history, same verdict)."""
+    n = 330
+    df = synth.images_df(spark, n)
+    rules = load_rules(
+        "w: {$type: $int, $range: {$min: 1, $max: 100000}, "
+        "$anomaly: {metric: violation_rate, max_rel_change: 0.5, "
+        "last_k: 3}}\n"
+    )
+    out = str(tmp_path / "anom")
+    r1 = runner.validate(spark, df, rules, "image_id", out, snapshot="s1",
+                         manifest_dir=os.path.join(out, "m1"))
+    a1 = r1.anomalies(spark).collect()[0]
+    assert a1["passed"] and a1["n_history"] == 0
+    assert a1["baseline"] is None and a1["rel_change"] is None
+    r2 = runner.validate(spark, df, rules, "image_id", out, snapshot="s2",
+                         manifest_dir=os.path.join(out, "m2"))
+    a2 = r2.anomalies(spark).collect()[0]
+    assert a2["passed"] and a2["n_history"] == 1
+    assert abs(a2["rel_change"]) < 1e-12  # identical data, identical rate
+    # snapshot 3: ~30% of rows corrupted → violation rate jumps
+    jumped = df.withColumn(
+        "w",
+        F.when(F.pmod(F.xxhash64("image_id"), F.lit(10)) < 3, F.lit(-5))
+        .otherwise(F.col("w")),
+    )
+    r3 = runner.validate(spark, jumped, rules, "image_id", out,
+                         snapshot="s3", manifest_dir=os.path.join(out, "m3"))
+    a3 = r3.anomalies(spark).collect()[0]
+    assert not a3["passed"] and a3["rel_change"] > 0.5
+    assert a3["n_history"] == 2
+    hist = r3.metrics_history(spark)
+    assert hist.count() == 3
+    assert [r["snapshot_id"] for r in hist.orderBy("seq").collect()] == [
+        "s1", "s2", "s3"
+    ]
+    # idempotent re-run of s3: history not duplicated, verdict stable,
+    # and the run did NOT compare against its own appended metrics
+    r3b = runner.validate(spark, jumped, rules, "image_id", out,
+                          snapshot="s3", manifest_dir=os.path.join(out, "m3"))
+    assert r3b.metrics_history(spark).count() == 3
+    a3b = r3b.anomalies(spark).collect()[0]
+    assert not a3b["passed"] and a3b["n_history"] == 2
+
+
 def test_continuous_snapshots_verdicts_current_only(spark, tmp_path):
     """The violations sink is append-mode across snapshots (ONE
     out_dir is the continuous workflow), but verdicts / metrics /

@@ -70,6 +70,28 @@ def test_tdigest_vs_exact_quantiles(spark):
         assert abs(got[q] - expect) < 1.5, (q, got[q])
 
 
+def test_tdigest_accuracy_vs_oracle_checked_exact(spark):
+    """The t-digest sketch bounded against the ORACLE-CHECKED exact
+    truth (percentiles_exact_lineitem replays Spark's percentile in
+    DuckDB bit-for-bit), on real skewed lineitem data: relative error
+    < 1% at every tracked quantile. This ties the un-SQL-able sketch
+    to an oracle-gated reference."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["quantile"]: r["value"]
+        for r in entrymod.q_percentiles_exact_lineitem(spark, sf).collect()
+    }
+    df = spark.read.parquet(f"{sf}/lineitem.parquet")
+    approx = stats.tdigest_quantiles(
+        df, "l_extendedprice", tuple(exact), compression=200.0
+    )
+    for q, truth in exact.items():
+        rel = abs(approx[q] - truth) / abs(truth)
+        assert rel < 0.01, (q, approx[q], truth, rel)
+
+
 def test_ks_drift_flags_shift(spark):
     cur = synth.images_df(spark, 300)
     prev_drifted = synth.images_prev_df(spark, 300, drifted=True)
@@ -865,6 +887,70 @@ def test_drift_state_out_of_range_bucket_rejected():
             "bins": 4}]
     with pytest.raises(ValueError, match="corrupt"):
         drift._results_from_states([("w", {"test": "ks"})], [], neg)
+
+
+def test_anomaly_evaluate_semantics():
+    """Driver-side $anomaly math: absolute bounds, relative change vs
+    the last-k mean, first-run pass, zero-baseline handling."""
+    from invalid_spark.checks import anomaly
+
+    specs = [("w", {"metric": "violation_rate", "max_rel_change": 0.5,
+                    "last_k": 2})]
+    hist = [
+        {"col_name": "w", "metric": "violation_rate", "value": 0.10, "seq": 1},
+        {"col_name": "w", "metric": "violation_rate", "value": 0.10, "seq": 2},
+        {"col_name": "w", "metric": "violation_rate", "value": 0.02, "seq": 3},
+    ]
+    # last_k=2 → baseline = mean(0.10, 0.02) = 0.06; 0.12 doubles it
+    r = anomaly.evaluate(specs, {("w", "violation_rate"): 0.12}, hist)[0]
+    assert not r.passed and abs(r.baseline - 0.06) < 1e-12
+    assert abs(r.rel_change - 1.0) < 1e-12 and r.n_history == 2
+    # within tolerance passes
+    ok = anomaly.evaluate(specs, {("w", "violation_rate"): 0.08}, hist)[0]
+    assert ok.passed
+    # no history: relative check passes, absolute bounds still apply
+    first = anomaly.evaluate(specs, {("w", "violation_rate"): 0.9}, [])[0]
+    assert first.passed and first.baseline is None
+    bounded = [("w", {"metric": "violation_rate", "max": 0.5})]
+    r2 = anomaly.evaluate(bounded, {("w", "violation_rate"): 0.9}, [])[0]
+    assert not r2.passed
+    # zero baseline, nonzero current → infinite rel change → flagged
+    zhist = [{"col_name": "w", "metric": "violation_rate", "value": 0.0,
+              "seq": 1}]
+    rz = anomaly.evaluate(specs, {("w", "violation_rate"): 0.1}, zhist)[0]
+    assert not rz.passed and rz.rel_change == float("inf")
+    # unknown metric rejected
+    with pytest.raises(ValueError, match="anomaly metric"):
+        anomaly.current_metric_values(
+            None, None, [("w", {"metric": "median"})]
+        )
+
+
+def test_anomaly_rel_change_window_matches_evaluate(spark):
+    """The windowed DataFrame fold (rel_change_over_history) computes
+    the same baselines/changes as the driver-side evaluate path."""
+    from invalid_spark.checks import anomaly
+
+    rows = [("w", "violation_rate", v, i + 1, "r", f"s{i+1}")
+            for i, v in enumerate([0.10, 0.10, 0.02, 0.12])]
+    hist = spark.createDataFrame(rows, anomaly.HISTORY_SCHEMA)
+    got = {r["seq"]: r for r in
+           anomaly.rel_change_over_history(hist, last_k=2).collect()}
+    assert got[1]["baseline"] is None
+    assert abs(got[2]["baseline"] - 0.10) < 1e-12
+    assert abs(got[3]["baseline"] - 0.10) < 1e-12
+    assert abs(got[4]["baseline"] - 0.06) < 1e-12
+    assert abs(got[4]["rel_change"] - 1.0) < 1e-12
+    # parity with evaluate at the last point
+    specs = [("w", {"metric": "violation_rate", "max_rel_change": 0.5,
+                    "last_k": 2})]
+    ev = anomaly.evaluate(
+        specs, {("w", "violation_rate"): 0.12},
+        [{"col_name": "w", "metric": "violation_rate", "value": v,
+          "seq": i + 1} for i, v in enumerate([0.10, 0.10, 0.02])],
+    )[0]
+    assert abs(ev.baseline - got[4]["baseline"]) < 1e-12
+    assert abs(ev.rel_change - got[4]["rel_change"]) < 1e-12
 
 
 def test_suggest_rules_round_trip(spark):

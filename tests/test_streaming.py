@@ -263,6 +263,75 @@ def test_windowed_chi2_drift_batch_and_stream(spark, tmp_path):
         assert abs(r["statistic"] - b["statistic"]) < 1e-9
 
 
+def test_streaming_dedup_batch_and_stream(spark, tmp_path):
+    """Dedup-on-arrival: bounded-state streaming dedup keeps exactly
+    one copy per key (within the watermark), matching batch
+    dropDuplicates; the windowed duplication metrics are identical
+    between batch and streaming execution."""
+    rows = []
+    # window A: k1 ×3, k2 ×1 → 2 kept, 2 dup rows
+    rows += [("k1", "2024-01-01 00:00:%02d" % i) for i in (0, 10, 20)]
+    rows += [("k2", "2024-01-01 00:00:30")]
+    # window B: k1 again (dup across windows, within watermark),
+    # k3 ×2 → kept k3 once
+    rows += [("k1", "2024-01-01 00:05:00")]
+    rows += [("k3", "2024-01-01 00:05:%02d" % i) for i in (10, 20)]
+    # window C far ahead: closes A and B past the 5-minute watermark
+    rows += [("k4", "2024-01-01 01:00:00")]
+    src = spark.createDataFrame(rows, "fp string, ts_s string").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    ).drop("ts_s")
+
+    # batch semantics: plain dropDuplicates
+    batch_kept = streaming.dedup_on_arrival(src, "fp")
+    assert batch_kept.count() == 4
+    batch_m = {str(r["window_start"]): r for r in
+               streaming.windowed_dedup_metrics(
+                   src, "fp", window="5 minutes", watermark="5 minutes"
+               ).collect()}
+    a = batch_m["2024-01-01 00:00:00"]
+    assert (a["n_rows"], a["n_keys"], a["n_dup_rows"]) == (4, 2, 2)
+    b = batch_m["2024-01-01 00:05:00"]
+    assert (b["n_rows"], b["n_keys"], b["n_dup_rows"]) == (3, 2, 1)
+
+    # streaming execution
+    d = str(tmp_path / "dd_ev")
+    src.coalesce(1).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(src.schema).parquet(d)
+    kept = streaming.dedup_on_arrival(sdf, "fp", watermark="30 minutes")
+    sink = str(tmp_path / "dd_sink")
+    h = kept.writeStream.format("parquet").outputMode("append").option(
+        "checkpointLocation", str(tmp_path / "dd_ck")
+    ).option("path", sink).trigger(availableNow=True).start()
+    h.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    # one row per key; k1's window-B copy (within the watermark of its
+    # first arrival) was dropped
+    assert got.count() == 4
+    assert {r["fp"] for r in got.collect()} == {"k1", "k2", "k3", "k4"}
+    # first arrival is the kept copy
+    k1 = got.filter("fp = 'k1'").collect()[0]
+    assert str(k1["ts"]) == "2024-01-01 00:00:00"
+
+    # windowed metrics: streaming rows equal batch rows per closed window
+    mq = streaming.windowed_dedup_metrics(
+        sdf, "fp", window="5 minutes", watermark="5 minutes"
+    )
+    msink = str(tmp_path / "dm_sink")
+    h2 = mq.writeStream.format("parquet").outputMode("append").option(
+        "checkpointLocation", str(tmp_path / "dm_ck")
+    ).option("path", msink).trigger(availableNow=True).start()
+    h2.awaitTermination(120)
+    mgot = spark.read.parquet(msink).collect()
+    closed = {str(r["window_start"]) for r in mgot}
+    assert {"2024-01-01 00:00:00", "2024-01-01 00:05:00"} <= closed, closed
+    for r in mgot:
+        bb = batch_m[str(r["window_start"])]
+        assert (r["n_rows"], r["n_keys"], r["n_dup_rows"]) == (
+            bb["n_rows"], bb["n_keys"], bb["n_dup_rows"]
+        )
+
+
 def test_windowed_ks_drift_batch_and_stream(spark, tmp_path):
     """One-sample windowed KS: a window matching the uniform
     reference passes, a concentrated window flags; the same query
