@@ -365,28 +365,14 @@ def multi_state(
                 )
             )
         else:
-            lo, hi, bins = grids[col]
-            width = (
-                ((hi - lo) / bins or 1.0) if lo is not None and hi is not None
-                else 1.0
-            )
-            v = F.col(col).cast("double")
-            bucket = F.when(
-                v.isNotNull(),
-                F.least(
-                    F.lit(bins - 1),
-                    F.greatest(
-                        F.lit(0),
-                        F.floor((v - F.lit(lo if lo is not None else 0.0))
-                                / F.lit(width)),
-                    ),
-                ),
-            )
             structs.append(
                 F.struct(
                     F.lit(col).alias("column_name"),
                     F.lit("ks").alias("test"),
-                    bucket.cast("long").alias("bucket"),
+                    # the SAME bucketing expression multi_state_wide
+                    # projects — bit-parity between variants by
+                    # construction
+                    _bucket_expr(col, grids[col]).alias("bucket"),
                     F.lit(None).cast("string").alias("cat"),
                 )
             )
@@ -398,8 +384,19 @@ def multi_state(
         .filter(~((F.col("test") == "ks") & F.col("bucket").isNull()))
     )
     hist = tagged.groupBy("column_name", "test", "bucket", "cat").agg(
-        F.count(F.lit(1)).alias("cnt")
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
+    return _decorate_state(hist, specs, grids)
+
+
+def _decorate_state(
+    hist: DataFrame,
+    specs: list[tuple[str, dict]],
+    grids: dict[str, tuple[float | None, float | None, int]],
+) -> DataFrame:
+    """Attach each column's grid metadata (lo/hi/bins) and total n to
+    the aggregated (column, bucket/cat) counts — the tail both
+    :func:`multi_state` variants share."""
     lo_expr: Column | None = None
     hi_expr: Column | None = None
     bins_expr: Column | None = None
@@ -430,6 +427,117 @@ def multi_state(
         (bins_expr if bins_expr is not None else F.lit(None)).cast("int").alias("bins"),
         F.sum("cnt").over(per_col).cast("long").alias("n"),
     )
+
+
+def _bucket_expr(col: str, grid: tuple) -> Column:
+    """The shared KS bucketing expression (clamped floor on the
+    grid) — JVM-side so every state variant bit-matches."""
+    lo, hi, bins = grid
+    width = (
+        ((hi - lo) / bins or 1.0) if lo is not None and hi is not None
+        else 1.0
+    )
+    v = F.col(col).cast("double")
+    return F.when(
+        v.isNotNull(),
+        F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((v - F.lit(lo if lo is not None else 0.0))
+                        / F.lit(width)),
+            ),
+        ),
+    ).cast("long")
+
+
+def multi_state_wide(
+    df: DataFrame,
+    specs: list[tuple[str, dict]],
+    grids: dict[str, tuple[float | None, float | None, int]],
+) -> DataFrame:
+    """:func:`multi_state` without the D× row amplification — the
+    wide-rule-set variant. The explode path emits one tagged struct
+    per ``$drift`` column per ROW before the hash aggregate's partial
+    combine, so its map-stage CPU grows linearly with D; here ONE
+    JVM-side projection computes every column's bucket (or category
+    string — both bit-identical to the explode path by construction,
+    the buckets/casts are the same Catalyst expressions), and an
+    Arrow-batched ``mapInPandas`` stage counts all D columns per
+    batch with numpy ``value_counts`` — zero extra rows, O(D·bins)
+    partials per partition. The shuffle then carries the same
+    (column, bucket) partial counts as the explode path.
+
+    Bit-parity with :func:`multi_state` is CI-tested; the runner
+    switches to this variant at ``WIDE_STATE_THRESHOLD`` drift rules
+    (crossover measured on the events table — see PLANS.md)."""
+    import pandas as pd
+
+    metas = []  # (field_name, column_name, test)
+    proj = []
+    for i, (col, spec) in enumerate(specs):
+        if spec.get("test", "ks") == "chi2":
+            proj.append(F.col(col).cast("string").alias(f"c_{i}"))
+            metas.append((f"c_{i}", col, "chi2"))
+        else:
+            proj.append(_bucket_expr(col, grids[col]).alias(f"c_{i}"))
+            metas.append((f"c_{i}", col, "ks"))
+
+    def count_batches(batches):
+        for pdf in batches:
+            out = {"column_name": [], "test": [], "bucket": [], "cat": [],
+                   "cnt": []}
+            for field, col, test in metas:
+                s = pdf[field]
+                if test == "ks":
+                    # numeric NULLs excluded (numeric_state parity);
+                    # nullable longs arrive as float64 — exact ≤ 2^53
+                    vc = s.dropna().value_counts()
+                    for b, c in vc.items():
+                        out["column_name"].append(col)
+                        out["test"].append("ks")
+                        out["bucket"].append(int(b))
+                        out["cat"].append(None)
+                        out["cnt"].append(int(c))
+                else:
+                    # a NULL category is a real category and stays
+                    vc = s.value_counts(dropna=False)
+                    for k, c in vc.items():
+                        out["column_name"].append(col)
+                        out["test"].append("chi2")
+                        out["bucket"].append(None)
+                        out["cat"].append(None if pd.isna(k) else str(k))
+                        out["cnt"].append(int(c))
+            yield pd.DataFrame(out)
+
+    partial = df.select(*proj).mapInPandas(
+        count_batches,
+        "column_name string, test string, bucket long, cat string, cnt long",
+    )
+    hist = partial.groupBy("column_name", "test", "bucket", "cat").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    return _decorate_state(hist, specs, grids)
+
+
+# Measured crossover (PLANS.md §drift): on 1M events × 16 cores the
+# explode path wins through D=8 rules (0.61-1.01s vs 0.91-1.14s —
+# struct explode beats Arrow transfer while D is small) and the
+# no-amplification wide path wins from D=16 up (0.91s vs 1.07s at 16,
+# 1.26s vs 1.84s at 32, the gap widening linearly with D).
+WIDE_STATE_THRESHOLD = 12
+
+
+def state_frame(
+    df: DataFrame,
+    specs: list[tuple[str, dict]],
+    grids: dict[str, tuple[float | None, float | None, int]],
+) -> DataFrame:
+    """Dispatch between the bit-identical :func:`multi_state`
+    variants by rule-set width (see :data:`WIDE_STATE_THRESHOLD`)."""
+    if len(specs) >= WIDE_STATE_THRESHOLD:
+        return multi_state_wide(df, specs, grids)
+    return multi_state(df, specs, grids)
 
 
 def _results_from_states(
@@ -502,8 +610,8 @@ def multi_drift(
         else multi_grid(cur, specs, bins_default),
         multi_grid(prev, specs, bins_default),
     )
-    cur_rows = multi_state(cur, specs, grids).collect()
-    prev_rows = multi_state(prev, specs, grids).collect()
+    cur_rows = state_frame(cur, specs, grids).collect()
+    prev_rows = state_frame(prev, specs, grids).collect()
     return _results_from_states(specs, cur_rows, prev_rows)
 
 
@@ -530,7 +638,7 @@ def multi_drift_vs_state(
     ]
     if not covered:
         return {}
-    cur_rows = multi_state(df, covered, grids).collect()
+    cur_rows = state_frame(df, covered, grids).collect()
     return _results_from_states(covered, cur_rows, stored_rows)
 
 

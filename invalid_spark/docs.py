@@ -82,9 +82,29 @@ FIELD_SCHEMA = (
     "parent_rpath string, key string, vtype string, value string, "
     "elems array<int>, child_idx int, "
     "line int, col_start int, col_end int, "
+    "eline int, ecol_start int, ecol_end int, "
     "kline int, kcol_start int, kcol_end int, "
-    "pline int, pcol_start int, pcol_end int"
+    "pline int, pcol_start int, pcol_end int, "
+    "peline int, pecol_start int, pecol_end int"
 )
+
+# column order of FIELD_SCHEMA, shared by the mapInPandas ingests
+_FIELD_COLS = [
+    "doc_id", "path", "rpath", "parent_path", "parent_rpath",
+    "key", "vtype", "value", "elems", "child_idx",
+    "line", "col_start", "col_end",
+    "eline", "ecol_start", "ecol_end",
+    "kline", "kcol_start", "kcol_end",
+    "pline", "pcol_start", "pcol_end",
+    "peline", "pecol_start", "pecol_end",
+]
+
+
+def _error_row(doc_id: str, e: Exception) -> tuple:
+    """Sentinel node row for an unparseable document."""
+    return (doc_id, "", "", "", "", "", "$error", str(e)[:500], [],
+            None) + (None,) * 15
+
 
 _RULE_SCHEMA = (
     "rpath string, parent_rpath string, key string, rule_type string, "
@@ -120,11 +140,55 @@ def _node_range(node) -> tuple[int, int, int]:
 
 
 _NO_RANGE = (None, None, None)
+_NO_FULL_RANGE = (_NO_RANGE, _NO_RANGE)
+
+
+def _expend(r1, r2):
+    """Reference ``Range.expend`` (range.go:70-105): merge two
+    (start, end) line-triples — earliest start wins (same line merges
+    min col_start / max col_end), latest end wins symmetrically."""
+    (s1, e1), (s2, e2) = r1, r2
+    if s1[0] < s2[0]:
+        start = s1
+    elif s1[0] == s2[0]:
+        start = (s1[0], min(s1[1], s2[1]), max(s1[2], s2[2]))
+    else:
+        start = s2
+    if e1[0] < e2[0]:
+        end = e2
+    elif e1[0] == e2[0]:
+        end = (e1[0], min(e1[1], e2[1]), max(e1[2], e2[2]))
+    else:
+        end = e1
+    return (start, end)
+
+
+def _full_range(node, memo: dict):
+    """The node's EXPANDED source range — the reference's
+    ``getValueRange``: a scalar is (own, own); a container starts
+    from its own mark and ``expend``s over every child's full range
+    (yaml.go:392-395 for sequences, yaml.go:449-451 for mappings).
+    Memoized per flatten so the walk stays linear."""
+    r = memo.get(id(node))
+    if r is not None:
+        return r
+    own = _node_range(node)
+    rng = (own, own)
+    if isinstance(node, yaml.MappingNode):
+        children = [v for _, v in node.value]
+    elif isinstance(node, yaml.SequenceNode):
+        children = list(node.value)
+    else:
+        children = []
+    for ch in children:
+        rng = _expend(rng, _full_range(ch, memo))
+    memo[id(node)] = rng
+    return rng
 
 
 def _flatten_node(
-    node, path, rpath, key, elems, rows,
-    key_node=None, child_idx=None, parent_rng=_NO_RANGE,
+    node, path, rpath, key, elems, rows, memo,
+    key_node=None, child_idx=None, parent_rng=_NO_FULL_RANGE,
 ) -> None:
     parent_path, _, _ = path.rpartition(".") if "." in path else ("", "", path)
     parent_rpath = rpath.rpartition(".")[0] if "." in rpath else ""
@@ -132,24 +196,25 @@ def _flatten_node(
     value = node.value if not isinstance(
         node, (yaml.MappingNode, yaml.SequenceNode)
     ) else ""
-    vrng = _node_range(node)
+    vrng = _full_range(node, memo)
     krng = _node_range(key_node) if key_node is not None else _NO_RANGE
     rows.append(
         (path, rpath, parent_path, parent_rpath, key, vt, value, elems,
-         child_idx, *vrng, *krng, *parent_rng)
+         child_idx, *vrng[0], *vrng[1], *krng,
+         *parent_rng[0], *parent_rng[1])
     )
     if isinstance(node, yaml.MappingNode):
         for i, (k, v) in enumerate(node.value):
             kn = k.value if isinstance(k, yaml.ScalarNode) else str(k.value)
             cp = f"{path}.{kn}" if path else kn
             crp = f"{rpath}.{kn}" if rpath else kn
-            _flatten_node(v, cp, crp, kn, elems, rows,
+            _flatten_node(v, cp, crp, kn, elems, rows, memo,
                           key_node=k, child_idx=i, parent_rng=vrng)
     elif isinstance(node, yaml.SequenceNode):
         for i, v in enumerate(node.value):
             cp = f"{path}.{i}" if path else str(i)
             crp = f"{rpath}.*" if rpath else "*"
-            _flatten_node(v, cp, crp, str(i), elems + [i], rows,
+            _flatten_node(v, cp, crp, str(i), elems + [i], rows, memo,
                           child_idx=i, parent_rng=vrng)
 
 
@@ -165,7 +230,7 @@ def flatten_document(text_or_node, doc_id: str) -> list[tuple]:
         raise ValueError(f"empty yaml document: {doc_id}")
     rows: list[tuple] = []
     # the document root: path "" — root-level rules join against it
-    _flatten_node(node, "", "", "", [], rows)
+    _flatten_node(node, "", "", "", [], rows, {})
     return [(doc_id, *r) for r in rows]
 
 
@@ -208,13 +273,7 @@ def yaml_docs_from_table(
     exist), and :func:`parse_errors` lists them directly."""
     import pandas as pd
 
-    cols = [
-        "doc_id", "path", "rpath", "parent_path", "parent_rpath",
-        "key", "vtype", "value", "elems", "child_idx",
-        "line", "col_start", "col_end",
-        "kline", "kcol_start", "kcol_end",
-        "pline", "pcol_start", "pcol_end",
-    ]
+    cols = _FIELD_COLS
 
     def parse(batches):
         for pdf in batches:
@@ -224,11 +283,7 @@ def yaml_docs_from_table(
                 try:
                     out.extend(flatten_document(txt, did))
                 except Exception as e:  # malformed YAML → sentinel
-                    out.append(
-                        (did, "", "", "", "", "", "$error", str(e)[:500], [],
-                         None, None, None, None, None, None, None,
-                         None, None, None)
-                    )
+                    out.append(_error_row(did, e))
             yield pd.DataFrame(out, columns=cols)
 
     return df.select(
@@ -264,8 +319,7 @@ def _flatten_json(v, path, rpath, key, elems, rows, child_idx=None) -> None:
     parent_rpath = rpath.rpartition(".")[0] if "." in rpath else ""
     rows.append(
         (path, rpath, parent_path, parent_rpath, key, _json_vt(v),
-         _json_value(v), elems, child_idx,
-         None, None, None, None, None, None, None, None, None)
+         _json_value(v), elems, child_idx) + (None,) * 15
     )
     if isinstance(v, dict):
         for i, (k, c) in enumerate(v.items()):
@@ -310,13 +364,7 @@ def json_docs_from_table(
     ``$error`` sentinel as :func:`yaml_docs_from_table`)."""
     import pandas as pd
 
-    cols = [
-        "doc_id", "path", "rpath", "parent_path", "parent_rpath",
-        "key", "vtype", "value", "elems", "child_idx",
-        "line", "col_start", "col_end",
-        "kline", "kcol_start", "kcol_end",
-        "pline", "pcol_start", "pcol_end",
-    ]
+    cols = _FIELD_COLS
 
     def parse(batches):
         for pdf in batches:
@@ -326,11 +374,7 @@ def json_docs_from_table(
                 try:
                     out.extend(flatten_json_document(txt, did))
                 except Exception as e:  # malformed JSON → sentinel
-                    out.append(
-                        (did, "", "", "", "", "", "$error", str(e)[:500], [],
-                         None, None, None, None, None, None, None,
-                         None, None, None)
-                    )
+                    out.append(_error_row(did, e))
             yield pd.DataFrame(out, columns=cols)
 
     return df.select(
@@ -417,16 +461,16 @@ def _fill(template: Column, elems: Column) -> Column:
 
 def validate_yaml_docs(fields: DataFrame, rules: RuleSet) -> DataFrame:
     """Violations over the flattened node table: (doc_id, path, key,
-    error_type, message, ord, line, col_start, col_end). Empty result
-    = pass (reference rule.go:131-141). Sort by ``ord`` for the
-    reference's depth-first emission order. ``line``/``col_start``/
-    ``col_end`` are the reference's 1-based source ``Range.Start``
-    (result.go:18-22, range.go:8-30) — how a config author finds the
-    offending line. For container-anchored violations the reference's
-    ``Range`` also carries an End expanded over the children
-    (``expend``, range.go:70-105); only the Start triple is emitted
-    here (Start == End for every scalar anchor) — documented
-    divergence."""
+    error_type, message, ord, line, col_start, col_end, eline,
+    ecol_start, ecol_end). Empty result = pass (reference
+    rule.go:131-141). Sort by ``ord`` for the reference's depth-first
+    emission order. The six range columns are the reference's 1-based
+    source ``Range`` (result.go:18-22, range.go:8-30) — Start triple
+    then End triple; for container anchors both are EXPANDED over the
+    children (``expend``, range.go:70-105, applied at
+    yaml.go:392-395/449-451), for scalar anchors Start == End. How a
+    config author finds (and an editor highlights) the offending
+    span."""
     spark = fields.sparkSession
     rdf = spark.createDataFrame(_flatten_rules(rules), _RULE_SCHEMA)
     r = F.broadcast(rdf)
@@ -522,6 +566,7 @@ def validate_yaml_docs(fields: DataFrame, rules: RuleSet) -> DataFrame:
         j.select(
             "doc_id", "path", "key", "pos_path", "elems",
             "line", "col_start", "col_end",
+            "eline", "ecol_start", "ecol_end",
             F.explode(checks).alias("c"),
         )
         .select(
@@ -531,6 +576,7 @@ def validate_yaml_docs(fields: DataFrame, rules: RuleSet) -> DataFrame:
             F.concat(_fill(F.col("pos_path"), F.col("elems")),
                      F.lit("."), F.col("c.sub")).alias("ord"),
             "line", "col_start", "col_end",
+            "eline", "ecol_start", "ecol_end",
         )
     )
 
@@ -578,6 +624,9 @@ def validate_yaml_docs(fields: DataFrame, rules: RuleSet) -> DataFrame:
             F.col("pline").alias("line"),
             F.col("pcol_start").alias("col_start"),
             F.col("pcol_end").alias("col_end"),
+            F.col("peline").alias("eline"),
+            F.col("pecol_start").alias("ecol_start"),
+            F.col("pecol_end").alias("ecol_end"),
         )
     )
 
@@ -600,9 +649,13 @@ def validate_yaml_docs(fields: DataFrame, rules: RuleSet) -> DataFrame:
             ).alias("message"),
             F.concat(_fill(F.col("obj_pos"), F.col("elems")),
                      F.lit(".s9")).alias("ord"),
+            # key nodes are scalars: End == Start
             F.col("kline").alias("line"),
             F.col("kcol_start").alias("col_start"),
             F.col("kcol_end").alias("col_end"),
+            F.col("kline").alias("eline"),
+            F.col("kcol_start").alias("ecol_start"),
+            F.col("kcol_end").alias("ecol_end"),
         )
     )
 
@@ -634,6 +687,7 @@ def validate_yaml_docs(fields: DataFrame, rules: RuleSet) -> DataFrame:
         F.col("parent_path").alias("par_path"),
         F.col("child_idx").alias("rule_idx"),
         "line", "col_start", "col_end",
+        "eline", "ecol_start", "ecol_end",
     )
     km_v = (
         cand.join(present, ["doc_id", "child_path"], "left_anti")
@@ -648,6 +702,7 @@ def validate_yaml_docs(fields: DataFrame, rules: RuleSet) -> DataFrame:
             F.concat(_fill(F.col("rpos"), F.col("elems")),
                      F.lit(".s0")).alias("ord"),
             "line", "col_start", "col_end",
+            "eline", "ecol_start", "ecol_end",
         )
     )
 

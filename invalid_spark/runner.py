@@ -563,7 +563,7 @@ def validate(
                 cur_grids if cur_grids is not None
                 else drift_checks.multi_grid(df, plan.drift_specs)
             )
-            states = drift_checks.multi_state(
+            states = drift_checks.state_frame(
                 df, plan.drift_specs, grids
             ).withColumn("snapshot_id", F.lit(snapshot))
             tmp_dir = state_dir + ".tmp"

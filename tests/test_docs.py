@@ -351,6 +351,74 @@ def test_source_ranges_type_mismatch_golden(spark):
     ]
 
 
+def test_range_expend_reference_goldens():
+    """_expend replays the reference's Range.expend and NewRange
+    (range_test.go:29-193) value-for-value. NewRange(l1, l2) is
+    _expend of the two point-ranges — same-line merge included."""
+    point = lambda l: (l, l)  # noqa: E731
+    l1 = (2, 3, 14)  # NewLineByYAMLNode(testNode): "who are you" @2:3
+    # testRange1 / testRangeExpend
+    r1 = docs._expend(point(l1), point((5, 10, 15)))
+    assert r1 == ((2, 3, 14), (5, 10, 15))
+    r2 = docs._expend(point((1, 1, 10)), point((10, 50, 100)))
+    assert docs._expend(r1, r2) == ((1, 1, 10), (10, 50, 100))
+    # testRangeCross
+    r1 = docs._expend(point(l1), point((50, 100, 150)))
+    r2 = docs._expend(point((5, 1, 100)), point((100, 50, 100)))
+    assert docs._expend(r1, r2) == ((2, 3, 14), (100, 50, 100))
+    # testSingleLineRange1: same-line NewRange merges min/max cols
+    r1 = docs._expend(point(l1), point((2, 5, 150)))
+    assert r1 == ((2, 3, 150), (2, 3, 150))
+    r2 = docs._expend(point((5, 1, 100)), point((100, 50, 100)))
+    assert docs._expend(r1, r2) == ((2, 3, 150), (100, 50, 100))
+    # testSingleLineRange2
+    r2 = docs._expend(point((2, 1, 100)), point((2, 50, 100)))
+    assert docs._expend(r1, r2) == ((2, 1, 150), (2, 1, 150))
+
+
+def test_source_range_end_container_expansion(spark):
+    """Range.End on violation rows (reference expend applied at
+    yaml.go:392-395/449-451): scalar anchors have End == Start; the
+    list.0..2 violations anchor to the ARRAY node, whose range
+    expands over its children — start stays at the '[' (8,9,9), end
+    reaches the last element "ccc" (11,5,10: col 5, len 3 + 2 quotes).
+    The node table's container rows carry the same expanded ranges
+    (the map node spans stringVal's line 3 through the list's last
+    element)."""
+    v = docs.validate_yaml_files(
+        spark,
+        os.path.join(FIX, "yaml-cases", "type_mismatch.yaml"),
+        os.path.join(FIX, "exam", "type_mismatch.yaml"),
+    )
+    got = [
+        (r["key"], r["line"], r["col_start"], r["col_end"],
+         r["eline"], r["ecol_start"], r["ecol_end"])
+        for r in v.orderBy("ord").collect()
+    ]
+    scalars = got[:5]
+    for k, sl, sc, se, el, ec, ee in scalars:
+        assert (sl, sc, se) == (el, ec, ee), k  # scalar: End == Start
+    assert got[5:] == [
+        ("list.0", 8, 9, 9, 11, 5, 10),
+        ("list.1", 8, 9, 9, 11, 5, 10),
+        ("list.2", 8, 9, 9, 11, 5, 10),
+    ]
+    # the node table: expanded container ranges
+    nodes = docs.yaml_docs_df(
+        spark, [os.path.join(FIX, "yaml-cases", "type_mismatch.yaml")]
+    )
+    m = {r["path"]: r for r in nodes.collect()}
+    lst = m["map.list"]
+    assert (lst["line"], lst["col_start"], lst["col_end"]) == (8, 9, 9)
+    assert (lst["eline"], lst["ecol_start"], lst["ecol_end"]) == (11, 5, 10)
+    mp = m["map"]
+    # start: the mapping's own mark (3,3) merged with stringVal's
+    # value on the same line (14..18) → (3, 3, 18); end: the list's
+    # expanded end
+    assert (mp["line"], mp["col_start"], mp["col_end"]) == (3, 3, 18)
+    assert (mp["eline"], mp["ecol_start"], mp["ecol_end"]) == (11, 5, 10)
+
+
 def test_source_ranges_key_missing_and_quoted(spark, tmp_path):
     """keyMissing anchors to the parent's rule_idx-th existing child
     (reference field.Fields()[i], rule.go:161) — for the key_missing

@@ -889,6 +889,59 @@ def test_drift_state_out_of_range_bucket_rejected():
         drift._results_from_states([("w", {"test": "ks"})], [], neg)
 
 
+def test_multi_state_wide_bit_parity(spark):
+    """multi_state_wide (no-explode, Arrow-batched counting) emits
+    bit-identical state rows to the explode path at D=16 drift rules,
+    including NULL numeric exclusion, NULL categories kept, numeric
+    chi2 categories, and clipped grids; its plan has NO row-expanding
+    Generate node while the explode path's does."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    # 16 derived drift columns: 8 numeric (one clipped, one with
+    # NULLs), 8 categorical (one numeric-valued, one with NULLs)
+    df = ev.select(
+        "value", "event_type", "user_id",
+        *[(F.col("value") * (i + 2)).alias(f"num_{i}") for i in range(6)],
+        F.when(F.col("user_id") % 7 != 0, F.col("value")).alias("num_null"),
+        F.when(F.col("user_id") % 5 != 0, F.col("event_type"))
+        .alias("cat_null"),
+        (F.col("user_id") % 3).alias("cat_num"),
+        *[
+            F.concat(F.lit(f"g{i}_"), (F.col("user_id") % (i + 2))
+                     .cast("string")).alias(f"cat_{i}")
+            for i in range(5)
+        ],
+    )
+    specs = (
+        [("value", {"test": "ks", "clip": [0.05, 0.95]})]
+        + [(f"num_{i}", {"test": "ks", "bins": 64}) for i in range(6)]
+        + [("num_null", {"test": "ks"})]
+        + [("event_type", {"test": "chi2"}), ("cat_null", {"test": "chi2"}),
+           ("cat_num", {"test": "chi2"})]
+        + [(f"cat_{i}", {"test": "chi2"}) for i in range(5)]
+    )
+    assert len(specs) == 16
+    grids = drift.multi_grid(df, specs)
+    a = drift.multi_state(df, specs, grids)
+    b = drift.multi_state_wide(df, specs, grids)
+    key = lambda r: (r[0], r[1], -1 if r[2] is None else r[2],  # noqa: E731
+                     "" if r[3] is None else r[3])
+    ra = sorted(map(tuple, a.collect()), key=key)
+    rb = sorted(map(tuple, b.collect()), key=key)
+    assert ra == rb and len(ra) > 0
+    # plan shapes: explode amplifies rows (Generate), wide does not
+    pa = a._jdf.queryExecution().executedPlan().toString()
+    pb = b._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in pa
+    assert "Generate" not in pb
+    assert "MapInPandas" in pb
+    # the dispatcher picks the wide variant at D >= threshold
+    assert len(specs) >= drift.WIDE_STATE_THRESHOLD
+    pd_plan = drift.state_frame(df, specs, grids)
+    assert "Generate" not in pd_plan._jdf.queryExecution().executedPlan().toString()
+
+
 def test_anomaly_evaluate_semantics():
     """Driver-side $anomaly math: absolute bounds, relative change vs
     the last-k mean, first-run pass, zero-baseline handling."""
