@@ -67,13 +67,19 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
     from pyspark.sql import functions as F
 
     timings: dict[str, float] = {}
+    headline: list[str] = []
     validated = 0
 
-    def timed(name, fn):
+    def timed(name, fn, in_headline=True):
         # best-of-3: this host shows intermittent 2-4x slowdowns
         # (co-tenant CPU steal); min over three trials reports the
         # engine's cost, not the neighbor's (n=2 still let one noisy
         # capture burn a round of signal — VERDICT r2 item 7)
+        #
+        # in_headline=False queries are timed for regression coverage
+        # only: the headline rows/s stays computed over the SAME
+        # 10-query set as rounds 1-3, so it remains comparable
+        # (adding fast queries to the accumulator would inflate it).
         nonlocal validated
         best, n = None, 0
         for _ in range(3):
@@ -82,7 +88,9 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
             el = time.perf_counter() - t0
             best = el if best is None else min(best, el)
         timings[name] = round(best, 3)
-        validated += n
+        if in_headline:
+            headline.append(name)
+            validated += n
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     li_rules = load_rules(LINEITEM_RULES)
@@ -154,7 +162,22 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
         return N_IMAGES
 
     timed("image_validate", image_job)
-    return validated, timings
+
+    # ---- regression coverage (not in the headline accumulator) ------
+    for name, q in (
+        ("text_contamination", entry.q_text_contamination_documents),
+        ("text_pii", entry.q_text_pii_documents),
+        ("text_linefilter", entry.q_text_linefilter_documents),
+        ("hash_sample", entry.q_sample_documents),
+        ("curate", entry.q_curate_documents),
+        ("anomaly_history", entry.q_anomaly_history_events),
+        ("streaming_dedup_metrics", entry.q_streaming_dedup_metrics_events),
+        ("ann_ivf", entry.q_ann_ivf_embeddings),
+    ):
+        timed(name, lambda q=q: (q(spark, sf_dir).count(), 0)[1],
+              in_headline=False)
+
+    return validated, timings, headline
 
 
 def run_once(cores: int, sf_dir: str):
@@ -174,9 +197,9 @@ def run_once(cores: int, sf_dir: str):
     _docs_tiny.count()
     _dedup.minhash_lsh_dedup(_docs_tiny, 0.8).count()
     _docs_tiny.unpersist()
-    validated, timings = _validated_rows(spark, sf_dir)
-    total = sum(timings.values())
-    return validated, total, timings, spark
+    validated, timings, headline = _validated_rows(spark, sf_dir)
+    total = sum(timings[k] for k in headline)
+    return validated, total, timings, headline, spark
 
 
 # ---------------------------------------------------------------------------
@@ -290,13 +313,17 @@ def main() -> None:
         return
 
     load_before = os.getloadavg()
-    validated, total, timings, _ = run_once(CPUS, SF_DIR)
+    validated, total, timings, headline, _ = run_once(CPUS, SF_DIR)
     load_after = os.getloadavg()
     print(json.dumps({
         "metric": "validated_rows_per_sec",
         "value": round(validated / total, 1),
         "unit": "rows/sec",
         "queries": timings,
+        # the headline value is computed over exactly these queries
+        # (the rounds-1-3 set); everything else in "queries" is timed
+        # for regression coverage only
+        "headline_queries": headline,
         "sf": sf_val,
         # every per-query time is min-of-3 trials (the timed() loop);
         # the load markers make a co-tenant-noisy capture

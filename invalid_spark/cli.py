@@ -83,6 +83,28 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--ndv-enum-max", type=int, default=16)
     ps.add_argument("--local-cores", type=int, default=None)
 
+    pc = sub.add_parser(
+        "curate",
+        help="run the curation pipeline (quality → lang → exact dedup "
+        "→ LSH near-dup keeper) and write decisions/ + curated/ + "
+        "rejected/ sinks, with optional deterministic sampling and "
+        "train/val/test split labels",
+    )
+    pc.add_argument("--table", required=True, help="input parquet path")
+    pc.add_argument("--out", required=True, help="output dir")
+    pc.add_argument("--row-key", default="doc_id")
+    pc.add_argument("--text-col", default="text")
+    pc.add_argument("--langs", default="en,de,fr,es,zh",
+                    help="comma-separated allowed languages")
+    pc.add_argument("--threshold", type=float, default=0.8,
+                    help="near-dup Jaccard threshold")
+    pc.add_argument("--sample-rate", type=float, default=None,
+                    help="deterministic hash-sample of the kept rows")
+    pc.add_argument("--split", default=None, metavar="TR,VA,TE",
+                    help="append a train/val/test split column, e.g. "
+                    "0.9,0.05,0.05")
+    pc.add_argument("--local-cores", type=int, default=None)
+
     args = ap.parse_args(argv)
     spark = _get_session(args)
 
@@ -100,6 +122,73 @@ def main(argv: list[str] | None = None) -> int:
                 df, row_key=args.row_key, ndv_enum_max=args.ndv_enum_max
             )
         )
+        return 0
+
+    if args.cmd == "curate":
+        import os
+
+        from pyspark.sql import functions as F
+
+        from invalid_spark.pipeline import curate as curate_mod
+
+        dec = curate_mod.curation_decisions(
+            df,
+            langs=tuple(x for x in args.langs.split(",") if x),
+            threshold=args.threshold,
+            text_col=args.text_col,
+            key_col=args.row_key,
+        )
+        dec.write.mode("overwrite").parquet(
+            os.path.join(args.out, "decisions")
+        )
+        dec = spark.read.parquet(os.path.join(args.out, "decisions"))
+        keep_keys = dec.filter("keep").select(
+            F.col("id").alias(args.row_key)
+        )
+        kept = df.join(keep_keys, args.row_key, "left_semi")
+        rejected = df.join(keep_keys, args.row_key, "left_anti")
+        n_input, n_keep = df.count(), kept.count()
+        n_sampled = None
+        if args.sample_rate is not None:
+            kept = curate_mod.hash_sample(
+                kept, args.sample_rate, key_col=args.row_key
+            )
+            n_sampled = kept.count()
+        if args.split:
+            w = [float(x) for x in args.split.split(",")]
+            if len(w) != 3:
+                raise SystemExit("--split needs exactly 3 weights")
+            kept = curate_mod.deterministic_split(
+                kept, key_col=args.row_key,
+                weights={"train": w[0], "val": w[1], "test": w[2]},
+            )
+        kept.write.mode("overwrite").parquet(
+            os.path.join(args.out, "curated")
+        )
+        rejected.write.mode("overwrite").parquet(
+            os.path.join(args.out, "rejected")
+        )
+        summary = {
+            "n_input": n_input,
+            "n_kept": n_keep,
+            "n_rejected": n_input - n_keep,
+            "reasons": {
+                r["reason"]: r["cnt"]
+                for r in dec.groupBy("reason")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            },
+        }
+        if n_sampled is not None:
+            summary["n_sampled"] = n_sampled
+        if args.split:
+            summary["splits"] = {
+                r["split"]: r["cnt"]
+                for r in spark.read.parquet(os.path.join(args.out, "curated"))
+                .groupBy("split").agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+        print(json.dumps(summary, sort_keys=True))
         return 0
 
     rules = load_rules_file(args.rules)

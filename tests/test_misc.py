@@ -50,6 +50,43 @@ def test_cli_profile_in_process(spark, tmp_path, capsys):
     assert ("n_chars", "min") in stats and ("n_chars", "max") in stats
 
 
+def test_cli_curate_in_process(spark, tmp_path, capsys):
+    """cli curate: decisions/curated/rejected sinks agree with the
+    library's curation_decisions; sampling and split labels apply to
+    the kept rows only."""
+    from invalid_spark import cli
+    from invalid_spark.pipeline import curate as curate_mod
+
+    out = tmp_path / "cur"
+    rc = cli.main([
+        "curate",
+        "--table", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(out),
+        "--row-key", "doc_id",
+        "--split", "0.8,0.1,0.1",
+        "--local-cores", "4",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_input"] == summary["n_kept"] + summary["n_rejected"]
+    assert summary["reasons"].get("keep", 0) == summary["n_kept"] > 0
+    assert set(summary["splits"]) <= {"train", "val", "test"}
+    assert sum(summary["splits"].values()) == summary["n_kept"]
+    curated = spark.read.parquet(str(out / "curated"))
+    rejected = spark.read.parquet(str(out / "rejected"))
+    assert curated.count() == summary["n_kept"]
+    assert rejected.count() == summary["n_rejected"]
+    # decisions parquet matches the library call
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lib = curate_mod.curation_decisions(docs)
+    lib_rows = {(r["id"], r["keep"], r["reason"]) for r in lib.collect()}
+    cli_rows = {
+        (r["id"], r["keep"], r["reason"])
+        for r in spark.read.parquet(str(out / "decisions")).collect()
+    }
+    assert lib_rows == cli_rows
+
+
 def test_manifest_atomic_and_idempotent(tmp_path):
     m = Manifest(str(tmp_path / "mf"))
     assert not m.is_done("u1")
