@@ -79,6 +79,37 @@ def q_rowcheck_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _viol(rows.run_row_checks(df, load_rules(DOCS_RULES), "doc_id"))
 
 
+_EXPR_SQL = "l_extendedprice > l_quantity * 1000"
+
+
+def q_rowcheck_expr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$expr cross-column row predicate (deequ `satisfies` analog):
+    rows violating a SQL expression over MULTIPLE columns, evaluated
+    inside the same codegen projection as every other row check. The
+    oracle replays the predicate directly (FALSE or NULL fails)."""
+    df = _t(spark, sf_dir, "lineitem")
+    rules = load_rules(
+        "l_quantity: {$type: $float, $range: {$min: 1, $max: 50}, "
+        f"$expr: {{sql: '{_EXPR_SQL}'}}}}\n"
+    )
+    return _viol(rows.run_row_checks(df, rules, "l_orderkey")).filter(
+        "error_type = 'exprMismatch'"
+    )
+
+
+def _sql_rowcheck_expr_lineitem() -> str:
+    return f"""
+SELECT CAST(l_orderkey AS VARCHAR) AS row_key,
+       'l_quantity' AS col_name,
+       'l_quantity' AS rule_id,
+       'exprMismatch' AS error_type,
+       'row at [l_quantity] must satisfy [{_EXPR_SQL}]' AS message,
+       CAST(l_quantity AS VARCHAR) AS observed
+FROM lineitem
+WHERE NOT coalesce({_EXPR_SQL}, FALSE)
+"""
+
+
 def q_verdicts_documents_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "documents")
     v = rows.run_row_checks(df, load_rules(DOCS_RULES), "doc_id")
@@ -138,6 +169,57 @@ def q_drift_chi2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name", F.round("statistic", 6).alias("statistic"),
         "dof", "n_cur", "n_prior",
     )
+
+
+def q_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift (drift.psi_drift — the
+    ML-monitoring standard alongside KS/chi²): event_type mix of odd
+    vs even event ids. The index folds driver-side in canonical
+    category order with eps-floored proportions, so DuckDB replays it
+    bit-for-bit; threshold bounds the index itself (no p-value)."""
+    ev = _t(spark, sf_dir, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    prev = ev.filter(F.col("event_id") % 2 == 0)
+    r = drift.psi_drift(cur, prev, "event_type")
+    return spark.createDataFrame(
+        [(r.column, round(float(r.statistic), 6), bool(r.drifted),
+          int(r.n_current), int(r.n_prior))],
+        "column_name string, statistic double, drifted boolean, "
+        "n_cur bigint, n_prior bigint",
+    )
+
+
+def _sql_drift_psi_events() -> str:
+    return """
+WITH b AS (
+  SELECT event_type AS cat,
+         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS is_cur
+  FROM events
+), tab AS (
+  SELECT cat, sum(is_cur) AS o1, sum(1 - is_cur) AS o2 FROM b GROUP BY cat
+), t AS (
+  SELECT cat, o1, o2, CAST(sum(o1) OVER () AS BIGINT) AS n,
+         CAST(sum(o2) OVER () AS BIGINT) AS m FROM tab
+), terms AS (
+  -- eps-floored proportions, term = (p - q) * ln(p / q); summed by a
+  -- strict left fold in category order (mirrors _psi_from_counts)
+  SELECT cat, n, m,
+         (greatest(CAST(o1 AS DOUBLE) / CAST(n AS DOUBLE), 1e-4)
+          - greatest(CAST(o2 AS DOUBLE) / CAST(m AS DOUBLE), 1e-4))
+         * ln(greatest(CAST(o1 AS DOUBLE) / CAST(n AS DOUBLE), 1e-4)
+              / greatest(CAST(o2 AS DOUBLE) / CAST(m AS DOUBLE), 1e-4))
+           AS term
+  FROM t
+)
+SELECT 'event_type' AS column_name,
+       round(list_reduce(list_prepend(0.0, list(term ORDER BY cat NULLS FIRST)),
+                         (a, b) -> a + b), 6) AS statistic,
+       list_reduce(list_prepend(0.0, list(term ORDER BY cat NULLS FIRST)),
+                   (a, b) -> a + b) > 0.25 AS drifted,
+       CAST(any_value(n) AS BIGINT) AS n_cur,
+       CAST(any_value(m) AS BIGINT) AS n_prior
+FROM terms
+"""
 
 
 def q_streaming_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,12 +716,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rowcheck_orders": q_rowcheck_orders,
         "rowcheck_documents": q_rowcheck_documents,
+        "rowcheck_expr_lineitem": q_rowcheck_expr_lineitem,
         "verdicts_documents_source": q_verdicts_documents_source,
         "stats_profile_lineitem": q_stats_profile_lineitem,
         "unique_part_name": q_unique_part_name,
         "ref_lineitem_suppkey": q_ref_lineitem_suppkey,
         "drift_ks_events": q_drift_ks_events,
         "drift_chi2_events": q_drift_chi2_events,
+        "drift_psi_events": q_drift_psi_events,
         "streaming_validate_events": q_streaming_validate_events,
         "streaming_chi2_windows": q_streaming_chi2_windows,
         "streaming_ks_windows": q_streaming_ks_windows,
@@ -2367,6 +2451,8 @@ def oracle_sql() -> dict[str, str]:
         "ref_lineitem_suppkey": _sql_ref_lineitem_suppkey(),
         "drift_ks_events": _sql_drift_ks_events(),
         "drift_chi2_events": _sql_drift_chi2_events(),
+        "drift_psi_events": _sql_drift_psi_events(),
+        "rowcheck_expr_lineitem": _sql_rowcheck_expr_lineitem(),
         "streaming_validate_events": _sql_streaming_validate_events(),
         "streaming_chi2_windows": _sql_streaming_chi2_windows(),
         "anomaly_history_events": _sql_anomaly_history_events(),

@@ -24,7 +24,7 @@ from invalid_spark import mathutil
 @dataclass
 class DriftResult:
     column: str
-    test: str  # ks | chi2
+    test: str  # ks | chi2 | psi
     statistic: float
     p_value: float
     drifted: bool
@@ -258,6 +258,29 @@ def _ks_stat_from_hists(cur: list[int], prev: list[int]) -> tuple[float, int, in
     return d, n, m
 
 
+def _psi_from_counts(
+    cur: dict, prev: dict, eps: float = 1e-4
+) -> tuple[float, int, int]:
+    """Population Stability Index from two category-count dicts:
+    ``Σ (p_i − q_i)·ln(p_i/q_i)`` with proportions floored at ``eps``
+    (the standard guard for categories absent on one side — without
+    it a single new category makes the index infinite). Terms
+    accumulate by a strict left fold in canonical category order
+    (NULL first, then ascending), so the float sum is reproducible by
+    any SQL engine. PSI conventions: < 0.1 stable, 0.1–0.25 moderate
+    shift, > 0.25 drifted."""
+    import math
+
+    cats = sorted(set(prev) | set(cur), key=lambda c: (c is not None, c or ""))
+    n, m = sum(cur.values()), sum(prev.values())
+    psi = 0.0
+    for cat in cats:
+        p = max(cur.get(cat, 0) / n, eps) if n else eps
+        q = max(prev.get(cat, 0) / m, eps) if m else eps
+        psi += (p - q) * math.log(p / q)
+    return psi, n, m
+
+
 def _chi2_stat_from_counts(
     cur: dict, prev: dict
 ) -> tuple[float, int, int, int]:
@@ -291,7 +314,10 @@ def multi_grid(
     :func:`ks_statistic_df`); clipped and unclipped columns share the
     same single scan because ``percentile_approx`` and ``min``/``max``
     are both plain aggregate expressions."""
-    num = [(c, s) for c, s in specs if s.get("test", "ks") != "chi2"]
+    num = [
+        (c, s) for c, s in specs
+        if s.get("test", "ks") not in ("chi2", "psi")
+    ]
     if not num:
         return {}
     aggs = []
@@ -355,11 +381,13 @@ def multi_state(
     (comparison against the previous run's grid)."""
     structs = []
     for col, spec in specs:
-        if spec.get("test", "ks") == "chi2":
+        test = spec.get("test", "ks")
+        if test in ("chi2", "psi"):
+            # both categorical tests share the value-count state shape
             structs.append(
                 F.struct(
                     F.lit(col).alias("column_name"),
-                    F.lit("chi2").alias("test"),
+                    F.lit(test).alias("test"),
                     F.lit(None).cast("long").alias("bucket"),
                     F.col(col).cast("string").alias("cat"),
                 )
@@ -401,7 +429,7 @@ def _decorate_state(
     hi_expr: Column | None = None
     bins_expr: Column | None = None
     for col, spec in specs:
-        if spec.get("test", "ks") == "chi2":
+        if spec.get("test", "ks") in ("chi2", "psi"):
             continue
         lo, hi, bins = grids[col]
         cond = F.col("column_name") == col
@@ -476,9 +504,10 @@ def multi_state_wide(
     metas = []  # (field_name, column_name, test)
     proj = []
     for i, (col, spec) in enumerate(specs):
-        if spec.get("test", "ks") == "chi2":
+        test = spec.get("test", "ks")
+        if test in ("chi2", "psi"):
             proj.append(F.col(col).cast("string").alias(f"c_{i}"))
-            metas.append((f"c_{i}", col, "chi2"))
+            metas.append((f"c_{i}", col, test))
         else:
             proj.append(_bucket_expr(col, grids[col]).alias(f"c_{i}"))
             metas.append((f"c_{i}", col, "ks"))
@@ -504,7 +533,7 @@ def multi_state_wide(
                     vc = s.value_counts(dropna=False)
                     for k, c in vc.items():
                         out["column_name"].append(col)
-                        out["test"].append("chi2")
+                        out["test"].append(test)
                         out["bucket"].append(None)
                         out["cat"].append(None if pd.isna(k) else str(k))
                         out["cnt"].append(int(c))
@@ -562,6 +591,19 @@ def _results_from_states(
             stat, dof, n, m = _chi2_stat_from_counts(cur_d, prev_d)
             p = mathutil.chi2_pvalue(stat, dof) if n and m else 1.0
             out[col] = DriftResult(col, "chi2", stat, p, p < thr, thr, n, m)
+        elif test == "psi":
+            # PSI has no p-value: the threshold bounds the INDEX
+            # itself (> 0.25 = drifted by convention, the spec's
+            # threshold overrides); p_value is NaN by contract
+            thr = float(spec.get("threshold", 0.25))
+            cur_d = {r["cat"]: r["cnt"] for r in cur_c}
+            prev_d = {r["cat"]: r["cnt"] for r in prev_c}
+            stat, n, m = _psi_from_counts(
+                cur_d, prev_d, eps=float(spec.get("eps", 1e-4))
+            )
+            out[col] = DriftResult(
+                col, "psi", stat, float("nan"), stat > thr, thr, n, m
+            )
         else:
             bins = prev_c[0]["bins"] or 256
             prev_h = [0] * bins
@@ -634,7 +676,7 @@ def multi_drift_vs_state(
             grids[r["column_name"]] = (r["lo"], r["hi"], r["bins"] or 256)
     covered = [
         (c, s) for c, s in specs
-        if (s.get("test", "ks") == "chi2") or c in grids
+        if (s.get("test", "ks") in ("chi2", "psi")) or c in grids
     ]
     if not covered:
         return {}
@@ -743,3 +785,39 @@ def chi2_drift(
     n, m = int(row.n_cur or 0), int(row.n_prior or 0)
     p = mathutil.chi2_pvalue(stat, dof) if n and m else 1.0
     return DriftResult(col, "chi2", stat, p, p < threshold, threshold, n, m)
+
+
+def psi_drift(
+    cur: DataFrame,
+    prev: DataFrame,
+    col: str,
+    threshold: float = 0.25,
+    eps: float = 1e-4,
+) -> DriftResult:
+    """Population Stability Index on categorical value counts — the
+    ML-monitoring standard alongside KS/chi²; unlike them its
+    ``threshold`` bounds the INDEX itself (> 0.25 = population shift
+    by convention), so there is no p-value (NaN by contract).
+
+    Same distributed shape as :func:`chi2_drift`: one value-count
+    aggregation per side (partial combine, the shuffle carries
+    O(|categories|) counts), the index folded driver-side in
+    canonical category order (:func:`_psi_from_counts` — strict left
+    fold, SQL-replayable). Rule form: ``$drift {test: psi,
+    threshold: 0.25, eps: 1e-4}`` — it persists/compares the same
+    value-count state as chi2, so continuous (stored-state) runs work
+    unchanged."""
+    cur_d = {
+        r["cat"]: r["cnt"]
+        for r in cur.groupBy(F.col(col).cast("string").alias("cat"))
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    prev_d = {
+        r["cat"]: r["cnt"]
+        for r in prev.groupBy(F.col(col).cast("string").alias("cat"))
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    stat, n, m = _psi_from_counts(cur_d, prev_d, eps=eps)
+    return DriftResult(
+        col, "psi", stat, float("nan"), stat > threshold, threshold, n, m
+    )

@@ -136,6 +136,7 @@ class RowCheckPlan:
     drift_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     assert_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     anomaly_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
+    expr_specs: list[tuple[str, str]] = dc_field(default_factory=list)
     pixel_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     caption_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     vector_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
@@ -551,6 +552,36 @@ class _Compiler:
                         f"{dt.simpleString()}"
                     )
                 self.plan.anomaly_specs.append((path, child.anomaly))
+            if child.expr_ is not None and dt is not None:
+                # $expr: cross-column row predicate (deequ `satisfies`
+                # analog). FALSE *or NULL* fails the row (a predicate
+                # that can't evaluate is not satisfied). The Catalyst
+                # expression rides this same codegen projection —
+                # zero extra scans; compile_row_checks validates it
+                # resolves to BOOLEAN against the table schema before
+                # any job runs.
+                sql = child.expr_.get("sql")
+                if not sql or not isinstance(sql, str):
+                    raise ValueError(
+                        f"$expr on [{path}] needs sql: <boolean "
+                        "expression> (e.g. sql: 'w <= h * 10')"
+                    )
+                self.plan.expr_specs.append((path, sql))
+                observed = (
+                    F.col(path).cast("string")
+                    if not isinstance(
+                        dt, (T.StructType, T.MapType, T.ArrayType,
+                             T.BinaryType)
+                    )
+                    else F.lit(None)
+                )
+                self._emit(
+                    self.alive & ~F.coalesce(F.expr(sql), F.lit(False)),
+                    _mk_struct(
+                        path, path, ErrorType.EXPR_MISMATCH,
+                        model.expr_msg(key, sql), observed,
+                    ),
+                )
 
             if dt is None:
                 # column absent from the table schema
@@ -644,6 +675,22 @@ def compile_row_checks(
     (rule.go:152-157) — so strict mode is off by default."""
     c = _Compiler(df.schema)
     c.walk(rules.root)
+    # $expr predicates must resolve to BOOLEAN against this table —
+    # schema-only analysis (no job), reference NewRule-style compile
+    # errors instead of an executor-side analysis exception
+    for pth, sql in c.plan.expr_specs:
+        try:
+            pdt = df.select(F.expr(sql).alias("p")).schema[0].dataType
+        except Exception as e:
+            raise ValueError(
+                f"$expr on [{pth}] does not compile against the table "
+                f"schema: {e}"
+            ) from e
+        if not isinstance(pdt, T.BooleanType):
+            raise ValueError(
+                f"$expr on [{pth}] must be a BOOLEAN expression, got "
+                f"{pdt.simpleString()}"
+            )
     if strict:
         ruled = {r.key for r in rules.root.children}
         for f in df.schema.fields:

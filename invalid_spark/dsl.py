@@ -32,7 +32,9 @@ Engine extensions (all optional, ignored by reference-parity tests):
 - ``$ref: {table: t, key: k}``     — referential check vs a dimension
 - ``$range: {$min: x, $max: y}``   — numeric bounds
 - ``$stats: [null_rate, min, max, ndv, quantiles]`` — profile metrics
-- ``$drift: {test: ks|chi2, threshold: p, clip: [qlo, qhi]}`` —
+- ``$drift: {test: ks|chi2|psi, threshold: p, clip: [qlo, qhi]}`` —
+  (``psi`` = Population Stability Index: threshold bounds the index
+  itself, default 0.25; ``eps`` floors the proportions) —
   distribution drift; optional ``clip`` bounds the histogram grid by
   quantiles instead of min/max (outlier-proof, applied to both the
   comparison and the persisted state)
@@ -40,6 +42,11 @@ Engine extensions (all optional, ignored by reference-parity tests):
 - ``$pii: {kinds: [email, ipv4, ssn, phone], max: 0}`` — PII scrub
   gate (violation when total matches exceed ``max``; kinds default to
   every pattern in ``pipeline.text.PII_PATTERNS``)
+- ``$expr: {sql: "<boolean SQL>"}`` — cross-column row predicate
+  (deequ ``satisfies`` analog): the row fails when the expression is
+  FALSE or NULL; compiles into the same codegen projection as every
+  other row check (zero extra scans), validated against the table
+  schema at compile time
 - ``$anomaly: {metric: violation_rate|null_rate|mean|row_count,
   min: lo, max: hi, max_rel_change: r, last_k: k}`` — the current
   run's metric vs the ``metrics_history`` sink (absolute bounds +
@@ -79,7 +86,7 @@ _DIRECTIVES = {
     # engine extensions
     "$unique", "$ref", "$range", "$stats", "$drift", "$pixel",
     "$caption-eq", "$dynamic", "$vector", "$pii", "$assert",
-    "$anomaly",
+    "$anomaly", "$expr",
 }
 
 
@@ -115,6 +122,10 @@ class Rule:
     # $anomaly: {metric, min, max, max_rel_change, last_k} — current
     # run's metric vs the metrics_history sink (checks/anomaly.py)
     anomaly: Optional[dict] = None
+    # $expr: {sql: "<boolean SQL over any columns>"} — cross-column
+    # row predicate (deequ `satisfies` analog), compiled to a Catalyst
+    # expression inside the row-check projection
+    expr_: Optional[dict] = None
     dynamic: bool = False
 
     def get(self, key: str) -> Optional["Rule"]:
@@ -307,6 +318,7 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
         ("$pii", "pii"),
         ("$assert", "assert_"),
         ("$anomaly", "anomaly"),
+        ("$expr", "expr_"),
         ("$pixel", "pixel"),
         ("$caption-eq", "caption_eq"),
         ("$vector", "vector"),

@@ -39,6 +39,7 @@ class ErrorType:
     DECODE_ERROR = "decodeError"
     CAPTION_MISMATCH = "captionMismatch"
     PII_FOUND = "piiFound"  # $pii: regex PII gate (observed = match count)
+    EXPR_MISMATCH = "exprMismatch"  # $expr: cross-column row predicate
 
 
 # message constructors — exact reference strings
@@ -82,6 +83,11 @@ def extra_key_msg(key: str) -> str:
 def of_msg(key: str, of: list) -> str:
     """rule.go:729-731 — Go %v renders a slice space-joined."""
     return f"value of {key} must be one of [[{' '.join(str(v) for v in of)}]]"
+
+
+def expr_msg(key: str, sql: str) -> str:
+    """Engine extension ($expr has no reference analog)."""
+    return f"row at [{key}] must satisfy [{sql}]"
 
 
 VIOLATION_SCHEMA = T.StructType(

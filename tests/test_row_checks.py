@@ -478,3 +478,45 @@ def test_pii_rule_gate(spark):
             spark, df, "text: {$type: $str, $optional: true, $pii: {}}\n"
         ).explain()
     assert "Exchange" not in buf.getvalue()
+
+
+def test_expr_rule_cross_column(spark):
+    """$expr: cross-column row predicate (deequ `satisfies` analog)
+    evaluated inside the row-check projection: FALSE or NULL fails;
+    bad SQL and non-boolean expressions fail at compile; the plan
+    stays one shuffle-free codegen projection."""
+    df = spark.createDataFrame(
+        [
+            (1, 10, 5),       # 10 <= 5*10 → pass
+            (2, 100, 5),      # 100 > 50  → fail
+            (3, None, 5),     # NULL predicate → fail (not satisfied)
+            (4, 10, None),    # NULL predicate → fail
+        ],
+        "rid long, w int, h int",
+    )
+    v = _violations(
+        spark, df,
+        "w: {$type: $int, $optional: true, "
+        "$expr: {sql: 'w <= h * 10'}}\n",
+    )
+    got = {int(r["row_key"]): r for r in v.filter(
+        "error_type = 'exprMismatch'").collect()}
+    assert set(got) == {2, 3, 4}
+    assert got[2]["observed"] == "100"
+    assert "must satisfy [w <= h * 10]" in got[2]["message"]
+    # plan: no shuffle, no Python — the predicate rides the projection
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    # compile-time validation (no job): unresolvable / non-boolean SQL
+    with pytest.raises(ValueError, match="does not compile"):
+        compile_row_checks(
+            df, load_rules("w: {$type: $int, $expr: {sql: 'ghost > 1'}}\n")
+        )
+    with pytest.raises(ValueError, match="BOOLEAN"):
+        compile_row_checks(
+            df, load_rules("w: {$type: $int, $expr: {sql: 'w + 1'}}\n")
+        )
+    with pytest.raises(ValueError, match="needs sql"):
+        compile_row_checks(
+            df, load_rules("w: {$type: $int, $expr: {name: x}}\n")
+        )

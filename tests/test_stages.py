@@ -160,6 +160,48 @@ def test_caption_violations(spark, images):
     assert all(r.error_type == "captionMismatch" for r in rows)
 
 
+def test_psi_drift(spark, tmp_path):
+    """Population Stability Index: a shifted categorical mix flags
+    (> 0.25), the same mix doesn't; the multi-column path emits the
+    identical index (shared state shape with chi2); the runner's
+    stored-state continuous path compares PSI without rescanning the
+    prior snapshot."""
+    import math
+
+    cur = synth.images_df(spark, 300)
+    prev_drifted = synth.images_prev_df(spark, 300, drifted=True)
+    prev_same = synth.images_prev_df(spark, 300, drifted=False)
+    r1 = drift.psi_drift(cur, prev_drifted, "fmt")
+    assert r1.drifted and r1.statistic > 0.25
+    assert math.isnan(r1.p_value)  # PSI has no p-value by contract
+    r2 = drift.psi_drift(cur, prev_same, "fmt")
+    assert not r2.drifted and r2.statistic < 0.1
+    # multi-column path: bit-identical index
+    m = drift.multi_drift(cur, prev_drifted, [("fmt", {"test": "psi"})])
+    assert m["fmt"].statistic == r1.statistic and m["fmt"].drifted
+    # eps floor: a category absent on one side stays finite
+    a = spark.createDataFrame([("x",)] * 10 + [("y",)] * 10, "c string")
+    b = spark.createDataFrame([("x",)] * 20, "c string")
+    r3 = drift.psi_drift(a, b, "c")
+    assert math.isfinite(r3.statistic) and r3.drifted
+    # runner continuous path: stored value-count state serves PSI
+    import os
+
+    from invalid_spark import runner
+    from invalid_spark.dsl import load_rules
+
+    rules = load_rules("fmt: {$type: $str, $drift: {test: psi}}\n")
+    out = str(tmp_path / "psi")
+    runner.validate(spark, prev_drifted, rules, "image_id", out,
+                    snapshot="s1", manifest_dir=os.path.join(out, "m1"))
+    runner.validate(spark, cur, rules, "image_id", out,
+                    snapshot="s2", manifest_dir=os.path.join(out, "m2"))
+    d = {r["column"]: r for r in
+         spark.read.parquet(os.path.join(out, "drift")).collect()}
+    assert d["fmt"]["test"] == "psi" and d["fmt"]["drifted"]
+    assert abs(d["fmt"]["statistic"] - r1.statistic) < 1e-12
+
+
 def test_ivf_ann_recall(spark):
     from invalid_spark.pipeline import similarity
 
