@@ -189,6 +189,64 @@ def q_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_w1_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized Wasserstein-1 drift (drift.w1_statistic_df): the
+    location-sensitive complement to KS — same union-tagged scan +
+    bucketed histogram, but the CDF gaps are SUMMED (area between the
+    CDFs, exact integer cross-products) instead of maxed, then
+    normalized by the grid span to [0, 1]. Empty buckets are
+    densified in (they still carry CDF area); DuckDB replays the
+    whole fold bit-for-bit with HUGEINT sums."""
+    ev = _t(spark, sf_dir, "events")
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    prev = ev.filter(F.col("event_id") % 2 == 0)
+    out = drift.w1_statistic_df(cur, prev, "value", bins=256)
+    return out.select(
+        "column_name", F.round("statistic", 6).alias("statistic"), "n_cur", "n_prior"
+    )
+
+
+def _sql_drift_w1_events() -> str:
+    return """
+WITH b AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS is_cur
+  FROM events WHERE value IS NOT NULL
+), mm AS (
+  SELECT min(v) AS lo, max(v) AS hi,
+         CASE WHEN (max(v) - min(v)) / 256 = 0 THEN 1.0
+              ELSE (max(v) - min(v)) / 256 END AS width
+  FROM b
+), hist AS (
+  SELECT least(255, greatest(0, CAST(floor((v - lo) / width) AS BIGINT)))
+           AS bucket,
+         sum(is_cur) AS c_cur, sum(1 - is_cur) AS c_prev
+  FROM b, mm GROUP BY 1
+), dense AS (
+  -- every bucket 0..255 appears: empty buckets between populated
+  -- ones still carry the running CDF gap into the SUM (KS's max
+  -- doesn't care; W1's sum does — mirrors drift.w1_statistic_df)
+  SELECT g.range AS bucket,
+         coalesce(h.c_cur, 0) AS c_cur, coalesce(h.c_prev, 0) AS c_prev
+  FROM range(256) g LEFT JOIN hist h ON h.bucket = g.range
+), cdf AS (
+  SELECT abs(sum(c_cur) OVER (ORDER BY bucket) * sum(c_prev) OVER ()
+             - sum(c_prev) OVER (ORDER BY bucket) * sum(c_cur) OVER ())
+           AS num,
+         CAST(sum(c_cur) OVER () AS BIGINT) AS n_cur,
+         CAST(sum(c_prev) OVER () AS BIGINT) AS n_prior
+  FROM dense
+)
+SELECT 'value' AS column_name,
+       round(CAST(sum(num) AS DOUBLE)
+             / CAST(any_value(n_cur) * any_value(n_prior) * 256 AS DOUBLE),
+             6) AS statistic,
+       CAST(any_value(n_cur) AS BIGINT) AS n_cur,
+       CAST(any_value(n_prior) AS BIGINT) AS n_prior
+FROM cdf
+"""
+
+
 def _sql_drift_psi_events() -> str:
     return """
 WITH b AS (
@@ -724,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks_events": q_drift_ks_events,
         "drift_chi2_events": q_drift_chi2_events,
         "drift_psi_events": q_drift_psi_events,
+        "drift_w1_events": q_drift_w1_events,
         "streaming_validate_events": q_streaming_validate_events,
         "streaming_chi2_windows": q_streaming_chi2_windows,
         "streaming_ks_windows": q_streaming_ks_windows,
@@ -2452,6 +2511,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_ks_events": _sql_drift_ks_events(),
         "drift_chi2_events": _sql_drift_chi2_events(),
         "drift_psi_events": _sql_drift_psi_events(),
+        "drift_w1_events": _sql_drift_w1_events(),
         "rowcheck_expr_lineitem": _sql_rowcheck_expr_lineitem(),
         "streaming_validate_events": _sql_streaming_validate_events(),
         "streaming_chi2_windows": _sql_streaming_chi2_windows(),

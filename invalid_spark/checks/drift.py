@@ -24,7 +24,7 @@ from invalid_spark import mathutil
 @dataclass
 class DriftResult:
     column: str
-    test: str  # ks | chi2 | psi
+    test: str  # ks | chi2 | psi | wasserstein
     statistic: float
     p_value: float
     drifted: bool
@@ -279,6 +279,27 @@ def _psi_from_counts(
         q = max(prev.get(cat, 0) / m, eps) if m else eps
         psi += (p - q) * math.log(p / q)
     return psi, n, m
+
+
+def _w1_from_hists(cur: list[int], prev: list[int]) -> tuple[float, int, int]:
+    """Normalized Wasserstein-1 (earth-mover) distance from two
+    aligned bucket-count lists: with unit bucket width the exact W1
+    between the binned distributions is ``Σ_b |cdf_cur(b) −
+    cdf_prev(b)|``; dividing by ``bins`` normalizes to the grid span
+    so the statistic lands in [0, 1] and is comparable across
+    columns. The sum accumulates the INTEGER cross-products
+    ``|cum_cur·m − cum_prev·n|`` (Python ints — arbitrary precision,
+    no overflow) with one final division by ``n·m·bins``, so the
+    value is bit-reproducible in any SQL engine with exact integer
+    sums (DuckDB widens to HUGEINT)."""
+    n, m = sum(cur), sum(prev)
+    num, cc, cp = 0, 0, 0
+    for a, b in zip(cur, prev):
+        cc += a
+        cp += b
+        num += abs(cc * m - cp * n)
+    w1 = (num / (n * m * len(cur))) if n and m and cur else 0.0
+    return w1, n, m
 
 
 def _chi2_stat_from_counts(
@@ -581,8 +602,12 @@ def _results_from_states(
     for col, spec in specs:
         test = spec.get("test", "ks")
         thr = float(spec.get("threshold", 0.01))
-        prev_c = [r for r in prev_rows if r["column_name"] == col and r["test"] == test]
-        cur_c = [r for r in cur_rows if r["column_name"] == col and r["test"] == test]
+        # numeric state rows are tagged "ks" whichever numeric test
+        # reads them — wasserstein shares KS's histogram state the way
+        # psi shares chi2's value counts
+        state_test = "ks" if test == "wasserstein" else test
+        prev_c = [r for r in prev_rows if r["column_name"] == col and r["test"] == state_test]
+        cur_c = [r for r in cur_rows if r["column_name"] == col and r["test"] == state_test]
         if not prev_c:
             continue
         if test == "chi2":
@@ -603,6 +628,30 @@ def _results_from_states(
             )
             out[col] = DriftResult(
                 col, "psi", stat, float("nan"), stat > thr, thr, n, m
+            )
+        elif test == "wasserstein":
+            # threshold bounds the normalized index itself (PSI-style
+            # contract: no p-value)
+            thr = float(spec.get("threshold", 0.1))
+            bins = prev_c[0]["bins"] or 256
+            prev_h = [0] * bins
+            for r in prev_c:
+                b = int(r["bucket"])
+                if not 0 <= b < bins:
+                    raise ValueError(
+                        f"stored drift state for column [{col}] has "
+                        f"bucket {b} outside bins={bins}; the state "
+                        "directory is corrupt — delete it to rebuild"
+                    )
+                prev_h[b] = r["cnt"]
+            cur_h = [0] * bins
+            for r in cur_c:
+                b = int(r["bucket"])
+                if 0 <= b < bins:
+                    cur_h[b] = r["cnt"]
+            stat, n, m = _w1_from_hists(cur_h, prev_h)
+            out[col] = DriftResult(
+                col, "wasserstein", stat, float("nan"), stat > thr, thr, n, m
             )
         else:
             bins = prev_c[0]["bins"] or 256
@@ -785,6 +834,113 @@ def chi2_drift(
     n, m = int(row.n_cur or 0), int(row.n_prior or 0)
     p = mathutil.chi2_pvalue(stat, dof) if n and m else 1.0
     return DriftResult(col, "chi2", stat, p, p < threshold, threshold, n, m)
+
+
+def w1_statistic_df(
+    cur: DataFrame,
+    prev: DataFrame,
+    col: str,
+    bins: int = 256,
+    clip: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Fully-distributed normalized Wasserstein-1 statistic: one row
+    (column, statistic, n_cur, n_prior).
+
+    Same shape as :func:`ks_statistic_df` — union-tagged scan →
+    bucketed groupBy → cumulative window over ≤``bins`` rows — except
+    the per-bucket CDF gaps are SUMMED instead of maxed (W1 is the
+    area between the CDFs; KS is their sup-gap). Buckets with no rows
+    contribute the previous bucket's gap; with the clamped-floor
+    bucketing every populated bucket's cumulative count persists
+    through empty ones only if they appear as rows, so the histogram
+    is densified against a ``sequence`` frame first — the sum must
+    cover ALL ``bins`` buckets, not just the populated ones (an empty
+    bucket between two populated ones still carries CDF area). The
+    integer cross-products stay exact (int64 per bucket, sum widened
+    to decimal for the ≤bins-term total) and one final division by
+    ``n·m·bins`` yields the [0, 1]-normalized statistic — the same
+    value :func:`_w1_from_hists` folds driver-side."""
+    both = cur.select(F.col(col).cast("double").alias("v"), F.lit(1).alias("is_cur")).unionByName(
+        prev.select(F.col(col).cast("double").alias("v"), F.lit(0).alias("is_cur"))
+    ).filter(F.col("v").isNotNull())
+    if clip is not None:
+        qlo, qhi = clip
+        mm = both.agg(
+            F.percentile_approx("v", F.lit(qlo), F.lit(10000)).alias("lo"),
+            F.percentile_approx("v", F.lit(qhi), F.lit(10000)).alias("hi"),
+        ).collect()[0]
+    else:
+        mm = both.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    lo, hi = mm.lo, mm.hi
+    width = ((hi - lo) / bins or 1.0) if lo is not None else 1.0
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col("v") - F.lit(lo if lo is not None else 0.0)) / F.lit(width))),
+    ).alias("bucket")
+    hist = both.select(bucket, "is_cur").groupBy("bucket").agg(
+        F.sum("is_cur").alias("c_cur"),
+        F.sum(1 - F.col("is_cur")).alias("c_prev"),
+    )
+    # densify: every bucket 0..bins-1 must appear, because an EMPTY
+    # bucket between populated ones still carries the running CDF gap
+    # into the sum (KS's max doesn't care; W1's sum does)
+    grid = cur.sparkSession.range(bins).select(F.col("id").cast("long").alias("bucket"))
+    dense = grid.join(hist, "bucket", "left").select(
+        "bucket",
+        F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        F.coalesce("c_prev", F.lit(0)).alias("c_prev"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cdfs = dense.select(
+        "bucket",
+        F.sum("c_cur").over(w).alias("cum_cur"),
+        F.sum("c_prev").over(w).alias("cum_prev"),
+        F.sum("c_cur").over(tot).alias("n_cur"),
+        F.sum("c_prev").over(tot).alias("n_prior"),
+    )
+    num = F.abs(
+        F.col("cum_cur") * F.col("n_prior") - F.col("cum_prev") * F.col("n_cur")
+    ).cast("decimal(38,0)")
+    return cdfs.select(num.alias("num"), "n_cur", "n_prior").groupBy().agg(
+        F.first(F.lit(col)).alias("column_name"),
+        F.when(
+            (F.first("n_cur") > 0) & (F.first("n_prior") > 0),
+            F.sum("num").cast("double")
+            / (F.first("n_cur") * F.first("n_prior") * F.lit(bins)).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("statistic"),
+        F.first("n_cur").alias("n_cur"),
+        F.first("n_prior").alias("n_prior"),
+    )
+
+
+def wasserstein_drift(
+    cur: DataFrame,
+    prev: DataFrame,
+    col: str,
+    bins: int = 256,
+    threshold: float = 0.1,
+    clip: tuple[float, float] | None = None,
+) -> DriftResult:
+    """Normalized Wasserstein-1 (earth-mover) drift on a numeric
+    column — the location-sensitive complement to KS: a uniform small
+    shift of the whole distribution moves W1 proportionally to the
+    shift while KS saturates on the densest region, and W1 weights
+    HOW FAR mass moved, not just that it moved. Like PSI the
+    ``threshold`` bounds the statistic itself (normalized to [0, 1]
+    by the grid span; > 0.1 ≈ a tenth of the value range's worth of
+    transported mass), so there is no p-value (NaN by contract).
+
+    Rule form: ``$drift {test: wasserstein, threshold: 0.1}`` — it
+    persists/compares the SAME histogram state as KS (numeric state
+    rows are tagged ``ks``), so continuous stored-state runs work
+    unchanged and one stored histogram serves both tests."""
+    row = w1_statistic_df(cur, prev, col, bins=bins, clip=clip).collect()[0]
+    stat = float(row.statistic or 0.0)
+    n, m = int(row.n_cur or 0), int(row.n_prior or 0)
+    return DriftResult(
+        col, "wasserstein", stat, float("nan"), stat > threshold, threshold, n, m
+    )
 
 
 def psi_drift(

@@ -32,9 +32,11 @@ Engine extensions (all optional, ignored by reference-parity tests):
 - ``$ref: {table: t, key: k}``     — referential check vs a dimension
 - ``$range: {$min: x, $max: y}``   — numeric bounds
 - ``$stats: [null_rate, min, max, ndv, quantiles]`` — profile metrics
-- ``$drift: {test: ks|chi2|psi, threshold: p, clip: [qlo, qhi]}`` —
+- ``$drift: {test: ks|chi2|psi|wasserstein, threshold: p, clip: [qlo, qhi]}`` —
   (``psi`` = Population Stability Index: threshold bounds the index
-  itself, default 0.25; ``eps`` floors the proportions) —
+  itself, default 0.25; ``eps`` floors the proportions;
+  ``wasserstein`` = normalized earth-mover distance on the shared KS
+  histogram state: threshold bounds the [0,1] statistic, default 0.1) —
   distribution drift; optional ``clip`` bounds the histogram grid by
   quantiles instead of min/max (outlier-proof, applied to both the
   comparison and the persisted state)

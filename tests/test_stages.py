@@ -202,6 +202,54 @@ def test_psi_drift(spark, tmp_path):
     assert abs(d["fmt"]["statistic"] - r1.statistic) < 1e-12
 
 
+def test_wasserstein_drift(spark, tmp_path):
+    """Normalized W1 (earth-mover): a shifted numeric distribution
+    flags, the same distribution reads ~0; the multi-column
+    stored-state path emits the identical statistic (it shares the
+    KS histogram state); the runner continuous path compares W1 from
+    one stored histogram without rescanning the prior snapshot."""
+    import math
+    import os
+
+    cur = synth.images_df(spark, 300)
+    prev_drifted = synth.images_prev_df(spark, 300, drifted=True)
+    prev_same = synth.images_prev_df(spark, 300, drifted=False)
+    r1 = drift.wasserstein_drift(cur, prev_drifted, "h", threshold=0.05)
+    assert r1.drifted and r1.statistic > 0.05
+    assert math.isnan(r1.p_value)  # index-thresholded, no p-value
+    r2 = drift.wasserstein_drift(cur, prev_same, "h", threshold=0.05)
+    assert not r2.drifted and r2.statistic < 0.02
+    # multi-column stored-state path: bit-identical statistic
+    m = drift.multi_drift(cur, prev_drifted,
+                          [("h", {"test": "wasserstein", "threshold": 0.05})])
+    assert m["h"].statistic == r1.statistic and m["h"].drifted
+    # identical sides -> exactly 0
+    assert drift.wasserstein_drift(cur, cur, "h").statistic == 0.0
+    # exact hand value: all mass one bucket apart over a 2-bin grid
+    # -> W1 = 1 bucket-gap / 2 bins = 0.5
+    stat, n, m_ = drift._w1_from_hists([1, 0], [0, 1])
+    assert (stat, n, m_) == (0.5, 1, 1)
+    # runner continuous path: ONE stored histogram serves both ks and
+    # wasserstein rules on the same column
+    from invalid_spark import runner
+    from invalid_spark.dsl import load_rules
+
+    rules = load_rules(
+        "h: {$type: $int, $drift: {test: wasserstein, threshold: 0.05}}\n")
+    out = str(tmp_path / "w1")
+    runner.validate(spark, prev_drifted, rules, "image_id", out,
+                    snapshot="s1", manifest_dir=os.path.join(out, "m1"))
+    runner.validate(spark, cur, rules, "image_id", out,
+                    snapshot="s2", manifest_dir=os.path.join(out, "m2"))
+    d = {r["column"]: r for r in
+         spark.read.parquet(os.path.join(out, "drift")).collect()}
+    assert d["h"]["test"] == "wasserstein" and d["h"]["drifted"]
+    # the stored-grid statistic differs from the two-sample merge-grid
+    # one only through the grid (prev's min/max vs union min/max) —
+    # both flag and land in the same ballpark
+    assert abs(d["h"]["statistic"] - r1.statistic) < 0.05
+
+
 def test_ivf_ann_recall(spark):
     from invalid_spark.pipeline import similarity
 
