@@ -798,6 +798,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rowcheck_pii_documents": q_rowcheck_pii_documents,
         "text_linefilter_documents": q_text_linefilter_documents,
         "stat_assertions_lineitem": q_stat_assertions_lineitem,
+        "stats_entropy_events": q_stats_entropy_events,
+        "stats_corr_lineitem": q_stats_corr_lineitem,
+        "stats_mi_events": q_stats_mi_events,
+        "hot_keys_events": q_hot_keys_events,
         "suggest_rules_documents": q_suggest_rules_documents,
         "rowcheck_json_docs": q_rowcheck_json_docs,
         "dedup_exact_documents": q_dedup_exact_documents,
@@ -1083,6 +1087,168 @@ ASSERT_SPECS = [
     {"col": "l_returnflag", "stat": "ndv", "min": 3.0, "max": 3.0},
     {"col": "l_extendedprice", "stat": "min", "min": 0.0},
 ]
+
+
+def q_stats_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per categorical column (stats.column_entropy —
+    deequ's Entropy analyzer): ALL columns in one tagged-explode scan
+    + one hash aggregate; each column's −Σ p·ln p folds over its
+    category-sorted count list so the float sum is canonical and
+    DuckDB replays it bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    out = stats.column_entropy(ev, ["event_type", "user_id"])
+    return out.select(
+        "column_name", F.round("entropy", 6).alias("entropy"), "ndv", "n_rows"
+    )
+
+
+def _sql_stats_entropy_events() -> str:
+    return """
+WITH tagged AS (
+  SELECT 'event_type' AS column_name, CAST(event_type AS VARCHAR) AS cat
+  FROM events
+  UNION ALL
+  SELECT 'user_id' AS column_name, CAST(user_id AS VARCHAR) AS cat
+  FROM events
+), c AS (
+  SELECT column_name, cat, count(*) AS cnt FROM tagged GROUP BY 1, 2
+), t AS (
+  SELECT column_name, cat, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY column_name) AS BIGINT) AS n
+  FROM c
+), terms AS (
+  -- p·ln p per category; the list_reduce below folds in canonical
+  -- category order (mirrors stats.column_entropy's F.aggregate fold)
+  SELECT column_name, cat, n,
+         (CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+         * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+  FROM t
+)
+SELECT column_name,
+       round(-list_reduce(list_prepend(0.0, list(term ORDER BY cat NULLS FIRST)),
+                          (a, b) -> a + b), 6) AS entropy,
+       CAST(count(*) AS BIGINT) AS ndv,
+       CAST(any_value(n) AS BIGINT) AS n_rows
+FROM terms GROUP BY column_name
+"""
+
+
+def q_stats_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for column pairs (stats.pearson_corr —
+    deequ's Correlation analyzer): five moment sums per pair share
+    ONE aggregation pass; the closed-form ratio is computed from the
+    collected moment row with the same formula the oracle replays
+    from its own sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = stats.pearson_corr(
+        li, [("l_quantity", "l_extendedprice"), ("l_discount", "l_tax")]
+    )
+    return out.select(
+        "col_x", "col_y", F.round("corr", 6).alias("corr"), "n"
+    )
+
+
+def _sql_stats_corr_lineitem() -> str:
+    return """
+WITH m AS (
+  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST(l_quantity AS DOUBLE)) AS sx,
+         sum(CAST(l_extendedprice AS DOUBLE)) AS sy,
+         sum(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS sxy,
+         sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS sxx,
+         sum(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS syy
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  UNION ALL
+  SELECT 'l_discount', 'l_tax',
+         CAST(count(*) AS DOUBLE),
+         sum(CAST(l_discount AS DOUBLE)),
+         sum(CAST(l_tax AS DOUBLE)),
+         sum(CAST(l_discount AS DOUBLE) * CAST(l_tax AS DOUBLE)),
+         sum(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE)),
+         sum(CAST(l_tax AS DOUBLE) * CAST(l_tax AS DOUBLE))
+  FROM lineitem
+  WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+)
+SELECT col_x, col_y,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr,
+       CAST(n AS BIGINT) AS n
+FROM m
+"""
+
+
+def q_stats_mi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns
+    (stats.mutual_information — deequ's MutualInformation analyzer):
+    joint counts in one scan, marginals from window sums over the
+    cell frame, MI folded in canonical (a, b) order — the log's
+    argument is a ratio of exact int64 products, so DuckDB replays
+    the value bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    out = stats.mutual_information(ev, "event_type", "user_id")
+    return out.select(
+        "col_a", "col_b", F.round("mi", 6).alias("mi"), "n_rows"
+    )
+
+
+def _sql_stats_mi_events() -> str:
+    return """
+WITH cells AS (
+  SELECT CAST(event_type AS VARCHAR) AS a, CAST(user_id AS VARCHAR) AS b,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT a, b, cnt,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n,
+         CAST(sum(cnt) OVER (PARTITION BY a) AS BIGINT) AS ca,
+         CAST(sum(cnt) OVER (PARTITION BY b) AS BIGINT) AS cb
+  FROM cells
+), terms AS (
+  SELECT a, b, n,
+         (CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+         * ln(CAST(cnt * n AS DOUBLE) / CAST(ca * cb AS DOUBLE)) AS term
+  FROM t
+)
+SELECT 'event_type' AS col_a, 'user_id' AS col_b,
+       round(list_reduce(
+               list_prepend(0.0, list(term ORDER BY a NULLS FIRST, b NULLS FIRST)),
+               (a, b) -> a + b), 6) AS mi,
+       CAST(any_value(n) AS BIGINT) AS n_rows
+FROM terms
+"""
+
+
+def q_hot_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter / skew profile (stats.hot_keys): top-k key values
+    by frequency with corpus share — the diagnostic that names WHICH
+    keys need salting before a join or aggregate skews. The top-k is
+    TakeOrderedAndProject (distributed partial top-k), never a
+    single-partition rank over the full count frame; ordering is
+    deterministic (count DESC, value ASC)."""
+    ev = _t(spark, sf_dir, "events")
+    out = stats.hot_keys(ev, "user_id", k=10)
+    return out.select(
+        "value", "cnt", F.round("share", 6).alias("share"), "rank"
+    )
+
+
+def _sql_hot_keys_events() -> str:
+    return """
+WITH c AS (
+  SELECT CAST(user_id AS VARCHAR) AS "value", count(*) AS cnt
+  FROM events GROUP BY 1
+)
+SELECT "value", cnt,
+       round(CAST(cnt AS DOUBLE)
+             / CAST((SELECT sum(cnt) FROM c) AS DOUBLE), 6) AS share,
+       CAST(row_number() OVER (ORDER BY cnt DESC, "value" ASC NULLS FIRST)
+            AS INT) AS rank
+FROM c
+ORDER BY cnt DESC, "value" ASC NULLS FIRST
+LIMIT 10
+"""
 
 
 def q_stat_assertions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2529,6 +2695,10 @@ def oracle_sql() -> dict[str, str]:
         "rowcheck_pii_documents": _sql_rowcheck_pii_documents(),
         "text_linefilter_documents": _sql_text_linefilter(),
         "stat_assertions_lineitem": _sql_stat_assertions(),
+        "stats_entropy_events": _sql_stats_entropy_events(),
+        "stats_corr_lineitem": _sql_stats_corr_lineitem(),
+        "stats_mi_events": _sql_stats_mi_events(),
+        "hot_keys_events": _sql_hot_keys_events(),
         "suggest_rules_documents": _sql_suggest_rules(),
         "rowcheck_json_docs": _sql_rowcheck_json_docs(),
         "dedup_exact_documents": _sql_dedup_exact(),

@@ -246,3 +246,198 @@ def stat_assertions(
         "col_name string, stat string, value double, bound_min double, "
         "bound_max double, passed boolean, run_id string",
     )
+
+
+# ---------------------------------------------------------------------------
+# information-theoretic profile stats (deequ's Entropy / MutualInformation /
+# Correlation analyzers, re-expressed as single-scan Spark aggregations)
+
+
+def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy (nats) of each column's value distribution —
+    ALL requested columns in ONE scan: a tagged (column, category)
+    explode feeds one hash aggregation (partial combine applies; the
+    shuffle carries O(Σ ndv) counts, never rows), then each column's
+    ``−Σ p·ln p`` folds over its category-sorted count list
+    (``F.aggregate`` strict left fold, so float accumulation order is
+    canonical and any SQL engine replays the value bit-for-bit).
+    NULL is a real category, consistent with the categorical drift
+    state. One row per column: (column_name, entropy, ndv, n_rows)."""
+    from pyspark.sql import Window
+
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(c).cast("string").alias("cat"),
+        )
+        for c in cols
+    ]
+    counts = (
+        df.select(F.explode(F.array(*structs)).alias("t"))
+        .select("t.*")
+        .groupBy("column_name", "cat")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_col = Window.partitionBy("column_name").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # p·ln p per category: one exact int64/int64 division to double,
+    # then ln — both deterministic; the fold below fixes the sum order
+    t = counts.select(
+        "column_name", "cat", "cnt",
+        F.sum("cnt").over(per_col).alias("n"),
+    )
+    p = F.col("cnt").cast("double") / F.col("n").cast("double")
+    terms = t.select(
+        "column_name", "cat", (p * F.log(p)).alias("term"), "n"
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("cat", "term"))),
+            lambda x: x["term"],
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return terms.groupBy("column_name").agg(
+        (-folded).alias("entropy"),
+        F.count(F.lit(1)).cast("long").alias("ndv"),
+        F.first("n").cast("long").alias("n_rows"),
+    )
+
+
+def pearson_corr(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Pearson correlation for every requested column pair in ONE
+    aggregation pass (deequ's Correlation analyzer): the five moment
+    sums per pair (Σx, Σy, Σxy, Σx², Σy² over rows where BOTH sides
+    are non-null) are plain aggregate expressions sharing a single
+    column-pruned scan, and the closed-form
+
+        r = (n·Σxy − Σx·Σy) / √(n·Σx² − (Σx)²) / √(n·Σy² − (Σy)²)
+
+    is computed from the one collected moment row — the same formula
+    an oracle replays from its own sums. Degenerate pairs (either
+    side constant, or < 2 complete rows) yield NULL."""
+    aggs = []
+    for i, (cx, cy) in enumerate(pairs):
+        x = F.col(cx).cast("double")
+        y = F.col(cy).cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        xb = F.when(both, x)
+        yb = F.when(both, y)
+        aggs += [
+            F.count(xb).alias(f"n_{i}"),
+            F.sum(xb).alias(f"sx_{i}"),
+            F.sum(yb).alias(f"sy_{i}"),
+            F.sum(xb * yb).alias(f"sxy_{i}"),
+            F.sum(xb * xb).alias(f"sxx_{i}"),
+            F.sum(yb * yb).alias(f"syy_{i}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    for i, (cx, cy) in enumerate(pairs):
+        n = int(row[f"n_{i}"] or 0)
+        corr = None
+        if n >= 2:
+            sx, sy = float(row[f"sx_{i}"]), float(row[f"sy_{i}"])
+            sxy = float(row[f"sxy_{i}"])
+            sxx, syy = float(row[f"sxx_{i}"]), float(row[f"syy_{i}"])
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            if vx > 0 and vy > 0:
+                corr = (n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy))
+        out.append((cx, cy, corr, n))
+    return df.sparkSession.createDataFrame(
+        out, "col_x string, col_y string, corr double, n long"
+    )
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns
+    (deequ's MutualInformation analyzer): ONE scan builds the joint
+    contingency counts (partial combine; the shuffle carries
+    O(ndv_a·ndv_b) cells), marginals come from window sums OVER the
+    cell frame (no second scan), and
+
+        MI = Σ_ab p(a,b) · ln( n·c_ab / (c_a·c_b) )
+
+    folds over the (a, b)-sorted cell list so float accumulation is
+    canonical. The log's argument is a ratio of exact int64 products,
+    so any SQL engine reproduces the value bit-for-bit. NULL is a
+    real category on both sides."""
+    from pyspark.sql import Window
+
+    cells = df.groupBy(
+        F.col(col_a).cast("string").alias("a"),
+        F.col(col_b).cast("string").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wa = Window.partitionBy("a").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wb = Window.partitionBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = cells.select(
+        "a", "b", "cnt",
+        F.sum("cnt").over(tot).alias("n"),
+        F.sum("cnt").over(wa).alias("ca"),
+        F.sum("cnt").over(wb).alias("cb"),
+    )
+    p_ab = F.col("cnt").cast("double") / F.col("n").cast("double")
+    ratio = (F.col("cnt") * F.col("n")).cast("double") / (
+        F.col("ca") * F.col("cb")
+    ).cast("double")
+    terms = t.select(
+        "a", "b", (p_ab * F.log(ratio)).alias("term"), "n"
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("a", "b", "term"))),
+            lambda x: x["term"],
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return terms.groupBy().agg(
+        F.first(F.lit(col_a)).alias("col_a"),
+        F.first(F.lit(col_b)).alias("col_b"),
+        folded.alias("mi"),
+        F.first("n").cast("long").alias("n_rows"),
+    )
+
+
+def hot_keys(df: DataFrame, col: str, k: int = 20) -> DataFrame:
+    """Heavy-hitter profile of a key column: the top-``k`` values by
+    frequency with their corpus share — the diagnostic that tells a
+    pipeline WHICH keys need salting before a join/aggregate on
+    ``col`` skews (the uniqueness and dedup stages salt blindly; this
+    makes the skew visible and auditable). The top-k itself is
+    ``orderBy(...).limit(k)`` — Spark compiles that to
+    TakeOrderedAndProject, a distributed partial top-k per partition
+    of the aggregated counts, never a global sort and never a
+    single-partition rank window over the full ndv-sized count frame;
+    the total for the share column is a scalar aggregate broadcast
+    onto the ≤k survivors. Ordering is deterministic (count DESC,
+    value ASC) so the top-k set is stable across runs. Output:
+    (value, cnt, share, rank)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(col).cast("string").alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.asc_nulls_first("value")).limit(k)
+    total = counts.agg(F.sum("cnt").alias("total"))
+    rank_w = Window.orderBy(F.col("cnt").desc(), F.asc_nulls_first("value"))
+    # the rank window runs over the ≤k-row survivor frame only
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "value", "cnt",
+            (F.col("cnt").cast("double") / F.col("total").cast("double")
+             ).alias("share"),
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+    )

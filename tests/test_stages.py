@@ -1147,3 +1147,84 @@ def test_round3_operator_plan_shapes(spark):
     assert plan_of(curate.hash_sample(docs, 0.1)).count("Exchange") == 0
     assert plan_of(T.pii_features(docs)).count("Exchange") == 0
     assert plan_of(T.redact_pii(docs)).count("Exchange") == 0
+
+
+def test_column_entropy(spark):
+    """Entropy semantics: uniform → ln(ndv), constant → 0, NULL is a
+    real category; both requested columns come out of ONE scan (one
+    Generate + one final aggregate in the plan)."""
+    import math
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x"), ("d", "x")] * 5
+        + [(None, "x")] * 0,
+        "u string, k string",
+    )
+    out = stats.column_entropy(df, ["u", "k"])
+    got = {r.column_name: r for r in out.collect()}
+    assert abs(got["u"].entropy - math.log(4)) < 1e-12
+    assert got["u"].ndv == 4 and got["u"].n_rows == 20
+    assert got["k"].entropy == 0.0 and got["k"].ndv == 1
+    # NULL category counts
+    df2 = spark.createDataFrame([("a",), (None,)], "u string")
+    r = stats.column_entropy(df2, ["u"]).collect()[0]
+    assert abs(r.entropy - math.log(2)) < 1e-12 and r.ndv == 2
+    # single scan: one Generate (the tagged explode), no second
+    # FileScan-equivalent pass per column. After execution AQE prints
+    # Final + Initial plans; count inside the final segment only.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate") == 1
+
+
+def test_pearson_corr(spark):
+    """Correlation semantics: exact ±1 on linear columns, NULL on a
+    constant side, pair-complete-row semantics (a NULL on either side
+    drops the row for that pair only); both pairs share one agg."""
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+         (3.0, 6.0, -3.0, 5.0), (None, 9.0, -4.0, 5.0)],
+        "x double, y double, z double, c double",
+    )
+    out = {(r.col_x, r.col_y): r for r in stats.pearson_corr(
+        df, [("x", "y"), ("x", "z"), ("y", "c")]).collect()}
+    assert abs(out[("x", "y")].corr - 1.0) < 1e-12
+    assert out[("x", "y")].n == 3  # NULL x row dropped for this pair
+    assert abs(out[("x", "z")].corr + 1.0) < 1e-12
+    assert out[("y", "c")].corr is None  # constant side → undefined
+
+
+def test_mutual_information(spark):
+    """MI semantics: independent columns → 0 exactly (counts
+    factorize), identical columns → their entropy, asymmetric NULLs
+    count as categories."""
+    import math
+
+    # independent: every (a, b) cell count = product of marginals / n
+    rows = [(a, b) for a in "xy" for b in "pq" for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = stats.mutual_information(df, "a", "b").collect()[0]
+    assert abs(r.mi) < 1e-12 and r.n_rows == 20
+    # identical columns: MI == H(col)
+    df2 = spark.createDataFrame(
+        [("a", "a")] * 2 + [("b", "b")] * 2, "a string, b string")
+    r2 = stats.mutual_information(df2, "a", "b").collect()[0]
+    assert abs(r2.mi - math.log(2)) < 1e-12
+
+
+def test_hot_keys(spark):
+    """Skew profiler: planted hot key is rank 1 with the right share;
+    ties break by value ascending; the plan uses TakeOrderedAndProject
+    (distributed partial top-k), never a global sort of the counts."""
+    df = spark.createDataFrame(
+        [("hot",)] * 60 + [("w1",)] * 20 + [("w2",)] * 20,
+        "k string",
+    )
+    out = stats.hot_keys(df, "k", k=2)
+    rows = {r.rank: r for r in out.collect()}
+    assert rows[1].value == "hot" and rows[1].cnt == 60
+    assert abs(rows[1].share - 0.6) < 1e-12
+    assert rows[2].value == "w1"  # tie with w2 → value ASC
+    assert len(rows) == 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
