@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from invalid_spark.checks import drift, refint, rows, stats, unique
+from invalid_spark.checks import drift, refint, relations, rows, stats, unique
 from invalid_spark.dsl import load_rules
 from invalid_spark.pipeline import dedup, similarity, text
 from invalid_spark import report
@@ -798,6 +798,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rowcheck_pii_documents": q_rowcheck_pii_documents,
         "text_linefilter_documents": q_text_linefilter_documents,
         "stat_assertions_lineitem": q_stat_assertions_lineitem,
+        "fd_lineitem": q_fd_lineitem,
+        "monotonic_events": q_monotonic_events,
+        "reconcile_orders": q_reconcile_orders,
+        "magic_header_docs": q_magic_header_docs,
         "stats_entropy_events": q_stats_entropy_events,
         "stats_corr_lineitem": q_stats_corr_lineitem,
         "stats_mi_events": q_stats_mi_events,
@@ -1248,6 +1252,184 @@ SELECT "value", cnt,
 FROM c
 ORDER BY cnt DESC, "value" ASC NULLS FIRST
 LIMIT 10
+"""
+
+
+def q_fd_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency check (relations.fd_violating_determinants,
+    the ``$fd`` rule's engine): determinant values of l_partkey that map
+    to more than one l_suppkey — the FD generalization of ``$unique``
+    (uniqueness is the FD col → row-id). Two-stage aggregation: the
+    (det, dep) pair count partial-combines map-side, so the shuffle
+    carries at most ndv(det)×ndv(dep|det) triples, never rows — a hot
+    determinant spreads across its dep values (partial combine IS the
+    salt)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return relations.fd_violating_determinants(li, "l_partkey", "l_suppkey")
+
+
+def _sql_fd_lineitem() -> str:
+    return """
+WITH pairs AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS "value",
+         CAST(l_suppkey AS VARCHAR) AS dep, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT "value", CAST(count(*) AS BIGINT) AS ndv,
+       CAST(sum(c) AS BIGINT) AS n_rows
+FROM pairs GROUP BY "value" HAVING count(*) > 1
+"""
+
+
+def q_monotonic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key sequence monotonicity (relations.sequence_breaks, the
+    ``$monotonic`` rule's engine — odometer / billing-counter sanity):
+    rows where ``value`` decreases relative to the previous event of
+    the same user in event_id order. One hash partition by key +
+    in-partition sort + lag — O(1) state per group, no driver
+    involvement. event_id is unique, so "previous" is well-defined and
+    the oracle replays it deterministically."""
+    ev = _t(spark, sf_dir, "events")
+    breaks = relations.sequence_breaks(ev, "user_id", "event_id", "value")
+    return breaks.select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("seq"),
+        F.round("value", 6).alias("value"),
+        F.round("__prev", 6).alias("prev"),
+    )
+
+
+def _sql_monotonic_events() -> str:
+    return """
+WITH w AS (
+  SELECT user_id, event_id, "value",
+         lag("value") OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+  FROM events
+)
+SELECT user_id AS "key", event_id AS seq,
+       round("value", 6) AS "value", round(prev, 6) AS prev
+FROM w
+WHERE prev IS NOT NULL AND "value" < prev
+"""
+
+
+def q_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-vs-dimension aggregate reconciliation
+    (relations.reconcile_aggregates, the ``$reconcile`` rule's engine):
+    per-order lineitem revenue vs o_totalprice, every key classified
+    ok / mismatch / missing_fact / missing_dim via a full-outer join.
+    Fact terms fold in canonical (l_linenumber, term)-sorted order —
+    a strict left fold, so the float sum is bit-replayable — and the
+    fact aggregate's hash partitioning on the join key is reused by
+    the join: one shuffle on the fact side."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    term = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    )
+    rec = relations.reconcile_aggregates(
+        li, orders, "l_orderkey", "o_orderkey", term,
+        order="l_linenumber", dim_value="o_totalprice", tol=0.01,
+    )
+    return rec.select(
+        "key",
+        F.round("fact_value", 6).alias("fact_value"),
+        F.round("dim_value", 6).alias("dim_value"),
+        "status",
+    )
+
+
+def _sql_reconcile_orders() -> str:
+    # the fold replays reconcile_aggregates' strict left fold: terms
+    # sorted by (linenumber, term) — linenumber is NOT unique in the
+    # synth lineitem, so the term value is the deterministic tiebreak,
+    # matching Spark's sort_array over struct(__ord, __term)
+    return """
+WITH f AS (
+  SELECT l_orderkey AS k,
+         list_reduce(
+           list_prepend(0.0, list(
+             CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                  * (CAST(1 AS DOUBLE) + l_tax) AS DOUBLE)
+             ORDER BY l_linenumber,
+                      CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+                           * (CAST(1 AS DOUBLE) + l_tax) AS DOUBLE))),
+           (a, b) -> a + b) AS fact_value
+  FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(f.k, o.o_orderkey) AS "key",
+       round(fact_value, 6) AS fact_value,
+       round(o_totalprice, 6) AS dim_value,
+       CASE WHEN f.k IS NULL THEN 'missing_fact'
+            WHEN o.o_orderkey IS NULL THEN 'missing_dim'
+            WHEN abs(fact_value - o_totalprice) <= 0.01 THEN 'ok'
+            ELSE 'mismatch' END AS status
+FROM f FULL OUTER JOIN orders o ON f.k = o.o_orderkey
+"""
+
+
+def q_magic_header_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-magic + header-dims validation ($magic rule /
+    image.header_violations): the zero-decode structural screen that
+    keeps corrupt containers and lying metadata out of the Arrow
+    decode stage. Payloads are PNG headers derived deterministically
+    from doc_id (planted: corrupt signature every 53rd, fmt declared
+    jpeg every 41st, declared w off-by-one every 37th) so the oracle
+    replays the hex-space parse bit-for-bit. Pure Catalyst — one
+    projection, no Python, no shuffle."""
+    from invalid_spark.checks import image
+
+    doc = _t(spark, sf_dir, "documents")
+    hw = (F.col("doc_id") % 512 + 16).cast("long")
+    hh = ((F.col("doc_id") * 7) % 512 + 16).cast("long")
+    sig = F.when(
+        F.col("doc_id") % 53 == 0, F.lit("00504E470D0A1A0A")
+    ).otherwise(F.lit("89504E470D0A1A0A"))
+    hexs = F.concat(
+        sig, F.lit("0000000D"), F.lit("49484452"),
+        F.lpad(F.hex(hw), 8, "0"), F.lpad(F.hex(hh), 8, "0"),
+        F.lit("0802000000"),
+    )
+    df = doc.select(
+        F.col("doc_id"),
+        F.unhex(hexs).alias("bytes"),
+        F.when(F.col("doc_id") % 41 == 0, F.lit("jpeg"))
+        .otherwise(F.lit("png")).alias("fmt"),
+        (hw + F.when(F.col("doc_id") % 37 == 0, F.lit(1)).otherwise(F.lit(0)))
+        .alias("w"),
+        hh.alias("h"),
+    )
+    v = image.header_violations(df, row_key="doc_id")
+    return v.select("row_key", "rule_id", "error_type", "observed")
+
+
+def _sql_magic_header_docs() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id,
+         (doc_id % 512) + 16 AS hw,
+         ((doc_id * 7) % 512) + 16 AS hh,
+         (doc_id % 512) + 16
+           + CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END AS w,
+         ((doc_id * 7) % 512) + 16 AS h,
+         CASE WHEN doc_id % 41 = 0 THEN 'jpeg' ELSE 'png' END AS fmt,
+         doc_id % 53 = 0 AS bad_sig
+  FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS row_key, 'bytes~fmt' AS rule_id,
+       'magicMismatch' AS error_type,
+       concat_ws(' vs ',
+                 CASE WHEN bad_sig THEN 'unknown' ELSE 'png' END,
+                 fmt) AS observed
+FROM d WHERE bad_sig OR fmt <> 'png'
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'bytes~dims', 'headerDimsMismatch',
+       concat_ws(' vs ',
+                 concat_ws('x', CAST(hw AS VARCHAR), CAST(hh AS VARCHAR)),
+                 concat_ws('x', CAST(w AS VARCHAR), CAST(h AS VARCHAR)))
+FROM d WHERE NOT bad_sig AND (hw <> w OR hh <> h)
 """
 
 
@@ -2695,6 +2877,10 @@ def oracle_sql() -> dict[str, str]:
         "rowcheck_pii_documents": _sql_rowcheck_pii_documents(),
         "text_linefilter_documents": _sql_text_linefilter(),
         "stat_assertions_lineitem": _sql_stat_assertions(),
+        "fd_lineitem": _sql_fd_lineitem(),
+        "monotonic_events": _sql_monotonic_events(),
+        "reconcile_orders": _sql_reconcile_orders(),
+        "magic_header_docs": _sql_magic_header_docs(),
         "stats_entropy_events": _sql_stats_entropy_events(),
         "stats_corr_lineitem": _sql_stats_corr_lineitem(),
         "stats_mi_events": _sql_stats_mi_events(),

@@ -173,6 +173,18 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
         ("anomaly_history", entry.q_anomaly_history_events),
         ("streaming_dedup_metrics", entry.q_streaming_dedup_metrics_events),
         ("ann_ivf", entry.q_ann_ivf_embeddings),
+        ("drift_psi", entry.q_drift_psi_events),
+        ("drift_w1", entry.q_drift_w1_events),
+        ("rowcheck_expr", entry.q_rowcheck_expr_lineitem),
+        ("percentiles_exact", entry.q_percentiles_exact_lineitem),
+        ("stats_entropy", entry.q_stats_entropy_events),
+        ("stats_corr", entry.q_stats_corr_lineitem),
+        ("stats_mi", entry.q_stats_mi_events),
+        ("hot_keys", entry.q_hot_keys_events),
+        ("fd", entry.q_fd_lineitem),
+        ("monotonic", entry.q_monotonic_events),
+        ("reconcile", entry.q_reconcile_orders),
+        ("magic_header", entry.q_magic_header_docs),
     ):
         timed(name, lambda q=q: (q(spark, sf_dir).count(), 0)[1],
               in_headline=False)

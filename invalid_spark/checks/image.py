@@ -212,3 +212,169 @@ def caption_violations(
         "partition_id",
         F.lit(run_id).alias("run_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# container magic + header dimensions (pure Catalyst — no decode)
+
+# Magic prefixes, over F.hex(bytes) (uppercase hex, 1-indexed substr).
+# "flsy" is the repo's deterministic lossy stand-in container
+# (codecs.FAKE_LOSSY_MAGIC + a real PNG inside); real-world magics
+# are recognized alongside so the check ports to genuine jpeg/webp
+# payloads unchanged.
+_PNG_SIG_HEX = "89504E470D0A1A0A"
+_FLSY_HEX = "464C5359"  # b"FLSY"
+
+# declared fmt -> containers that legitimately carry it
+ACCEPTED_CONTAINERS: dict[str, tuple[str, ...]] = {
+    "png": ("png",),
+    "jpeg": ("jpeg", "flsy"),
+    "jpg": ("jpeg", "flsy"),
+    "webp": ("webp", "flsy"),
+    "gif": ("gif",),
+    "bmp": ("bmp",),
+}
+
+
+def detected_container(bytes_col) -> "F.Column":
+    """Container format sniffed from magic bytes — a single CASE chain
+    over ``hex(bytes)`` that rides whole-stage codegen. NULL = unknown
+    container (corrupt prefix or unsupported format)."""
+    hx = F.hex(F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col)
+    return (
+        F.when(hx.startswith(_PNG_SIG_HEX), F.lit("png"))
+        .when(hx.startswith(_FLSY_HEX), F.lit("flsy"))
+        .when(hx.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(hx.startswith("47494638"), F.lit("gif"))
+        .when(
+            hx.startswith("52494646")
+            & (F.substring(hx, 17, 8) == "57454250"),
+            F.lit("webp"),
+        )
+        .when(hx.startswith("424D"), F.lit("bmp"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def header_dims(bytes_col) -> tuple["F.Column", "F.Column"]:
+    """(width, height) parsed from the container header — PNG IHDR
+    big-endian u32 pairs (and the same inside the FLSY stand-in,
+    shifted by its 4-byte magic). NULL when the container carries no
+    cheaply-parseable dims (real jpeg needs an SOF scan — that is the
+    decode stage's job, not the header check's)."""
+    hx = F.hex(F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col)
+
+    def _u32(pos: int):
+        return F.conv(F.substring(hx, pos, 8), 16, 10).cast("long")
+
+    is_png = hx.startswith(_PNG_SIG_HEX) & (F.length(hx) >= 48)
+    is_flsy = (
+        hx.startswith(_FLSY_HEX + _PNG_SIG_HEX) & (F.length(hx) >= 56)
+    )
+    w = (
+        F.when(is_png, _u32(33))
+        .when(is_flsy, _u32(41))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    h = (
+        F.when(is_png, _u32(41))
+        .when(is_flsy, _u32(49))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return w, h
+
+
+def magic_ok(bytes_col, fmt_col) -> "F.Column":
+    """TRUE when the sniffed container is an accepted carrier for the
+    declared format. Unknown declared formats and unknown containers
+    are both violations (FALSE)."""
+    det = detected_container(bytes_col)
+    fmt = F.col(fmt_col) if isinstance(fmt_col, str) else fmt_col
+    return _accepts(det, fmt)
+
+
+def header_violations(
+    df: DataFrame,
+    row_key: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    w_col: str | None = "w",
+    h_col: str | None = "h",
+    run_id: str = "",
+) -> DataFrame:
+    """Standalone container-magic + header-dims validation — the
+    zero-decode structural screen that runs BEFORE the (1000× more
+    expensive) Arrow decode stage at 100 TB: a wrong container or
+    lying metadata row never reaches Python. Pure Catalyst: one
+    projection, prunes to (key, bytes, fmt, w, h), whole-stage
+    codegen. The same expressions ride the row-check projection via
+    the ``$magic`` rule directive."""
+    det = detected_container(bytes_col)
+    hw, hh = header_dims(bytes_col)
+    sel = df.select(
+        F.col(row_key).cast("string").alias("row_key"),
+        F.col(fmt_col).alias("__fmt"),
+        det.alias("__det"),
+        hw.alias("__hw"),
+        hh.alias("__hh"),
+        *([F.col(w_col).cast("long").alias("__w")] if w_col else []),
+        *([F.col(h_col).cast("long").alias("__h")] if h_col else []),
+        F.spark_partition_id().alias("partition_id"),
+    )
+    magic_bad = sel.filter(
+        ~_accepts(F.col("__det"), F.col("__fmt"))
+    ).select(
+        "row_key",
+        F.lit(bytes_col).alias("column"),
+        F.lit(f"{bytes_col}~{fmt_col}").alias("rule_id"),
+        F.lit(ErrorType.MAGIC_MISMATCH).alias("error_type"),
+        F.lit(
+            f"container magic of [{bytes_col}] must match declared "
+            f"[{fmt_col}]"
+        ).alias("message"),
+        F.concat_ws(
+            " vs ", F.coalesce(F.col("__det"), F.lit("unknown")), F.col("__fmt")
+        ).alias("observed"),
+        "partition_id",
+        F.lit(run_id).alias("run_id"),
+    )
+    if w_col and h_col:
+        dims_bad = sel.filter(
+            F.col("__hw").isNotNull()
+            & (
+                (F.col("__hw") != F.col("__w"))
+                | (F.col("__hh") != F.col("__h"))
+            )
+        ).select(
+            "row_key",
+            F.lit(bytes_col).alias("column"),
+            F.lit(f"{bytes_col}~dims").alias("rule_id"),
+            F.lit(ErrorType.HEADER_MISMATCH).alias("error_type"),
+            F.lit(
+                f"header dimensions of [{bytes_col}] must match "
+                f"declared [{w_col}]x[{h_col}]"
+            ).alias("message"),
+            F.concat_ws(
+                " vs ",
+                F.concat_ws("x", "__hw", "__hh"),
+                F.concat_ws("x", "__w", "__h"),
+            ).alias("observed"),
+            "partition_id",
+            F.lit(run_id).alias("run_id"),
+        )
+        return magic_bad.unionByName(dims_bad)
+    return magic_bad
+
+
+def _accepts(det, fmt_col) -> "F.Column":
+    """magic_ok over an already-computed detected-container column."""
+    fmt = F.lower(fmt_col)
+    chain = None
+    for declared, containers in sorted(ACCEPTED_CONTAINERS.items()):
+        val = det.isin(list(containers))
+        chain = (
+            F.when(fmt == declared, val)
+            if chain is None
+            else chain.when(fmt == declared, val)
+        )
+    return F.coalesce(chain, F.lit(False))

@@ -140,6 +140,9 @@ class RowCheckPlan:
     pixel_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     caption_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     vector_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
+    fd_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
+    monotonic_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
+    reconcile_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
 
     def raw_violations_array(self) -> Column:
         """Fixed-length array of CASE structs, NULL element = pass.
@@ -582,6 +585,120 @@ class _Compiler:
                         model.expr_msg(key, sql), observed,
                     ),
                 )
+
+            # cross-row / cross-table directives (checks/relations.py):
+            # column references are validated against the table schema
+            # at compile time — a misconfigured rule is a RULE error
+            # (reference NewRule parity), never a fake data failure
+            if child.fd is not None and dt is not None:
+                dep = child.fd.get("dep")
+                if not dep or not isinstance(dep, str):
+                    raise ValueError(
+                        f"$fd on [{path}] needs dep: <column name>"
+                    )
+                if _field_type(self.schema, dep) is None:
+                    raise ValueError(
+                        f"$fd on [{path}]: dependent column [{dep}] "
+                        "absent from table schema"
+                    )
+                self.plan.fd_specs.append((path, child.fd))
+            if child.monotonic is not None and dt is not None:
+                for req in ("per", "order"):
+                    v = child.monotonic.get(req)
+                    if not v or not isinstance(v, str):
+                        raise ValueError(
+                            f"$monotonic on [{path}] needs "
+                            f"{req}: <column name>"
+                        )
+                    if _field_type(self.schema, v) is None:
+                        raise ValueError(
+                            f"$monotonic on [{path}]: column [{v}] "
+                            "absent from table schema"
+                        )
+                self.plan.monotonic_specs.append((path, child.monotonic))
+            if child.reconcile is not None and dt is not None:
+                for req in ("table", "key", "value", "term", "order"):
+                    if not child.reconcile.get(req):
+                        raise ValueError(
+                            f"$reconcile on [{path}] needs {req}: … "
+                            "(table/key/value name the dimension side; "
+                            "term is the fact-row SQL expression; "
+                            "order makes the float fold canonical)"
+                        )
+                if _field_type(self.schema, child.reconcile["order"]) is None:
+                    raise ValueError(
+                        f"$reconcile on [{path}]: order column "
+                        f"[{child.reconcile['order']}] absent from "
+                        "table schema"
+                    )
+                self.plan.reconcile_specs.append((path, child.reconcile))
+            if child.magic is not None and dt is not None:
+                # $magic rides THIS projection: pure Catalyst hex ops
+                # on the binary column — the zero-decode structural
+                # screen that keeps corrupt containers and lying
+                # metadata out of the (1000× costlier) Arrow decode
+                # stage. fmt is required; w/h are both-or-neither.
+                from invalid_spark.checks import image as image_checks
+
+                if not isinstance(dt, T.BinaryType):
+                    raise ValueError(
+                        f"$magic on [{path}] requires a binary column, "
+                        f"got {dt.simpleString()}"
+                    )
+                fmt_col = child.magic.get("fmt")
+                if not fmt_col or not isinstance(fmt_col, str):
+                    raise ValueError(
+                        f"$magic on [{path}] needs fmt: <column name>"
+                    )
+                w_col = child.magic.get("w")
+                h_col = child.magic.get("h")
+                if bool(w_col) != bool(h_col):
+                    raise ValueError(
+                        f"$magic on [{path}]: pass BOTH w and h "
+                        "columns or neither"
+                    )
+                for c in (fmt_col, w_col, h_col):
+                    if c and _field_type(self.schema, c) is None:
+                        raise ValueError(
+                            f"$magic on [{path}]: column [{c}] absent "
+                            "from table schema"
+                        )
+                det = image_checks.detected_container(F.col(path))
+                self._emit(
+                    self.alive
+                    & ~image_checks._accepts(det, F.col(fmt_col)),
+                    _mk_struct(
+                        path, path, ErrorType.MAGIC_MISMATCH,
+                        model.magic_msg(child.key, fmt_col),
+                        F.concat_ws(
+                            " vs ",
+                            F.coalesce(det, F.lit("unknown")),
+                            F.col(fmt_col),
+                        ),
+                    ),
+                )
+                if w_col and h_col:
+                    hw, hh = image_checks.header_dims(F.col(path))
+                    self._emit(
+                        self.alive
+                        & hw.isNotNull()
+                        & (
+                            (hw != F.col(w_col).cast("long"))
+                            | (hh != F.col(h_col).cast("long"))
+                        ),
+                        _mk_struct(
+                            path, f"{path}~dims",
+                            ErrorType.HEADER_MISMATCH,
+                            model.header_dims_msg(child.key),
+                            F.concat_ws(
+                                " vs ",
+                                F.concat_ws("x", hw, hh),
+                                F.concat_ws(
+                                    "x", F.col(w_col), F.col(h_col)
+                                ),
+                            ),
+                        ),
+                    )
 
             if dt is None:
                 # column absent from the table schema

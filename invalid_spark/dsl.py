@@ -40,6 +40,18 @@ Engine extensions (all optional, ignored by reference-parity tests):
   distribution drift; optional ``clip`` bounds the histogram grid by
   quantiles instead of min/max (outlier-proof, applied to both the
   comparison and the persisted state)
+- ``$fd: {dep: col}``              — functional dependency: this column
+  determines ``dep`` (one determinant value → one dependent value)
+- ``$monotonic: {per: key, order: seq, strict: false}`` — this column
+  must never decrease (``strict``: must increase) per ``per`` key in
+  ``order``-column order
+- ``$reconcile: {table: t, key: k, value: v, term: "<sql>", order: o,
+  tol: 0.01}`` — this column (the fact key) groups fact ``term``
+  values whose canonical-order sum must match the dimension's ``v``
+  within ``tol``
+- ``$magic: {fmt: col, w: col, h: col}`` — container magic bytes (and
+  header dims for PNG-family containers) must match the declared
+  format / width / height columns; pure Catalyst hex ops, zero decode
 - ``$pixel: {psnr_min: 40.0}``     — decoded-pixel invariant (binary col)
 - ``$pii: {kinds: [email, ipv4, ssn, phone], max: 0}`` — PII scrub
   gate (violation when total matches exceed ``max``; kinds default to
@@ -88,7 +100,7 @@ _DIRECTIVES = {
     # engine extensions
     "$unique", "$ref", "$range", "$stats", "$drift", "$pixel",
     "$caption-eq", "$dynamic", "$vector", "$pii", "$assert",
-    "$anomaly", "$expr",
+    "$anomaly", "$expr", "$fd", "$monotonic", "$reconcile", "$magic",
 }
 
 
@@ -128,6 +140,20 @@ class Rule:
     # row predicate (deequ `satisfies` analog), compiled to a Catalyst
     # expression inside the row-check projection
     expr_: Optional[dict] = None
+    # $fd: {dep: col} — functional dependency this-column → dep
+    # (checks/relations.py two-stage aggregate)
+    fd: Optional[dict] = None
+    # $monotonic: {per: keycol, order: seqcol, strict: bool} — this
+    # column must never decrease per key in sequence order
+    monotonic: Optional[dict] = None
+    # $reconcile: {table, key, value, term: "<sql>", order, tol} —
+    # this column (the fact key) groups fact terms that must match
+    # the dimension's value column within tol
+    reconcile: Optional[dict] = None
+    # $magic: {fmt: col, w: col, h: col} — container magic bytes (and
+    # header dims where cheaply parseable) vs declared metadata, as
+    # pure Catalyst hex ops inside the row-check projection
+    magic: Optional[dict] = None
     dynamic: bool = False
 
     def get(self, key: str) -> Optional["Rule"]:
@@ -321,6 +347,10 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
         ("$assert", "assert_"),
         ("$anomaly", "anomaly"),
         ("$expr", "expr_"),
+        ("$fd", "fd"),
+        ("$monotonic", "monotonic"),
+        ("$reconcile", "reconcile"),
+        ("$magic", "magic"),
         ("$pixel", "pixel"),
         ("$caption-eq", "caption_eq"),
         ("$vector", "vector"),

@@ -40,6 +40,11 @@ class ErrorType:
     CAPTION_MISMATCH = "captionMismatch"
     PII_FOUND = "piiFound"  # $pii: regex PII gate (observed = match count)
     EXPR_MISMATCH = "exprMismatch"  # $expr: cross-column row predicate
+    FD_MISMATCH = "fdMismatch"  # $fd: functional dependency det -> dep
+    SEQ_MISMATCH = "seqMismatch"  # $monotonic: per-key sequence order
+    RECONCILE_MISMATCH = "reconcileMismatch"  # $reconcile: fact-vs-dim totals
+    MAGIC_MISMATCH = "magicMismatch"  # $magic: container magic vs declared fmt
+    HEADER_MISMATCH = "headerDimsMismatch"  # $magic: header dims vs w/h cols
 
 
 # message constructors — exact reference strings
@@ -88,6 +93,16 @@ def of_msg(key: str, of: list) -> str:
 def expr_msg(key: str, sql: str) -> str:
     """Engine extension ($expr has no reference analog)."""
     return f"row at [{key}] must satisfy [{sql}]"
+
+
+def magic_msg(key: str, fmt_col: str) -> str:
+    """Engine extension ($magic has no reference analog)."""
+    return f"container magic of [{key}] must match declared [{fmt_col}]"
+
+
+def header_dims_msg(key: str) -> str:
+    """Engine extension ($magic has no reference analog)."""
+    return f"header dimensions of [{key}] must match declared w/h columns"
 
 
 VIOLATION_SCHEMA = T.StructType(

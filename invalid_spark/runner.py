@@ -358,6 +358,77 @@ def validate(
             manifest.mark_done(gu, {"run_id": run_id, "snapshot_id": snapshot})
             result.units_done.append(gu)
 
+        # $fd / $monotonic are whole-table invariants like $unique
+        # (a dependency broken across two units, or a decrease across
+        # a unit boundary, is invisible per-batch): each runs as its
+        # own resumable unit; violations are real df rows, so they map
+        # back to their work units exactly like uniqueness rows do.
+        from invalid_spark.checks import relations as relation_checks
+
+        def _global_stage(gu: str, build):
+            nonlocal n_batches
+            if manifest.is_done(gu):
+                result.units_skipped.append(gu)
+                return
+            if max_batches is not None and n_batches >= max_batches:
+                return
+            n_batches += 1
+            g_v = build()
+            if full_unit_map is None:
+                g_out = g_v.select("*", F.lit("__all__").alias("unit"))
+            else:
+                g_out = g_v.join(full_unit_map, "row_key", "left").withColumn(
+                    "unit", F.coalesce("unit", F.lit("__schema__"))
+                )
+            g_out.drop("run_id").select("*", *lineage).write.mode(
+                "append"
+            ).parquet(v_dir)
+            manifest.mark_done(gu, {"run_id": run_id, "snapshot_id": snapshot})
+            result.units_done.append(gu)
+
+        for col, spec in plan.fd_specs:
+            _global_stage(
+                f"__fd__{col}->{spec.get('dep')}",
+                lambda col=col, spec=spec: relation_checks.fd_violations(
+                    df, col, spec["dep"], row_key, run_id
+                ),
+            )
+        for col, spec in plan.monotonic_specs:
+            _global_stage(
+                f"__monotonic__{col}",
+                lambda col=col, spec=spec: relation_checks.sequence_violations(
+                    df, spec["per"], spec["order"], col, row_key,
+                    strict=bool(spec.get("strict", False)), run_id=run_id,
+                ),
+            )
+        for col, spec in plan.reconcile_specs:
+            dim_name = spec["table"]
+            if dim_name not in dims:
+                raise ValueError(
+                    f"$reconcile table [{dim_name}] not provided to runner"
+                )
+            # key-level failures: row_key is the reconciliation key,
+            # not a df row, so units can't be attributed — the stage
+            # gets its own unit name (mirrors the __schema__ pseudo
+            # unit rather than polluting real units' verdicts)
+            gu = f"__reconcile__{col}~{spec['value']}"
+            if manifest.is_done(gu):
+                result.units_skipped.append(gu)
+            elif max_batches is None or n_batches < max_batches:
+                n_batches += 1
+                r_v = relation_checks.reconcile_violations(
+                    df, dims[dim_name], col, spec["key"],
+                    F.expr(spec["term"]), spec["order"], spec["value"],
+                    tol=float(spec.get("tol", 0.01)), run_id=run_id,
+                )
+                r_v.select("*", F.lit(gu).alias("unit")).drop(
+                    "run_id"
+                ).select("*", *lineage).write.mode("append").parquet(v_dir)
+                manifest.mark_done(
+                    gu, {"run_id": run_id, "snapshot_id": snapshot}
+                )
+                result.units_done.append(gu)
+
     # ---- verdicts + metrics from the written violations ----------------
     # verdicts cover COMPLETED units only: a pending unit has no
     # violation rows yet and must not read as a pass.
@@ -391,10 +462,23 @@ def validate(
     # ---- quarantine split (opt-in), only under FULL coverage -----------
     if quarantine and all_v is not None and not plan.fail_fast:
         expected = (
-            {"__all__"} if unit_of is None else set(vals)
-        ) | {f"__unique__{c}" for c in plan.unique_cols}
+            ({"__all__"} if unit_of is None else set(vals))
+            | {f"__unique__{c}" for c in plan.unique_cols}
+            | {f"__fd__{c}->{s.get('dep')}" for c, s in plan.fd_specs}
+            | {f"__monotonic__{c}" for c, _ in plan.monotonic_specs}
+            | {f"__reconcile__{c}~{s['value']}" for c, s in plan.reconcile_specs}
+        )
         if expected <= manifest.done_units():
-            clean, quarantined = report.split_valid(df, all_v, row_key)
+            from invalid_spark.model import ErrorType as _ET
+
+            # $reconcile violations are KEY-level (row_key is the
+            # reconciliation key, not a table row key): a numeric
+            # collision with a real row key would silently quarantine
+            # an innocent row, so they never feed the split
+            row_level = all_v.filter(
+                F.col("error_type") != _ET.RECONCILE_MISMATCH
+            )
+            clean, quarantined = report.split_valid(df, row_level, row_key)
             clean.write.mode("overwrite").parquet(
                 os.path.join(out_dir, "clean")
             )
