@@ -802,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monotonic_events": q_monotonic_events,
         "reconcile_orders": q_reconcile_orders,
         "magic_header_docs": q_magic_header_docs,
+        "emb_drift_embeddings": q_emb_drift_embeddings,
         "stats_entropy_events": q_stats_entropy_events,
         "stats_corr_lineitem": q_stats_corr_lineitem,
         "stats_mi_events": q_stats_mi_events,
@@ -1431,6 +1432,108 @@ SELECT CAST(doc_id AS VARCHAR), 'bytes~dims', 'headerDimsMismatch',
                  concat_ws('x', CAST(w AS VARCHAR), CAST(h AS VARCHAR)))
 FROM d WHERE NOT bad_sig AND (hw <> w OR hh <> h)
 """
+
+
+def q_emb_drift_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift (drift.embedding_drift): project
+    the vector column onto 4 md5-derived hyperplanes (random-
+    projection sketch — by Cramér–Wold any mean/scale/rotation shift
+    of the distribution moves some 1-D projection) and KS-test each
+    projection; all 4 planes share multi_drift's constant scan count.
+    Two scenarios: the odd/even vec_id split (no drift) and the same
+    split with the current side shifted +1.0 per component (planted
+    drift). Verdicts are evaluated in λ-space against ONE Kolmogorov
+    critical constant (streaming_ks_windows' trick), so DuckDB
+    replays statistic AND boolean bit-for-bit — left-fold projection,
+    integer cross-product CDF gap, single final division."""
+    import math
+
+    from invalid_spark import mathutil
+
+    emb = _t(spark, sf_dir, "embeddings")
+    prev = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    shifted = cur.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double") + F.lit(1.0)),
+    )
+    lam = mathutil.kolmogorov_lambda_critical(0.05)
+    out = []
+    for scen, c in (("null", cur), ("shift", shifted)):
+        res = drift.embedding_drift(c, prev, dim=64, planes=4)
+        for p, r in sorted(res.items()):
+            n, m = int(r.n_current), int(r.n_prior)
+            lam_obs = (
+                r.statistic * math.sqrt((n * m) / (n + m)) if n and m else 0.0
+            )
+            out.append(
+                (scen, p, round(float(r.statistic), 6), bool(lam_obs > lam), n, m)
+            )
+    return spark.createDataFrame(
+        out,
+        "scenario string, plane int, statistic double, drifted boolean, "
+        "n_cur bigint, n_prior bigint",
+    )
+
+
+def _sql_emb_drift_embeddings() -> str:
+    from invalid_spark import mathutil
+
+    pls = dedup.neardup_planes(64, 4)
+    lam = mathutil.kolmogorov_lambda_critical(0.05)
+    blocks = []
+    for scen, shift in (("null", False), ("shift", True)):
+        for p, plane in enumerate(pls):
+            lits = ", ".join(repr(x) for x in plane)
+            raw = (
+                f"list_reduce(list_transform(range(64), "
+                f"i -> CAST(embedding[i+1] AS DOUBLE) * [{lits}][i+1]), "
+                f"(a, b) -> a + b)"
+            )
+            shifted = (
+                f"list_reduce(list_transform(range(64), "
+                f"i -> (CAST(embedding[i+1] AS DOUBLE) + 1.0) * [{lits}][i+1]), "
+                f"(a, b) -> a + b)"
+            )
+            v = (
+                f"CASE WHEN vec_id % 2 = 1 THEN {shifted} ELSE {raw} END"
+                if shift
+                else raw
+            )
+            blocks.append(f"""
+SELECT '{scen}' AS scenario, {p} AS plane, round(stat, 6) AS statistic,
+       stat * sqrt((n_cur * n_prior) / (n_cur + n_prior)) > {lam!r} AS drifted,
+       n_cur, n_prior
+FROM (
+  WITH b AS (
+    SELECT CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END AS is_cur,
+           {v} AS v
+    FROM embeddings WHERE embedding IS NOT NULL
+  ), mm AS (
+    SELECT min(v) AS lo, max(v) AS hi,
+           CASE WHEN (max(v) - min(v)) / 256 = 0 THEN 1.0
+                ELSE (max(v) - min(v)) / 256 END AS width
+    FROM b WHERE v IS NOT NULL
+  ), hist AS (
+    SELECT least(255, greatest(0, CAST(floor((v - lo) / width) AS BIGINT)))
+             AS bucket,
+           sum(is_cur) AS c_cur, sum(1 - is_cur) AS c_prev
+    FROM b, mm WHERE v IS NOT NULL GROUP BY 1
+  ), cdf AS (
+    SELECT abs(sum(c_cur) OVER (ORDER BY bucket) * sum(c_prev) OVER ()
+               - sum(c_prev) OVER (ORDER BY bucket) * sum(c_cur) OVER ())
+             AS num,
+           CAST(sum(c_cur) OVER () AS BIGINT) AS n_cur,
+           CAST(sum(c_prev) OVER () AS BIGINT) AS n_prior
+    FROM hist
+  )
+  SELECT CAST(max(num) AS DOUBLE)
+           / CAST(any_value(n_cur) * any_value(n_prior) AS DOUBLE) AS stat,
+         CAST(any_value(n_cur) AS BIGINT) AS n_cur,
+         CAST(any_value(n_prior) AS BIGINT) AS n_prior
+  FROM cdf
+)""")
+    return "\nUNION ALL\n".join(blocks)
 
 
 def q_stat_assertions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2881,6 +2984,7 @@ def oracle_sql() -> dict[str, str]:
         "monotonic_events": _sql_monotonic_events(),
         "reconcile_orders": _sql_reconcile_orders(),
         "magic_header_docs": _sql_magic_header_docs(),
+        "emb_drift_embeddings": _sql_emb_drift_embeddings(),
         "stats_entropy_events": _sql_stats_entropy_events(),
         "stats_corr_lineitem": _sql_stats_corr_lineitem(),
         "stats_mi_events": _sql_stats_mi_events(),

@@ -185,6 +185,7 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
         ("monotonic", entry.q_monotonic_events),
         ("reconcile", entry.q_reconcile_orders),
         ("magic_header", entry.q_magic_header_docs),
+        ("emb_drift", entry.q_emb_drift_embeddings),
     ):
         timed(name, lambda q=q: (q(spark, sf_dir).count(), 0)[1],
               in_headline=False)

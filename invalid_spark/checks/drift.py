@@ -977,3 +977,145 @@ def psi_drift(
     return DriftResult(
         col, "psi", stat, float("nan"), stat > threshold, threshold, n, m
     )
+
+
+def projection_planes(dim: int, planes: int = 4) -> list[list[float]]:
+    """md5-derived hyperplanes (``dedup.neardup_planes``) — no RNG
+    state, so any engine (or the DuckDB oracle) re-derives the
+    identical projection basis from (plane index, component index)."""
+    from invalid_spark.pipeline.dedup import neardup_planes
+
+    return neardup_planes(dim, planes)
+
+
+def project_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    planes: int = 4,
+    dim: int | None = None,
+    plane_matrix: list[list[float]] | None = None,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """ONE JVM-side projection adding ``proj_0..proj_{P-1}`` double
+    columns: the raw (double-cast, UN-normalized — magnitude and
+    offset drift must stay visible) vector dotted with each plane.
+
+    The dot is the strict left fold (``F.aggregate`` over
+    ``zip_with`` products, 0.0 seed) shared with
+    ``pipeline.similarity.dot``, so a SQL engine replays every
+    projection bit-for-bit via ``list_reduce``. Plane literals are
+    fine here the way LSH's are (P ≤ ~20 by construction); the
+    thing that must NOT be literals — a production IVF codebook —
+    has its own broadcast path in ``similarity.nearest_lists_udf``.
+
+    Pass ``dim`` (or ``plane_matrix``) to keep the build
+    action-free; without either, one ``first()`` probes the width.
+    NULL vectors project to NULL and fall out of the histogram
+    state exactly like NULL scalars in a ``$drift`` column."""
+    if plane_matrix is None:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        plane_matrix = projection_planes(dim, planes)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cols: list = [F.col(c) for c in keep]
+    for p, plane in enumerate(plane_matrix):
+        pl = F.array(*[F.lit(float(x)) for x in plane])
+        proj = F.aggregate(
+            F.zip_with(v, pl, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        cols.append(proj.alias(f"proj_{p}"))
+    return df.select(*cols)
+
+
+def _proj_specs(planes: int, threshold: float, bins: int) -> list[tuple[str, dict]]:
+    return [
+        (f"proj_{p}", {"test": "ks", "threshold": threshold, "bins": bins})
+        for p in range(planes)
+    ]
+
+
+def embedding_drift(
+    cur: DataFrame,
+    prev: DataFrame,
+    vec_col: str = "embedding",
+    planes: int = 4,
+    dim: int | None = None,
+    plane_matrix: list[list[float]] | None = None,
+    bins: int = 256,
+    threshold: float = 0.01,
+) -> dict[int, DriftResult]:
+    """Two-sample distribution drift of an EMBEDDING column — the
+    vector sibling of ``$drift`` on a scalar: project both sides onto
+    ``planes`` fixed md5-derived hyperplanes (random-projection
+    sketching: any mean shift, scale change, or rotation of the
+    embedding distribution moves some 1-D projection — Cramér–Wold),
+    then run the exact-rational KS test per projection through
+    :func:`multi_drift`, so the scan count stays CONSTANT (2 per
+    side) no matter how many planes probe the space.
+
+    Returns ``{plane: DriftResult}``; the suite-level verdict is
+    conventionally ``any(r.drifted)`` with ``threshold`` pre-divided
+    by ``planes`` (Bonferroni) if false positives matter. Every
+    number is SQL-replayable: md5 planes + left-fold projection +
+    cross-multiplied integer CDF gap."""
+    if plane_matrix is None:
+        if dim is None:
+            dim = len(cur.select(vec_col).first()[0])
+        plane_matrix = projection_planes(dim, planes)
+    planes = len(plane_matrix)
+    specs = _proj_specs(planes, threshold, bins)
+    pc = project_embeddings(cur, vec_col, plane_matrix=plane_matrix)
+    pp = project_embeddings(prev, vec_col, plane_matrix=plane_matrix)
+    res = multi_drift(pc, pp, specs)
+    return {int(c.rsplit("_", 1)[1]): r for c, r in res.items()}
+
+
+def embedding_state(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    planes: int = 4,
+    dim: int | None = None,
+    plane_matrix: list[list[float]] | None = None,
+    bins: int = 256,
+) -> DataFrame:
+    """Persistable drift state (:data:`STATE_SCHEMA`) of an embedding
+    column: the per-plane projection histograms. Same contract as
+    :func:`numeric_state` — O(planes·bins) rows, mergeable into the
+    runner's drift-state sink, so continuous runs compare tomorrow's
+    embeddings against today's WITHOUT rescanning today."""
+    if plane_matrix is None:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        plane_matrix = projection_planes(dim, planes)
+    specs = _proj_specs(len(plane_matrix), 0.01, bins)
+    proj = project_embeddings(df, vec_col, plane_matrix=plane_matrix)
+    grids = multi_grid(proj, specs, bins)
+    return state_frame(proj, specs, grids)
+
+
+def embedding_drift_vs_state(
+    df: DataFrame,
+    stored: DataFrame,
+    vec_col: str = "embedding",
+    planes: int = 4,
+    dim: int | None = None,
+    plane_matrix: list[list[float]] | None = None,
+    threshold: float = 0.01,
+) -> dict[int, DriftResult]:
+    """Embedding drift against a STORED :func:`embedding_state` in
+    ONE scan of the current table (the stored grid re-buckets the
+    current projections — same contract as
+    :func:`multi_drift_vs_state`). The plane matrix must match the
+    one the state was built with (same ``planes``/``dim`` —
+    md5-derived, so equality is by construction, not by luck)."""
+    if plane_matrix is None:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        plane_matrix = projection_planes(dim, planes)
+    # bins ride in from the STORED grid, not the spec
+    specs = _proj_specs(len(plane_matrix), threshold, 256)
+    proj = project_embeddings(df, vec_col, plane_matrix=plane_matrix)
+    res = multi_drift_vs_state(proj, specs, stored)
+    return {int(c.rsplit("_", 1)[1]): r for c, r in res.items()}

@@ -1228,3 +1228,92 @@ def test_hot_keys(spark):
     assert len(rows) == 2
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def _emb_frame(spark, n, dim=8, shift=0.0, offset=0):
+    """Deterministic synthetic embeddings: component (row, i) is a
+    modular pseudo-uniform in [-0.5, 0.5) (+ optional shift) — same
+    generator both sides, so two id ranges share one distribution."""
+    comp = (
+        ((F.col("id") + offset) * 13 + F.col("i") * 7) % 101
+    ).cast("double") / F.lit(101.0) - F.lit(0.5) + F.lit(float(shift))
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)).alias("i"),
+            lambda i: (((F.col("id") + offset) * 13 + i * 7) % 101)
+            .cast("double") / 101.0 - 0.5 + float(shift),
+        ).alias("embedding"),
+    )
+
+
+def test_embedding_drift_flags_shift_not_null(spark):
+    """Vector-column drift: the hyperplane-projection KS flags a
+    planted component shift and stays quiet on two id ranges drawn
+    from the same generator."""
+    prev = _emb_frame(spark, 400, offset=400)
+    same = _emb_frame(spark, 400)
+    shifted = _emb_frame(spark, 400, shift=0.6)
+    quiet = drift.embedding_drift(same, prev, dim=8, planes=4, threshold=0.01)
+    assert len(quiet) == 4
+    assert not any(r.drifted for r in quiet.values()), {
+        p: (r.statistic, r.p_value) for p, r in quiet.items()
+    }
+    loud = drift.embedding_drift(shifted, prev, dim=8, planes=4, threshold=0.01)
+    assert any(r.drifted for r in loud.values()), {
+        p: (r.statistic, r.p_value) for p, r in loud.items()
+    }
+    assert all(r.n_current == 400 and r.n_prior == 400 for r in loud.values())
+
+
+def test_embedding_drift_matches_scalar_ks(spark):
+    """Bit-parity: each plane's statistic equals ks_statistic_df run
+    on the projected scalars (the multi_drift ≡ per-column contract,
+    extended through the projection)."""
+    prev = _emb_frame(spark, 300, offset=300)
+    cur = _emb_frame(spark, 300, shift=0.3)
+    pl = drift.projection_planes(8, 2)
+    res = drift.embedding_drift(cur, prev, plane_matrix=pl)
+    pc = drift.project_embeddings(cur, plane_matrix=pl)
+    pp = drift.project_embeddings(prev, plane_matrix=pl)
+    for p in range(2):
+        row = drift.ks_statistic_df(pc, pp, f"proj_{p}").collect()[0]
+        assert res[p].statistic == row["statistic"], (p, res[p], row)
+        assert (res[p].n_current, res[p].n_prior) == (row["n_cur"], row["n_prior"])
+
+
+def test_embedding_state_roundtrip(spark):
+    """Continuous story: persistable embedding_state re-buckets
+    tomorrow's projections in one scan; shift still flagged, same
+    data stays quiet; plane count preserved through the state."""
+    prev = _emb_frame(spark, 400, offset=400)
+    st = drift.embedding_state(prev, dim=8, planes=3)
+    # state frame is the standard STATE_SCHEMA → runner-sink compatible
+    assert set(st.columns) == {
+        "column_name", "test", "bucket", "cat", "cnt", "lo", "hi", "bins", "n"
+    }
+    shifted = _emb_frame(spark, 400, shift=0.6)
+    loud = drift.embedding_drift_vs_state(shifted, st, dim=8, planes=3)
+    assert len(loud) == 3 and any(r.drifted for r in loud.values())
+    quiet = drift.embedding_drift_vs_state(prev, st, dim=8, planes=3)
+    assert not any(r.drifted for r in quiet.values()), {
+        p: (r.statistic, r.p_value) for p, r in quiet.items()
+    }
+
+
+def test_embedding_projection_plan_is_jvm_side(spark):
+    """The projection is pure Catalyst (left-fold dot over literal
+    planes) — no Python eval node; NULL vectors drop out of the
+    histogram like NULL scalars."""
+    df = _emb_frame(spark, 50).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 10 == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    proj = drift.project_embeddings(df, dim=8, planes=2, keep=("vec_id",))
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    st = drift.embedding_state(df, dim=8, planes=2)
+    ns = {r["column_name"]: r["n"] for r in st.collect()}
+    assert ns == {"proj_0": 45, "proj_1": 45}
