@@ -1016,17 +1016,24 @@ def project_embeddings(
         if dim is None:
             dim = len(df.select(vec_col).first()[0])
         plane_matrix = projection_planes(dim, planes)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cols: list = [F.col(c) for c in keep]
     for p, plane in enumerate(plane_matrix):
-        pl = F.array(*[F.lit(float(x)) for x in plane])
-        proj = F.aggregate(
-            F.zip_with(v, pl, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda a, b: a + b,
-        )
-        cols.append(proj.alias(f"proj_{p}"))
+        cols.append(projection_expr(vec_col, plane).alias(f"proj_{p}"))
     return df.select(*cols)
+
+
+def projection_expr(vec_col: str, plane: list[float]) -> Column:
+    """The strict-left-fold dot of a (double-cast) array column with
+    one literal hyperplane — the single Catalyst expression both
+    :func:`project_embeddings` and the runner's vector ``$drift``
+    expansion project."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pl = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(v, pl, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
 
 
 def _proj_specs(planes: int, threshold: float, bins: int) -> list[tuple[str, dict]]:

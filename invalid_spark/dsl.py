@@ -39,7 +39,11 @@ Engine extensions (all optional, ignored by reference-parity tests):
   histogram state: threshold bounds the [0,1] statistic, default 0.1) —
   distribution drift; optional ``clip`` bounds the histogram grid by
   quantiles instead of min/max (outlier-proof, applied to both the
-  comparison and the persisted state)
+  comparison and the persisted state). On an ARRAY column the runner
+  expands the rule into per-plane KS specs over md5-hyperplane
+  projections (``planes:`` count, default 4; pass ``dim:`` to keep
+  the stage action-free) — embedding-distribution drift with
+  persistable per-plane state
 - ``$fd: {dep: col}``              — functional dependency: this column
   determines ``dep`` (one determinant value → one dependent value)
 - ``$monotonic: {per: key, order: seq, strict: false}`` — this column

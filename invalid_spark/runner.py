@@ -597,6 +597,16 @@ def validate(
         # recover it so the stored-state comparison still happens
         os.replace(old_dir, state_dir)
     if plan.drift_specs:
+        # a $drift rule on an ARRAY column expands into per-plane
+        # scalar specs over md5-hyperplane projections (columns named
+        # "<col>#p<i>" — stable across runs because the planes are
+        # md5-derived, never RNG); everything downstream — grids,
+        # tagged histogram state, verdict rows, stored-state
+        # comparison — then treats an embedding like `planes`
+        # ordinary numeric columns
+        d_specs, d_df, d_prev = _expand_vector_drift(
+            df, plan.drift_specs, prev_df
+        )
         stored = (
             spark.read.parquet(state_dir)
             if prev_df is None and os.path.exists(state_dir)
@@ -616,16 +626,16 @@ def validate(
         if prev_df is not None:
             # one grid aggregation serves both the comparison and the
             # state persistence below (no second scan for the grid)
-            cur_grids = drift_checks.multi_grid(df, plan.drift_specs)
+            cur_grids = drift_checks.multi_grid(d_df, d_specs)
             results = drift_checks.multi_drift(
-                df, prev_df, plan.drift_specs, cur_grids=cur_grids
+                d_df, d_prev, d_specs, cur_grids=cur_grids
             )
         elif stored is not None:
             # columns with no stored state rows (a $drift rule added
             # since the stored run) are omitted — nothing to compare
             # yet; their fresh state is written below
             results = drift_checks.multi_drift_vs_state(
-                df, plan.drift_specs, stored
+                d_df, d_specs, stored
             )
         else:
             results = {}  # first run: nothing to compare against yet
@@ -645,10 +655,10 @@ def validate(
         if not (prev_df is None and stored is None and stored_snap == snapshot):
             grids = (
                 cur_grids if cur_grids is not None
-                else drift_checks.multi_grid(df, plan.drift_specs)
+                else drift_checks.multi_grid(d_df, d_specs)
             )
             states = drift_checks.state_frame(
-                df, plan.drift_specs, grids
+                d_df, d_specs, grids
             ).withColumn("snapshot_id", F.lit(snapshot))
             tmp_dir = state_dir + ".tmp"
             states.write.mode("overwrite").parquet(tmp_dir)
@@ -667,6 +677,67 @@ def validate(
                 shutil.rmtree(old_dir)
 
     return result
+
+
+def _expand_vector_drift(
+    df: DataFrame,
+    specs: list[tuple[str, dict]],
+    prev_df: DataFrame | None,
+) -> tuple[list[tuple[str, dict]], DataFrame, DataFrame | None]:
+    """Rewrite ``$drift`` specs on ARRAY columns into per-plane scalar
+    specs over md5-hyperplane projections (Cramér–Wold sketch — see
+    ``drift.embedding_drift``), returning (expanded specs, augmented
+    current frame, augmented prev frame).
+
+    Spec keys on a vector column: ``planes`` (default 4) and ``dim``
+    (pass it to keep the stage action-free; without it one ``first()``
+    probes the width). The projection columns are named
+    ``<col>#p<i>`` — deterministic across runs, so stored-state
+    comparison just works; changing ``planes`` between runs makes the
+    extra planes "new columns" (omitted from comparison once, fresh
+    state written). Scalar specs and frames pass through untouched."""
+    from pyspark.sql.types import ArrayType
+
+    out: list[tuple[str, dict]] = []
+    proj: list[tuple[str, list[float]]] = []  # (out_name, plane)
+    for col, spec in specs:
+        try:
+            is_vec = isinstance(df.schema[col].dataType, ArrayType)
+        except KeyError:
+            is_vec = False
+        if not is_vec:
+            out.append((col, spec))
+            continue
+        planes = int(spec.get("planes", 4))
+        dim = spec.get("dim")
+        if dim is None:
+            row = df.select(col).filter(F.col(col).isNotNull()).first()
+            dim = len(row[0]) if row else 0
+        scalar = {
+            k: v for k, v in spec.items() if k not in ("planes", "dim")
+        }
+        scalar.setdefault("test", "ks")
+        for p, plane in enumerate(
+            drift_checks.projection_planes(int(dim), planes)
+        ):
+            name = f"{col}#p{p}"
+            proj.append((name, col, plane))
+            out.append((name, dict(scalar)))
+    if not proj:
+        return specs, df, prev_df
+
+    def aug(d: DataFrame | None) -> DataFrame | None:
+        if d is None:
+            return None
+        return d.select(
+            "*",
+            *[
+                drift_checks.projection_expr(c, pl).alias(n)
+                for n, c, pl in proj
+            ],
+        )
+
+    return out, aug(df), aug(prev_df)
 
 
 def incremental_rows(

@@ -576,3 +576,61 @@ def test_continuous_snapshots_verdicts_current_only(spark, tmp_path):
     m2 = {r["error_type"]: r["n_violations"]
           for r in r2.metrics(spark).collect()}
     assert m2.get("rangeMismatch", 0) == 0
+
+
+def _vec_frame(spark, n, dim=8, shift=0.0, offset=0):
+    """Deterministic synthetic embedding frame (modular pseudo-uniform
+    components in [-0.5, 0.5) + shift) — same generator, same
+    distribution for any id range."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (((F.col("id") + offset) * 13 + i * 7) % 101)
+            .cast("double") / 101.0 - 0.5 + float(shift),
+        ).alias("emb"),
+    )
+
+
+def test_vector_drift_through_runner(spark, tmp_path):
+    """$drift on an ARRAY column: the runner expands it into per-plane
+    projection specs (emb#p0..) — state persists, continuous runs
+    compare against it, and the verdict rows flag a planted component
+    shift while two same-distribution snapshots stay quiet."""
+    rules = load_rules(
+        "emb: {$type: $arr, $constraint: $float, "
+        "$drift: {test: ks, planes: 3, dim: 8, threshold: 0.01}}\n"
+    )
+    prev = _vec_frame(spark, 400, offset=400)
+    cur = _vec_frame(spark, 400)
+    shifted = _vec_frame(spark, 400, shift=0.6)
+
+    # continuous path: s1 persists per-plane state, s2 (shifted) flags
+    out = str(tmp_path / "vec_cont")
+    runner.validate(spark, prev, rules, "vec_id", out, snapshot="s1",
+                    manifest_dir=os.path.join(out, "m1"))
+    st = spark.read.parquet(os.path.join(out, "drift_state"))
+    assert {r["column_name"] for r in st.collect()} == {
+        "emb#p0", "emb#p1", "emb#p2"
+    }
+    runner.validate(spark, shifted, rules, "vec_id", out, snapshot="s2",
+                    manifest_dir=os.path.join(out, "m2"))
+    d2 = {r["column"]: r for r in
+          spark.read.parquet(os.path.join(out, "drift")).collect()}
+    assert set(d2) == {"emb#p0", "emb#p1", "emb#p2"}
+    assert any(r["drifted"] for r in d2.values()), d2
+
+    # quiet path: same generator, disjoint id ranges → no drift
+    out2 = str(tmp_path / "vec_quiet")
+    runner.validate(spark, prev, rules, "vec_id", out2, snapshot="s1",
+                    manifest_dir=os.path.join(out2, "m1"))
+    runner.validate(spark, cur, rules, "vec_id", out2, snapshot="s2",
+                    manifest_dir=os.path.join(out2, "m2"))
+    dq = spark.read.parquet(os.path.join(out2, "drift")).collect()
+    assert len(dq) == 3 and not any(r["drifted"] for r in dq), dq
+
+    # two-sample (prev_df rescan) path through the same expansion
+    out3 = str(tmp_path / "vec_two")
+    runner.validate(spark, shifted, rules, "vec_id", out3, prev_df=prev)
+    d3 = spark.read.parquet(os.path.join(out3, "drift")).collect()
+    assert any(r["drifted"] for r in d3)
