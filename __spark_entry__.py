@@ -803,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconcile_orders": q_reconcile_orders,
         "magic_header_docs": q_magic_header_docs,
         "emb_drift_embeddings": q_emb_drift_embeddings,
+        "rowcheck_when_documents": q_rowcheck_when_documents,
         "stats_entropy_events": q_stats_entropy_events,
         "stats_corr_lineitem": q_stats_corr_lineitem,
         "stats_mi_events": q_stats_mi_events,
@@ -1534,6 +1535,49 @@ FROM (
   FROM cdf
 )""")
     return "\nUNION ALL\n".join(blocks)
+
+
+def q_rowcheck_when_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$when row-scope predicate (deequ `.where()` analog): the lang
+    enum applies only to sources src0-2; the source regex stays
+    unscoped. Both ride ONE codegen projection — scoping costs no
+    extra scan; the oracle replays scope + fail-fast gates in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    rules = load_rules(
+        "lang: {$type: $str, $of: [en, fr, de], "
+        "$when: {sql: \"source IN ('src0','src1','src2')\"}}\n"
+        "source: {$type: $str, $reg: '^src[0-9]+$'}\n"
+    )
+    return _viol(rows.run_row_checks(d, rules, "doc_id"))
+
+
+def _sql_rowcheck_when_documents() -> str:
+    # scope predicate P = source IN (src0-2) (NULL → out of scope);
+    # alive after the scoped lang rule = NOT(P AND lang IS NULL)
+    return """
+WITH d AS (
+  SELECT *, coalesce(source IN ('src0','src1','src2'), FALSE) AS p
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT CAST(doc_id AS VARCHAR) AS row_key, 'lang' AS col_name,
+       'lang' AS rule_id, 'keyMissing' AS error_type,
+       'key of [lang] is required' AS message,
+       CAST(NULL AS VARCHAR) AS observed
+FROM d WHERE p AND lang IS NULL
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'lang', 'lang', 'ofMismatch',
+       'value of lang must be one of [[en fr de]]', lang
+FROM d WHERE p AND lang IS NOT NULL AND lang NOT IN ('en','fr','de')
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'source', 'source', 'keyMissing',
+       'key of [source] is required', NULL
+FROM d WHERE NOT (p AND lang IS NULL) AND source IS NULL
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'source', 'source', 'regxMismatch',
+       'value for [source] must match regexp : ^src[0-9]+$', source
+FROM d WHERE NOT (p AND lang IS NULL) AND source IS NOT NULL
+  AND NOT regexp_matches(source, '^src[0-9]+$')
+"""
 
 
 def q_stat_assertions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2985,6 +3029,7 @@ def oracle_sql() -> dict[str, str]:
         "reconcile_orders": _sql_reconcile_orders(),
         "magic_header_docs": _sql_magic_header_docs(),
         "emb_drift_embeddings": _sql_emb_drift_embeddings(),
+        "rowcheck_when_documents": _sql_rowcheck_when_documents(),
         "stats_entropy_events": _sql_stats_entropy_events(),
         "stats_corr_lineitem": _sql_stats_corr_lineitem(),
         "stats_mi_events": _sql_stats_mi_events(),

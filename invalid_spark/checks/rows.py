@@ -137,6 +137,7 @@ class RowCheckPlan:
     assert_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     anomaly_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     expr_specs: list[tuple[str, str]] = dc_field(default_factory=list)
+    when_specs: list[tuple[str, str]] = dc_field(default_factory=list)
     pixel_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     caption_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     vector_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
@@ -189,6 +190,77 @@ class _Compiler:
                 "observed": None,
             }
         )
+
+    # -- $when row scoping --------------------------------------------------
+
+    _TABLE_SCOPE_ATTRS = (
+        ("unique", "$unique"), ("ref", "$ref"), ("stats", "$stats"),
+        ("drift", "$drift"), ("pixel", "$pixel"),
+        ("caption_eq", "$caption-eq"), ("vector", "$vector"),
+        ("assert_", "$assert"), ("anomaly", "$anomaly"), ("fd", "$fd"),
+        ("monotonic", "$monotonic"), ("reconcile", "$reconcile"),
+    )
+
+    def _assert_row_scope(self, rule, path: str) -> None:
+        """$when gates per-ROW checks; a table-level directive under a
+        $when'd rule would silently ignore the scope — a RULE error,
+        surfaced at compile time (reference NewRule parity)."""
+        for attr, dname in self._TABLE_SCOPE_ATTRS:
+            v = getattr(rule, attr)
+            if v is not None and v is not False and v != []:
+                raise ValueError(
+                    f"{dname} on [{path}] cannot be combined with "
+                    "$when: table-level directives aggregate over the "
+                    "whole table and have no row scope; filter the "
+                    "DataFrame instead"
+                )
+        for ch in rule.children:
+            self._assert_row_scope(ch, f"{path}.{ch.key}")
+
+    def _compile_when_scoped(self, child, path: str, prefix: str) -> None:
+        """Compile one ``$when``-scoped rule subtree: walk it exactly
+        as usual (same paths, same messages), then wrap every row
+        check it appended in ``F.when(pred, ...)`` — out-of-scope rows
+        (predicate FALSE or NULL, the deequ ``.where()`` convention)
+        emit nothing. The predicate rides the same codegen projection:
+        scoping costs zero extra scans and no new plan nodes beyond
+        the conditional itself.
+
+        Fail-fast parity: a required-key miss INSIDE the scope kills
+        the row's later checks only where the scope applies —
+        ``alive`` is restored for out-of-scope rows."""
+        sql = child.when.get("sql")
+        if not sql or not isinstance(sql, str):
+            raise ValueError(
+                f"$when on [{path}] needs sql: <boolean expression> "
+                "(e.g. sql: \"source = 'src1'\")"
+            )
+        self._assert_row_scope(child, path)
+        self.plan.when_specs.append((path, sql))
+        pred = F.coalesce(F.expr(sql), F.lit(False))
+        start = len(self.plan.checks)
+        start_arr = len(self.plan.array_checks)
+        saved_alive = self.alive
+        from invalid_spark.dsl import Rule as _Rule
+
+        shell = _Rule(key="__when__", rule_type="$obj")
+        saved_when = child.when
+        child.when = None
+        shell.children = [child]
+        try:
+            self.walk(shell, prefix)
+        finally:
+            child.when = saved_when
+        for i in range(start, len(self.plan.checks)):
+            self.plan.checks[i] = F.when(pred, self.plan.checks[i])
+        for i in range(start_arr, len(self.plan.array_checks)):
+            # empty TYPED array, never NULL — a NULL side in the final
+            # concat would swallow every other rule's violations
+            self.plan.array_checks[i] = F.when(
+                pred, self.plan.array_checks[i]
+            ).otherwise(F.array().cast(T.ArrayType(model.CHECK_STRUCT)))
+        if self.alive is not saved_alive:  # subtree had a fail-fast gate
+            self.alive = F.when(pred, self.alive).otherwise(saved_alive)
 
     # -- scalar checks on an arbitrary expression --------------------------
 
@@ -501,6 +573,12 @@ class _Compiler:
             key = child.key
             dt = _field_type(self.schema, path)
 
+            if child.when is not None:
+                # $when row-scope predicate: compile the subtree as
+                # usual, then gate everything it emitted
+                self._compile_when_scoped(child, path, prefix)
+                continue
+
             # collect table-scale directives regardless of mode
             if child.unique:
                 self.plan.unique_cols.append(path)
@@ -806,6 +884,20 @@ def compile_row_checks(
         if not isinstance(pdt, T.BooleanType):
             raise ValueError(
                 f"$expr on [{pth}] must be a BOOLEAN expression, got "
+                f"{pdt.simpleString()}"
+            )
+    # $when predicates share the same compile-time contract
+    for pth, sql in c.plan.when_specs:
+        try:
+            pdt = df.select(F.expr(sql).alias("p")).schema[0].dataType
+        except Exception as e:
+            raise ValueError(
+                f"$when on [{pth}] does not compile against the table "
+                f"schema: {e}"
+            ) from e
+        if not isinstance(pdt, T.BooleanType):
+            raise ValueError(
+                f"$when on [{pth}] must be a BOOLEAN expression, got "
                 f"{pdt.simpleString()}"
             )
     if strict:

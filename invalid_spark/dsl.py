@@ -30,6 +30,10 @@ Engine extensions (all optional, ignored by reference-parity tests):
 
 - ``$unique: true``                — uniqueness check on the column
 - ``$ref: {table: t, key: k}``     — referential check vs a dimension
+- ``$when: {sql: "<boolean SQL>"}`` — row-scope predicate (deequ
+  ``.where()`` analog): the rule's row checks apply only to rows
+  satisfying the predicate; table-level directives cannot be
+  row-scoped and are rejected at compile time
 - ``$range: {$min: x, $max: y}``   — numeric bounds
 - ``$stats: [null_rate, min, max, ndv, quantiles]`` — profile metrics
 - ``$drift: {test: ks|chi2|psi|wasserstein, threshold: p, clip: [qlo, qhi]}`` —
@@ -105,6 +109,7 @@ _DIRECTIVES = {
     "$unique", "$ref", "$range", "$stats", "$drift", "$pixel",
     "$caption-eq", "$dynamic", "$vector", "$pii", "$assert",
     "$anomaly", "$expr", "$fd", "$monotonic", "$reconcile", "$magic",
+    "$when",
 }
 
 
@@ -158,6 +163,11 @@ class Rule:
     # header dims where cheaply parseable) vs declared metadata, as
     # pure Catalyst hex ops inside the row-check projection
     magic: Optional[dict] = None
+    # $when: {sql: "<boolean SQL>"} — row-scope predicate (deequ
+    # `.where()` analog): the rule's ROW checks apply only to rows
+    # satisfying the predicate (FALSE/NULL = out of scope); rides the
+    # same projection, so scoping costs zero extra scans
+    when: Optional[dict] = None
     dynamic: bool = False
 
     def get(self, key: str) -> Optional["Rule"]:
@@ -355,6 +365,7 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
         ("$monotonic", "monotonic"),
         ("$reconcile", "reconcile"),
         ("$magic", "magic"),
+        ("$when", "when"),
         ("$pixel", "pixel"),
         ("$caption-eq", "caption_eq"),
         ("$vector", "vector"),

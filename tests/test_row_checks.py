@@ -520,3 +520,86 @@ def test_expr_rule_cross_column(spark):
         compile_row_checks(
             df, load_rules("w: {$type: $int, $expr: {name: x}}\n")
         )
+
+
+# ---------------------------------------------------------------------------
+# $when row-scope predicate (deequ .where() analog)
+
+
+def test_when_scopes_rule_to_matching_rows(spark):
+    df = spark.createDataFrame(
+        [("r1", "s1", "xx"), ("r2", "s2", "xx"), ("r3", "s1", "en"),
+         ("r4", None, "xx")],
+        "rid string, source string, lang string",
+    )
+    rules = """
+lang: {$type: $str, $of: [en], $when: {sql: "source = 's1'"}}
+"""
+    rows = _violations(spark, df, rules).collect()
+    # only the in-scope failing row; s2 and NULL-predicate rows are
+    # out of scope, r3 passes
+    assert [(r.row_key, r.error_type) for r in rows] == [("r1", "ofMismatch")]
+
+
+def test_when_failfast_restores_out_of_scope(spark):
+    """A required-key miss inside a $when scope kills later checks
+    only for in-scope rows; out-of-scope rows keep validating."""
+    df = spark.createDataFrame(
+        [("r1", "s1", None, "xx"), ("r2", "s2", None, "xx")],
+        "rid string, source string, a string, lang string",
+    )
+    rules = """
+a: {$type: $str, $when: {sql: "source = 's1'"}}
+lang: {$type: $str, $of: [en]}
+"""
+    rows = {(r.row_key, r.error_type) for r in
+            _violations(spark, df, rules).collect()}
+    # r1: in scope → keyMissing on a, lang suppressed (fail-fast)
+    # r2: out of scope → no keyMissing, lang check still applies
+    assert rows == {("r1", "keyMissing"), ("r2", "ofMismatch")}
+
+
+def test_when_wraps_array_element_checks(spark):
+    df = spark.createDataFrame(
+        [("r1", "s1", ["1", "x"]), ("r2", "s2", ["1", "x"])],
+        "rid string, source string, nums array<string>",
+    )
+    rules = """
+nums:
+  $type: $arr
+  $constraint: $int
+  $dynamic: true
+  $when: {sql: "source = 's1'"}
+"""
+    rows = _violations(spark, df, rules).collect()
+    assert [(r.row_key, r.error_type) for r in rows] == [
+        ("r1", "typeMismatch")
+    ]
+
+
+def test_when_compile_errors(spark):
+    df = spark.createDataFrame([("r1", "s1", "en")],
+                               "rid string, source string, lang string")
+    from invalid_spark.checks.rows import compile_row_checks as crc
+
+    with pytest.raises(ValueError, match=r"\$unique.*\$when"):
+        crc(df, load_rules(
+            'lang: {$type: $str, $unique: true, $when: {sql: "source = \'s1\'"}}'
+        ))
+    with pytest.raises(ValueError, match=r"\$when on \[lang\] needs sql"):
+        crc(df, load_rules("lang: {$type: $str, $when: {threshold: 1}}"))
+    with pytest.raises(ValueError, match="BOOLEAN"):
+        crc(df, load_rules('lang: {$type: $str, $when: {sql: "length(lang)"}}'))
+    with pytest.raises(ValueError, match="does not compile"):
+        crc(df, load_rules('lang: {$type: $str, $when: {sql: "nope = 1"}}'))
+
+
+def test_when_plan_stays_shuffle_free(spark):
+    df = spark.createDataFrame(
+        [("r%d" % i, "s%d" % (i % 3), "xx") for i in range(50)],
+        "rid string, source string, lang string",
+    )
+    rules = 'lang: {$type: $str, $of: [en], $when: {sql: "source = \'s1\'"}}'
+    v = _violations(spark, df, rules)
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
