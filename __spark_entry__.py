@@ -804,6 +804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "magic_header_docs": q_magic_header_docs,
         "emb_drift_embeddings": q_emb_drift_embeddings,
         "rowcheck_when_documents": q_rowcheck_when_documents,
+        "drift_partitioned_events": q_drift_partitioned_events,
+        "drift_chi2_partitioned_events": q_drift_chi2_partitioned_events,
         "stats_entropy_events": q_stats_entropy_events,
         "stats_corr_lineitem": q_stats_corr_lineitem,
         "stats_mi_events": q_stats_mi_events,
@@ -1577,6 +1579,125 @@ SELECT CAST(doc_id AS VARCHAR), 'source', 'source', 'regxMismatch',
        'value for [source] must match regexp : ^src[0-9]+$', source
 FROM d WHERE NOT (p AND lang IS NULL) AND source IS NOT NULL
   AND NOT regexp_matches(source, '^src[0-9]+$')
+"""
+
+
+def q_drift_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition KS drift (drift.ks_statistic_by_group): the
+    "which shard went bad" view a whole-table statistic averages
+    away. A +30 shift planted in ONE event_type of the current side
+    flags only that group; verdict is λ-space JVM-side (no per-group
+    driver round-trip). Everything — per-group grids, histogram,
+    exact-rational statistic, verdict — replays in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    prev = ev.filter("event_id % 2 = 0")
+    cur = ev.filter("event_id % 2 = 1").withColumn(
+        "value",
+        F.when(F.col("event_type") == "click", F.col("value") + 30.0)
+        .otherwise(F.col("value")),
+    )
+    out = drift.ks_statistic_by_group(
+        cur, prev, "value", "event_type", alpha=0.01
+    )
+    return out.select(
+        "event_type", F.round("statistic", 6).alias("statistic"),
+        "n_cur", "n_prior", "drifted",
+    )
+
+
+def _sql_drift_partitioned_events() -> str:
+    from invalid_spark import mathutil
+
+    lam = mathutil.kolmogorov_lambda_critical(0.01)
+    return f"""
+WITH b AS (
+  SELECT event_type AS g,
+         CASE WHEN event_id % 2 = 1 AND event_type = 'click'
+              THEN value + 30.0 ELSE value END AS v,
+         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS is_cur
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), grids AS (
+  SELECT g, min(v) AS lo, max(v) AS hi FROM b GROUP BY g
+), bk AS (
+  SELECT b.g, is_cur,
+         least(255, greatest(0, CAST(floor((v - lo) /
+           (CASE WHEN (hi - lo) / 256 = 0 THEN 1.0
+                 ELSE (hi - lo) / 256 END)) AS BIGINT))) AS bucket
+  FROM b JOIN grids USING (g)
+), hist AS (
+  SELECT g, bucket, sum(is_cur) AS c_cur, sum(1 - is_cur) AS c_prev
+  FROM bk GROUP BY g, bucket
+), cdf AS (
+  SELECT g,
+         abs(sum(c_cur) OVER (PARTITION BY g ORDER BY bucket)
+               * sum(c_prev) OVER (PARTITION BY g)
+             - sum(c_prev) OVER (PARTITION BY g ORDER BY bucket)
+               * sum(c_cur) OVER (PARTITION BY g)) AS num,
+         CAST(sum(c_cur) OVER (PARTITION BY g) AS BIGINT) AS n_cur,
+         CAST(sum(c_prev) OVER (PARTITION BY g) AS BIGINT) AS n_prior
+  FROM hist
+), s AS (
+  SELECT g, CAST(max(num) AS DOUBLE)
+              / CAST(any_value(n_cur) * any_value(n_prior) AS DOUBLE) AS stat,
+         any_value(n_cur) AS n_cur, any_value(n_prior) AS n_prior
+  FROM cdf GROUP BY g
+)
+SELECT g AS event_type, round(stat, 6) AS statistic,
+       CAST(n_cur AS BIGINT) AS n_cur, CAST(n_prior AS BIGINT) AS n_prior,
+       stat * sqrt(CAST(n_cur * n_prior AS DOUBLE)
+                   / CAST(n_cur + n_prior AS DOUBLE)) > {lam!r} AS drifted
+FROM s
+"""
+
+
+def q_drift_chi2_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition chi² homogeneity (drift.chi2_statistic_by_group):
+    event_type mix of odd vs even event ids, per user_id%3 shard —
+    contingency counts aggregate per (group, category) with partial
+    combine, the canonical-order fold replays bit-for-bit in SQL."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "g", (F.col("user_id") % 3).cast("string")
+    )
+    prev = ev.filter("event_id % 2 = 0")
+    cur = ev.filter("event_id % 2 = 1")
+    out = drift.chi2_statistic_by_group(cur, prev, "event_type", "g")
+    return out.select(
+        "g", F.round("statistic", 6).alias("statistic"),
+        "dof", "n_cur", "n_prior",
+    )
+
+
+def _sql_drift_chi2_partitioned_events() -> str:
+    return """
+WITH b AS (
+  SELECT CAST(user_id % 3 AS VARCHAR) AS g, event_type AS cat,
+         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS is_cur
+  FROM events WHERE user_id IS NOT NULL
+), tab AS (
+  SELECT g, cat, sum(is_cur) AS o1, sum(1 - is_cur) AS o2
+  FROM b GROUP BY g, cat
+), t AS (
+  SELECT g, cat, o1, o2,
+         CAST(sum(o1) OVER (PARTITION BY g) AS BIGINT) AS n,
+         CAST(sum(o2) OVER (PARTITION BY g) AS BIGINT) AS m
+  FROM tab
+), terms AS (
+  SELECT g, cat, n, m,
+         CASE WHEN o1 + o2 > 0
+              THEN CAST(o1*m - o2*n AS DOUBLE) * CAST(o1*m - o2*n AS DOUBLE)
+                   / CAST(o1 + o2 AS DOUBLE)
+              ELSE 0.0 END AS term
+  FROM t
+)
+SELECT g,
+       round(list_reduce(list_prepend(0.0, list(term ORDER BY cat NULLS FIRST)),
+                         (a, b) -> a + b)
+             / (CAST(any_value(n) AS DOUBLE) * CAST(any_value(m) AS DOUBLE)),
+             6) AS statistic,
+       greatest(count(*) - 1, 1) AS dof,
+       CAST(any_value(n) AS BIGINT) AS n_cur,
+       CAST(any_value(m) AS BIGINT) AS n_prior
+FROM terms GROUP BY g
 """
 
 
@@ -3030,6 +3151,8 @@ def oracle_sql() -> dict[str, str]:
         "magic_header_docs": _sql_magic_header_docs(),
         "emb_drift_embeddings": _sql_emb_drift_embeddings(),
         "rowcheck_when_documents": _sql_rowcheck_when_documents(),
+        "drift_partitioned_events": _sql_drift_partitioned_events(),
+        "drift_chi2_partitioned_events": _sql_drift_chi2_partitioned_events(),
         "stats_entropy_events": _sql_stats_entropy_events(),
         "stats_corr_lineitem": _sql_stats_corr_lineitem(),
         "stats_mi_events": _sql_stats_mi_events(),

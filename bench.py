@@ -186,6 +186,8 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
         ("reconcile", entry.q_reconcile_orders),
         ("magic_header", entry.q_magic_header_docs),
         ("emb_drift", entry.q_emb_drift_embeddings),
+        ("rowcheck_when", entry.q_rowcheck_when_documents),
+        ("drift_partitioned", entry.q_drift_partitioned_events),
     ):
         timed(name, lambda q=q: (q(spark, sf_dir).count(), 0)[1],
               in_headline=False)

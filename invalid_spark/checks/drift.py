@@ -1126,3 +1126,159 @@ def embedding_drift_vs_state(
     proj = project_embeddings(df, vec_col, plane_matrix=plane_matrix)
     res = multi_drift_vs_state(proj, specs, stored)
     return {int(c.rsplit("_", 1)[1]): r for c, r in res.items()}
+
+
+def ks_statistic_by_group(
+    cur: DataFrame,
+    prev: DataFrame,
+    col: str,
+    group_col: str,
+    bins: int = 256,
+    alpha: float | None = None,
+) -> DataFrame:
+    """Per-partition KS drift — the "which shard went bad" question a
+    whole-table statistic averages away: one row (group, statistic,
+    n_cur, n_prior[, drifted]) per value of ``group_col``.
+
+    Fully distributed end to end, the :func:`ks_statistic_df` contract
+    grouped: per-group min/max grid (one aggregation, broadcast back),
+    one (group, bucket) histogram aggregation with partial combine,
+    cumulative windows over the per-group O(bins) histogram — never
+    over rows — and the exact-rational cross-product statistic, so
+    ANY number of partitions costs three shuffles of sketch-sized
+    data and every value replays bit-for-bit in SQL. With ``alpha``
+    the verdict is evaluated JVM-side in λ-space against one
+    Kolmogorov critical constant (no per-group driver round-trip —
+    the ``streaming_ks_windows`` trick)."""
+    both = cur.select(
+        F.col(group_col).alias("g"),
+        F.col(col).cast("double").alias("v"),
+        F.lit(1).alias("is_cur"),
+    ).unionByName(
+        prev.select(
+            F.col(group_col).alias("g"),
+            F.col(col).cast("double").alias("v"),
+            F.lit(0).alias("is_cur"),
+        )
+    ).filter(F.col("v").isNotNull() & F.col("g").isNotNull())
+    grids = both.groupBy("g").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(bins)
+    b = both.join(F.broadcast(grids), "g").select(
+        "g", "is_cur",
+        F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("v") - F.col("lo"))
+                    / F.when(width == 0, F.lit(1.0)).otherwise(width)
+                ),
+            ),
+        ).alias("bucket"),
+    )
+    hist = b.groupBy("g", "bucket").agg(
+        F.sum("is_cur").alias("c_cur"),
+        F.sum(1 - F.col("is_cur")).alias("c_prev"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdfs = hist.select(
+        "g",
+        F.sum("c_cur").over(w).alias("cum_cur"),
+        F.sum("c_prev").over(w).alias("cum_prev"),
+        F.sum("c_cur").over(tot).alias("n_cur"),
+        F.sum("c_prev").over(tot).alias("n_prior"),
+    )
+    num = F.abs(
+        F.col("cum_cur") * F.col("n_prior") - F.col("cum_prev") * F.col("n_cur")
+    )
+    out = cdfs.select(num.alias("num"), "g", "n_cur", "n_prior").groupBy(
+        "g"
+    ).agg(
+        F.when(
+            (F.first("n_cur") > 0) & (F.first("n_prior") > 0),
+            F.max("num").cast("double")
+            / (F.first("n_cur") * F.first("n_prior")).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("statistic"),
+        F.first("n_cur").alias("n_cur"),
+        F.first("n_prior").alias("n_prior"),
+    ).select(F.col("g").alias(group_col), "statistic", "n_cur", "n_prior")
+    if alpha is not None:
+        lam = mathutil.kolmogorov_lambda_critical(alpha)
+        nm = F.col("n_cur") * F.col("n_prior")
+        out = out.withColumn(
+            "drifted",
+            (F.col("statistic")
+             * F.sqrt(nm.cast("double")
+                      / (F.col("n_cur") + F.col("n_prior")).cast("double")))
+            > F.lit(lam),
+        )
+    return out
+
+
+def chi2_statistic_by_group(
+    cur: DataFrame,
+    prev: DataFrame,
+    col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-partition chi-square homogeneity: one row (group,
+    statistic, dof, n_cur, n_prior) per ``group_col`` value — the
+    categorical sibling of :func:`ks_statistic_by_group`. Contingency
+    counts aggregate per (group, category) with partial combine; the
+    per-group statistic folds the category-sorted exact d²/r terms
+    with a strict left fold (canonical float order, SQL-replayable)."""
+    both = cur.select(
+        F.col(group_col).alias("g"),
+        F.col(col).cast("string").alias("cat"),
+        F.lit(1).alias("is_cur"),
+    ).unionByName(
+        prev.select(
+            F.col(group_col).alias("g"),
+            F.col(col).cast("string").alias("cat"),
+            F.lit(0).alias("is_cur"),
+        )
+    ).filter(F.col("g").isNotNull())
+    tab = both.groupBy("g", "cat").agg(
+        F.sum("is_cur").alias("o1"), F.sum(1 - F.col("is_cur")).alias("o2")
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = tab.select(
+        "g", "cat", "o1", "o2",
+        F.sum("o1").over(tot).alias("n"),
+        F.sum("o2").over(tot).alias("m"),
+    )
+    d = (F.col("o1") * F.col("m") - F.col("o2") * F.col("n")).cast("double")
+    r = (F.col("o1") + F.col("o2")).cast("double")
+    term = F.when(r > 0, d * d / r).otherwise(F.lit(0.0))
+    terms = t.select("g", "cat", term.alias("term"), "n", "m")
+    folded = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("cat", "term"))),
+            lambda x: x["term"],
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return terms.groupBy("g").agg(
+        F.when(
+            (F.first("n") > 0) & (F.first("m") > 0),
+            folded
+            / (F.first("n").cast("double") * F.first("m").cast("double")),
+        ).otherwise(F.lit(0.0)).alias("statistic"),
+        F.greatest(F.count(F.lit(1)) - 1, F.lit(1)).alias("dof"),
+        F.first("n").alias("n_cur"),
+        F.first("m").alias("n_prior"),
+    ).select(F.col("g").alias(group_col), "statistic", "dof", "n_cur", "n_prior")

@@ -1317,3 +1317,57 @@ def test_embedding_projection_plan_is_jvm_side(spark):
     st = drift.embedding_state(df, dim=8, planes=2)
     ns = {r["column_name"]: r["n"] for r in st.collect()}
     assert ns == {"proj_0": 45, "proj_1": 45}
+
+
+def test_ks_by_group_matches_per_group_scalar(spark):
+    """Per-partition KS == ks_statistic_df run on each group's
+    filtered frames (same per-group min/max grid by construction);
+    the planted per-group shift flags ONLY that group."""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    prev = ev.filter("event_id % 2 = 0")
+    cur = ev.filter("event_id % 2 = 1").withColumn(
+        "value",
+        F.when(F.col("event_type") == "click", F.col("value") + 30.0)
+        .otherwise(F.col("value")),
+    )
+    out = {
+        r["event_type"]: r
+        for r in drift.ks_statistic_by_group(
+            cur, prev, "value", "event_type", alpha=0.01
+        ).collect()
+    }
+    assert out["click"]["drifted"]
+    quiet = [g for g in out if g != "click"]
+    assert quiet and not any(out[g]["drifted"] for g in quiet), out
+    for g in ("click", "view", "error"):
+        row = drift.ks_statistic_df(
+            cur.filter(F.col("event_type") == g),
+            prev.filter(F.col("event_type") == g),
+            "value",
+        ).collect()[0]
+        assert out[g]["statistic"] == row["statistic"], (g, out[g], row)
+        assert (out[g]["n_cur"], out[g]["n_prior"]) == (
+            row["n_cur"], row["n_prior"])
+
+
+def test_chi2_by_group_matches_per_group_scalar(spark):
+    """Per-partition chi² == chi2_statistic_df per filtered group
+    (canonical category fold per group)."""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    ev = ev.withColumn("g", (F.col("user_id") % 3).cast("string"))
+    prev = ev.filter("event_id % 2 = 0")
+    cur = ev.filter("event_id % 2 = 1")
+    out = {
+        r["g"]: r
+        for r in drift.chi2_statistic_by_group(
+            cur, prev, "event_type", "g"
+        ).collect()
+    }
+    assert set(out) == {"0", "1", "2"}
+    for g in out:
+        row = drift.chi2_statistic_df(
+            cur.filter(F.col("g") == g), prev.filter(F.col("g") == g),
+            "event_type",
+        ).collect()[0]
+        assert out[g]["statistic"] == row["statistic"], (g, out[g], row)
+        assert out[g]["dof"] == row["dof"]
