@@ -806,6 +806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rowcheck_when_documents": q_rowcheck_when_documents,
         "drift_partitioned_events": q_drift_partitioned_events,
         "drift_chi2_partitioned_events": q_drift_chi2_partitioned_events,
+        "outliers_lineitem": q_outliers_lineitem,
+        "benford_lineitem": q_benford_lineitem,
+        "null_rates_by_group_events": q_null_rates_by_group_events,
         "stats_entropy_events": q_stats_entropy_events,
         "stats_corr_lineitem": q_stats_corr_lineitem,
         "stats_mi_events": q_stats_mi_events,
@@ -1698,6 +1701,137 @@ SELECT g,
        CAST(any_value(n) AS BIGINT) AS n_cur,
        CAST(any_value(m) AS BIGINT) AS n_prior
 FROM terms GROUP BY g
+"""
+
+
+def q_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level outlier screen (stats.outlier_violations): Tukey IQR
+    fences from ONE exact-percentile aggregation (F.percentile ≡
+    DuckDB quantile_cont, the parity the percentiles_exact oracle
+    pins), then one pruned filter scan with the fences as literals.
+    Spikes planted on ~1/1999 rows; message column dropped (its
+    Python float repr is not SQL-reproducible — the check itself
+    is)."""
+    df = _t(spark, sf_dir, "lineitem")
+    spiked = df.withColumn(
+        "l_extendedprice",
+        F.when(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")) % 1999 == 0,
+            F.col("l_extendedprice") + 500000.0,
+        ).otherwise(F.col("l_extendedprice")),
+    )
+    v = stats.outlier_violations(spiked, "l_extendedprice", "l_orderkey")
+    return v.select("row_key", "rule_id", "error_type", "observed")
+
+
+def _sql_outliers_lineitem() -> str:
+    return """
+WITH d AS (
+  SELECT l_orderkey,
+         CASE WHEN (l_orderkey * 10 + l_linenumber) % 1999 = 0
+              THEN l_extendedprice + 500000.0
+              ELSE l_extendedprice END AS v
+  FROM lineitem
+), b AS (
+  SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3 FROM d
+), f AS (
+  SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM b
+)
+SELECT CAST(l_orderkey AS VARCHAR) AS row_key,
+       'l_extendedprice' AS rule_id, 'outlier' AS error_type,
+       CAST(v AS VARCHAR) AS observed
+FROM d, f WHERE v IS NOT NULL AND (v < lo OR v > hi)
+"""
+
+
+def q_benford_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit goodness-of-fit (stats.benford_test): the
+    fabricated-data screen. One digit-histogram aggregation; the digit
+    comes from the decimal string of trunc-toward-zero (never
+    log10/pow — decade boundaries land wrong in floating point); the
+    9-term chi² folds in digit order, SQL-replayable. Synthetic
+    uniform prices are decidedly non-Benford — the point is the exact
+    statistic, not the verdict."""
+    df = _t(spark, sf_dir, "lineitem")
+    out = stats.benford_test(df, "l_extendedprice")
+    return out.select(
+        "column_name", F.round("statistic", 6).alias("statistic"),
+        "dof", "n",
+    )
+
+
+def _sql_benford_lineitem() -> str:
+    from invalid_spark.checks.stats import BENFORD_P
+
+    plist = ", ".join(repr(p) for p in BENFORD_P)
+    return f"""
+WITH dig AS (
+  SELECT CAST(substring(CAST(abs(CAST(trunc(l_extendedprice) AS BIGINT))
+                             AS VARCHAR), 1, 1) AS INT) AS d
+  FROM lineitem
+), hist AS (
+  SELECT d, count(*) AS cnt FROM dig WHERE d IS NOT NULL AND d > 0 GROUP BY d
+), t AS (
+  SELECT d, cnt, CAST(sum(cnt) OVER () AS BIGINT) AS n FROM hist
+), terms AS (
+  SELECT d, n,
+         (CAST(cnt AS DOUBLE) - CAST(n AS DOUBLE) * ([{plist}])[d + 1])
+         * (CAST(cnt AS DOUBLE) - CAST(n AS DOUBLE) * ([{plist}])[d + 1])
+         / (CAST(n AS DOUBLE) * ([{plist}])[d + 1]) AS term
+  FROM t
+)
+SELECT 'l_extendedprice' AS column_name,
+       round(list_reduce(list_prepend(0.0, list(term ORDER BY d)),
+                         (a, b) -> a + b), 6) AS statistic,
+       8 AS dof, CAST(any_value(n) AS BIGINT) AS n
+FROM terms
+"""
+
+
+def q_null_rates_by_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition completeness (stats.null_rates_by_group): which
+    shard is missing data — one conditional-count aggregation for all
+    columns, exploded to long form AFTER the aggregate. NULLs planted
+    on deterministic event_id strides."""
+    ev = _t(spark, sf_dir, "events")
+    planted = ev.withColumn(
+        "props",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+            F.col("props")
+        ),
+    ).withColumn(
+        "value",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    out = stats.null_rates_by_group(planted, ["props", "value"], "event_type")
+    return out.select(
+        "event_type", "column_name", "n", "n_null",
+        F.round("null_rate", 6).alias("null_rate"),
+    )
+
+
+def _sql_null_rates_by_group_events() -> str:
+    return """
+WITH d AS (
+  SELECT event_type,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE props END AS props,
+         CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+  FROM events
+), w AS (
+  SELECT event_type, count(*) AS n,
+         sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value
+  FROM d GROUP BY event_type
+)
+SELECT event_type, 'props' AS column_name, n, null_props AS n_null,
+       round(CAST(null_props AS DOUBLE) / CAST(n AS DOUBLE), 6) AS null_rate
+FROM w
+UNION ALL
+SELECT event_type, 'value', n, null_value,
+       round(CAST(null_value AS DOUBLE) / CAST(n AS DOUBLE), 6)
+FROM w
 """
 
 
@@ -3153,6 +3287,9 @@ def oracle_sql() -> dict[str, str]:
         "rowcheck_when_documents": _sql_rowcheck_when_documents(),
         "drift_partitioned_events": _sql_drift_partitioned_events(),
         "drift_chi2_partitioned_events": _sql_drift_chi2_partitioned_events(),
+        "outliers_lineitem": _sql_outliers_lineitem(),
+        "benford_lineitem": _sql_benford_lineitem(),
+        "null_rates_by_group_events": _sql_null_rates_by_group_events(),
         "stats_entropy_events": _sql_stats_entropy_events(),
         "stats_corr_lineitem": _sql_stats_corr_lineitem(),
         "stats_mi_events": _sql_stats_mi_events(),

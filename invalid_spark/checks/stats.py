@@ -441,3 +441,155 @@ def hot_keys(df: DataFrame, col: str, k: int = 20) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(rank_w))
     )
+
+
+def outlier_bounds(
+    df: DataFrame,
+    col: str,
+    method: str = "iqr",
+    k: float = 1.5,
+) -> tuple[float, float]:
+    """Outlier fences for one numeric column, from ONE aggregation.
+
+    ``iqr``: Tukey fences q1 - k·IQR .. q3 + k·IQR with EXACT
+    quantiles (``F.percentile`` — the linear-interpolation definition
+    DuckDB's ``quantile_cont`` shares, so the SQL oracle reproduces
+    the bounds bit-for-bit). ``zscore``: mean ± k·stddev (sample
+    stddev both engines). Exact percentiles hold the whole column in
+    the aggregation buffer per group — fine for a single global group
+    even at scale, but prefer iqr with ``tdigest_quantiles`` feeding
+    custom fences when the cluster is memory-tight."""
+    c = F.col(col).cast("double")
+    if method == "iqr":
+        row = df.agg(
+            F.percentile(c, F.lit(0.25)).alias("q1"),
+            F.percentile(c, F.lit(0.75)).alias("q3"),
+        ).collect()[0]
+        iqr = row["q3"] - row["q1"]
+        return row["q1"] - k * iqr, row["q3"] + k * iqr
+    if method == "zscore":
+        row = df.agg(
+            F.avg(c).alias("mu"), F.stddev(c).alias("sd")
+        ).collect()[0]
+        sd = row["sd"] or 0.0
+        return row["mu"] - k * sd, row["mu"] + k * sd
+    raise ValueError(f"unknown outlier method [{method}]")
+
+
+def outlier_violations(
+    df: DataFrame,
+    col: str,
+    row_key: str,
+    method: str = "iqr",
+    k: float = 1.5,
+    run_id: str = "",
+) -> DataFrame:
+    """Row-level outlier flags (error_type ``outlier``) in the
+    engine's violation schema: bounds from :func:`outlier_bounds`
+    (one aggregation), then one pruned filter scan — the fences ride
+    as literals, so the filter pushes into the parquet scan. NULLs
+    are not outliers (completeness is ``$required``'s job)."""
+    lo, hi = outlier_bounds(df, col, method, k)
+    c = F.col(col).cast("double")
+    return df.filter(c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi)))).select(
+        F.col(row_key).cast("string").alias("row_key"),
+        F.lit(col).alias("column"),
+        F.lit(col).alias("rule_id"),
+        F.lit("outlier").alias("error_type"),
+        F.lit(
+            f"value of {col} outside {method} fences "
+            f"[{lo!r}, {hi!r}] (k={k})"
+        ).alias("message"),
+        c.cast("string").alias("observed"),
+        F.lit(run_id).alias("run_id"),
+    )
+
+
+# Benford expected first-digit proportions log10(1 + 1/d), d = 1..9
+BENFORD_P = [0.0] + [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def benford_test(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit (Benford's law) goodness-of-fit — the
+    classic fabricated-data screen for naturally-occurring numeric
+    columns (amounts, populations, file sizes). One row: (column_name,
+    statistic, dof, n) where statistic is the chi² GoF against
+    log10(1 + 1/d).
+
+    One aggregation pass (digit histogram, partial combine), the
+    9-term statistic folded JVM-side in digit order — exact int
+    counts, canonical float order, SQL-replayable. The digit comes
+    from the DECIMAL STRING of the value truncated toward zero
+    (``cast(long)``), never from log10/pow — floating log10 puts
+    boundary values (1000, 10⁶) in the wrong decade on some engines.
+    Values truncating to 0 carry no leading digit and are excluded."""
+    d1 = F.substring(
+        F.abs(F.col(col).cast("long")).cast("string"), 1, 1
+    ).cast("int")
+    hist = (
+        df.select(d1.alias("d"))
+        .filter(F.col("d").isNotNull() & (F.col("d") > 0))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t = hist.select(
+        "d", "cnt", F.sum("cnt").over(tot).cast("long").alias("n")
+    )
+    # chi² = Σ (cnt - n·p_d)² / (n·p_d), folded in digit order; the
+    # expected counts use the double literals BENFORD_P so any SQL
+    # engine replays the same IEEE values
+    exp = F.col("n").cast("double") * F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_P]), F.col("d") + 1
+    )
+    term = (F.col("cnt").cast("double") - exp) * (
+        F.col("cnt").cast("double") - exp
+    ) / exp
+    terms = t.select("d", term.alias("term"), "n")
+    folded = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "term"))),
+            lambda x: x["term"],
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return terms.groupBy().agg(
+        F.first(F.lit(col)).alias("column_name"),
+        folded.alias("statistic"),
+        F.lit(8).alias("dof"),
+        F.first("n").alias("n"),
+    )
+
+
+def null_rates_by_group(
+    df: DataFrame, cols: list[str], group_col: str
+) -> DataFrame:
+    """Per-partition completeness: (group, column_name, n, n_null,
+    null_rate) — the "which shard is missing data" view, one
+    aggregation for ALL columns (conditional counts, partial
+    combine), exploded to long form after the aggregate so the
+    shuffle carries one row per group, not per column."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}")
+        )
+    wide = df.groupBy(F.col(group_col).alias("g")).agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"__null_{c}").alias("n_null"),
+        )
+        for c in cols
+    ])
+    return wide.select(
+        F.col("g").alias(group_col), F.col("__n").alias("n"),
+        F.explode(pairs).alias("p"),
+    ).select(
+        group_col, "p.column_name", "n", "p.n_null",
+        (F.col("p.n_null").cast("double") / F.col("n").cast("double"))
+        .alias("null_rate"),
+    )

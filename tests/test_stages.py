@@ -1371,3 +1371,51 @@ def test_chi2_by_group_matches_per_group_scalar(spark):
         ).collect()[0]
         assert out[g]["statistic"] == row["statistic"], (g, out[g], row)
         assert out[g]["dof"] == row["dof"]
+
+
+def test_outlier_violations_iqr_and_zscore(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(100)] + [(100, 1e6), (101, None)],
+        "rid bigint, v double",
+    )
+    v = stats.outlier_violations(df, "v", "rid").collect()
+    # the planted spike only; NULL is not an outlier
+    assert [(r.row_key, r.error_type) for r in v] == [("100", "outlier")]
+    lo, hi = stats.outlier_bounds(df, "v", method="zscore", k=3.0)
+    assert lo < 0 < hi
+    with pytest.raises(ValueError, match="unknown outlier method"):
+        stats.outlier_bounds(df, "v", method="mad")
+
+
+def test_benford_planted_distribution(spark):
+    """A column drawn exactly from Benford proportions scores ~0; a
+    constant-leading-digit column scores enormous; zeros and NULLs
+    are excluded from n."""
+    import math as _m
+
+    rows = []
+    for d in range(1, 10):
+        rows += [(float(d) * 10,)] * round(1000 * _m.log10(1 + 1 / d))
+    benford = spark.createDataFrame(rows, "v double")
+    r = stats.benford_test(benford, "v").collect()[0]
+    assert r["n"] == len(rows) and r["statistic"] < 1.0, r
+    flat = spark.createDataFrame(
+        [(9000.0,)] * 500 + [(0.4,), (None,)], "v double"
+    )
+    r2 = stats.benford_test(flat, "v").collect()[0]
+    # 0.4 truncates to 0 (no leading digit) and NULL drops → n = 500
+    assert r2["n"] == 500 and r2["statistic"] > 1000
+
+
+def test_null_rates_by_group(spark):
+    df = spark.createDataFrame(
+        [("a", None, 1.0), ("a", "x", None), ("a", "y", 2.0),
+         ("b", None, None)],
+        "g string, s string, v double",
+    )
+    out = {(r["g"], r["column_name"]): r
+           for r in stats.null_rates_by_group(df, ["s", "v"], "g").collect()}
+    assert out[("a", "s")]["n_null"] == 1 and out[("a", "s")]["n"] == 3
+    assert out[("a", "v")]["null_rate"] == pytest.approx(1 / 3)
+    assert out[("b", "s")]["null_rate"] == 1.0
+    assert out[("b", "v")]["null_rate"] == 1.0
