@@ -809,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_lineitem": q_outliers_lineitem,
         "benford_lineitem": q_benford_lineitem,
         "null_rates_by_group_events": q_null_rates_by_group_events,
+        "unique_composite_lineitem": q_unique_composite_lineitem,
         "stats_entropy_events": q_stats_entropy_events,
         "stats_corr_lineitem": q_stats_corr_lineitem,
         "stats_mi_events": q_stats_mi_events,
@@ -1832,6 +1833,45 @@ UNION ALL
 SELECT event_type, 'value', n, null_value,
        round(CAST(null_value AS DOUBLE) / CAST(n AS DOUBLE), 6)
 FROM w
+"""
+
+
+def q_unique_composite_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite natural-key uniqueness ($unique: {with: [...]} /
+    unique.composite_uniqueness_violations): (l_orderkey,
+    l_linenumber) is unique until we plant duplicates on a ~1/5003
+    orderkey stride; both copies of each duplicated key flag. Same
+    two-stage salted aggregate as single-column uniqueness; the
+    join back is null-safe on every key part."""
+    df = _t(spark, sf_dir, "lineitem")
+    spiked = df.unionAll(df.filter(F.col("l_orderkey") % 5003 == 0))
+    v = unique.composite_uniqueness_violations(
+        spiked, ["l_orderkey", "l_linenumber"], "l_orderkey"
+    )
+    return v.select("row_key", "rule_id", "error_type", "message", "observed")
+
+
+def _sql_unique_composite_lineitem() -> str:
+    return """
+WITH d AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 5003 = 0
+), dups AS (
+  SELECT l_orderkey AS k1, l_linenumber AS k2, count(*) AS cnt
+  FROM d GROUP BY 1, 2 HAVING count(*) > 1
+)
+SELECT CAST(d.l_orderkey AS VARCHAR) AS row_key,
+       'l_orderkey~l_linenumber' AS rule_id,
+       'uniqueMismatch' AS error_type,
+       'value of [l_orderkey~l_linenumber] must be unique, seen '
+         || CAST(cnt AS VARCHAR) || ' times' AS message,
+       concat_ws('~',
+                 coalesce(CAST(d.l_orderkey AS VARCHAR), '∅'),
+                 coalesce(CAST(d.l_linenumber AS VARCHAR), '∅')) AS observed
+FROM d JOIN dups
+  ON d.l_orderkey IS NOT DISTINCT FROM dups.k1
+ AND d.l_linenumber IS NOT DISTINCT FROM dups.k2
 """
 
 
@@ -3290,6 +3330,7 @@ def oracle_sql() -> dict[str, str]:
         "outliers_lineitem": _sql_outliers_lineitem(),
         "benford_lineitem": _sql_benford_lineitem(),
         "null_rates_by_group_events": _sql_null_rates_by_group_events(),
+        "unique_composite_lineitem": _sql_unique_composite_lineitem(),
         "stats_entropy_events": _sql_stats_entropy_events(),
         "stats_corr_lineitem": _sql_stats_corr_lineitem(),
         "stats_mi_events": _sql_stats_mi_events(),

@@ -131,6 +131,7 @@ class RowCheckPlan:
     fail_fast: bool = False
     # table-scale directives collected for the other stages
     unique_cols: list[str] = dc_field(default_factory=list)
+    unique_composite: list[tuple[str, list[str]]] = dc_field(default_factory=list)
     ref_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     stats_specs: list[tuple[str, list[str]]] = dc_field(default_factory=list)
     drift_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
@@ -582,6 +583,16 @@ class _Compiler:
             # collect table-scale directives regardless of mode
             if child.unique:
                 self.plan.unique_cols.append(path)
+            if child.unique_with:
+                for c in child.unique_with:
+                    if _field_type(self.schema, c) is None:
+                        raise ValueError(
+                            f"$unique with on [{path}]: column [{c}] "
+                            "absent from table schema"
+                        )
+                self.plan.unique_composite.append(
+                    (path, list(child.unique_with))
+                )
             if child.ref is not None:
                 self.plan.ref_specs.append((path, child.ref))
             if child.stats is not None:

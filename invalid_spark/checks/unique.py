@@ -67,3 +67,74 @@ def uniqueness_violations(
         "partition_id",
         F.lit(run_id).alias("run_id"),
     )
+
+
+def composite_duplicate_keys(
+    df: DataFrame, cols: list[str], salt_buckets: int = 64
+) -> DataFrame:
+    """Multi-column keys appearing more than once → (*cols, cnt).
+    Same two-stage salted shape as :func:`duplicate_keys`; NULL key
+    parts group together (SQL GROUP BY semantics — a composite key
+    with a NULL part duplicates another identical one)."""
+    stage1 = (
+        df.select(*cols)
+        .withColumn(
+            "salt",
+            F.pmod(
+                F.xxhash64(F.monotonically_increasing_id()),
+                F.lit(salt_buckets),
+            ),
+        )
+        .groupBy(*cols, "salt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        stage1.groupBy(*cols)
+        .agg(F.sum("c").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def composite_uniqueness_violations(
+    df: DataFrame,
+    cols: list[str],
+    row_key: str,
+    run_id: str = "",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Violation rows for every row whose COMPOSITE key (natural keys
+    like (orderkey, linenumber) or (image_id, phash)) is duplicated.
+    The dup-set join back uses null-safe equality on every part so
+    the rows found match exactly the groups counted (struct equality
+    would drop NULL-part groups)."""
+    dups = composite_duplicate_keys(df, cols, salt_buckets)
+    d = dups.select(
+        *[F.col(c).alias(f"__dup_{c}") for c in cols], "cnt"
+    )
+    cond = None
+    for c in cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__dup_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    key_str = "~".join(cols)
+    joined = df.select(
+        F.col(row_key).cast("string").alias("row_key"),
+        *cols,
+        F.spark_partition_id().alias("partition_id"),
+    ).join(d, cond, "inner")
+    return joined.select(
+        "row_key",
+        F.lit(cols[0]).alias("column"),
+        F.lit(key_str).alias("rule_id"),
+        F.lit(ErrorType.UNIQUE_MISMATCH).alias("error_type"),
+        F.concat(
+            F.lit(f"value of [{key_str}] must be unique, seen "),
+            F.col("cnt").cast("string"),
+            F.lit(" times"),
+        ).alias("message"),
+        F.concat_ws(
+            "~", *[F.coalesce(F.col(c).cast("string"), F.lit("∅"))
+                   for c in cols]
+        ).alias("observed"),
+        "partition_id",
+        F.lit(run_id).alias("run_id"),
+    )

@@ -133,6 +133,9 @@ class Rule:
     of: Optional[list[str]] = None  # scalars: raw string spellings
     # engine extensions
     unique: bool = False
+    # $unique: {with: [cols]} — composite-key uniqueness (this column
+    # + the listed ones form the natural key)
+    unique_with: Optional[list[str]] = None
     ref: Optional[dict] = None
     range: Optional[dict] = None
     stats: Optional[list[str]] = None
@@ -352,7 +355,19 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
     dyn = _mapping_get(value, "$dynamic")
     rule.dynamic = dyn is not None and dyn.value in ("true", "True", "TRUE")
     uq = _mapping_get(value, "$unique")
-    rule.unique = uq is not None and uq.value in ("true", "True", "TRUE")
+    if uq is not None and isinstance(uq, yaml.MappingNode):
+        # $unique: {with: [col, ...]} — composite natural key
+        w = None
+        for k, v in uq.value:
+            if k.value == "with" and isinstance(v, yaml.SequenceNode):
+                w = [e.value for e in v.value]
+        if not w:
+            raise DSLError(
+                f"$unique map form needs with: [columns] : [{key}]"
+            )
+        rule.unique_with = w
+    else:
+        rule.unique = uq is not None and uq.value in ("true", "True", "TRUE")
     for dname, attr in (
         ("$ref", "ref"),
         ("$range", "range"),

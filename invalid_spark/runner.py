@@ -358,6 +358,32 @@ def validate(
             manifest.mark_done(gu, {"run_id": run_id, "snapshot_id": snapshot})
             result.units_done.append(gu)
 
+        # composite natural keys ($unique: {with: [...]}) — same
+        # resumable global-unit contract as single-column uniqueness
+        for col, extra in plan.unique_composite:
+            cols = [col] + list(extra)
+            gu = "__unique__" + "~".join(cols)
+            if manifest.is_done(gu):
+                result.units_skipped.append(gu)
+                continue
+            if max_batches is not None and n_batches >= max_batches:
+                break
+            n_batches += 1
+            u_v = unique.composite_uniqueness_violations(
+                df, cols, row_key, run_id
+            )
+            if full_unit_map is None:
+                u_out = u_v.select("*", F.lit("__all__").alias("unit"))
+            else:
+                u_out = u_v.join(full_unit_map, "row_key", "left").withColumn(
+                    "unit", F.coalesce("unit", F.lit("__schema__"))
+                )
+            u_out.drop("run_id").select("*", *lineage).write.mode(
+                "append"
+            ).parquet(v_dir)
+            manifest.mark_done(gu, {"run_id": run_id, "snapshot_id": snapshot})
+            result.units_done.append(gu)
+
         # $fd / $monotonic are whole-table invariants like $unique
         # (a dependency broken across two units, or a decrease across
         # a unit boundary, is invisible per-batch): each runs as its
@@ -464,6 +490,8 @@ def validate(
         expected = (
             ({"__all__"} if unit_of is None else set(vals))
             | {f"__unique__{c}" for c in plan.unique_cols}
+            | {"__unique__" + "~".join([c] + list(e))
+               for c, e in plan.unique_composite}
             | {f"__fd__{c}->{s.get('dep')}" for c, s in plan.fd_specs}
             | {f"__monotonic__{c}" for c, _ in plan.monotonic_specs}
             | {f"__reconcile__{c}~{s['value']}" for c, s in plan.reconcile_specs}

@@ -634,3 +634,39 @@ def test_vector_drift_through_runner(spark, tmp_path):
     runner.validate(spark, shifted, rules, "vec_id", out3, prev_df=prev)
     d3 = spark.read.parquet(os.path.join(out3, "drift")).collect()
     assert any(r["drifted"] for r in d3)
+
+
+def test_composite_unique_through_runner(spark, tmp_path):
+    """$unique: {with: [...]}: composite natural key gets its own
+    resumable global unit; NULL key parts group together (null-safe
+    join back) so both copies flag."""
+    df = spark.createDataFrame(
+        [("r1", 1, "a"), ("r2", 1, "a"), ("r3", 1, "b"),
+         ("r4", None, "c"), ("r5", None, "c")],
+        "rid string, k1 int, k2 string",
+    )
+    rules = load_rules(
+        "k1: {$type: $int, $optional: true, $unique: {with: [k2]}}\n"
+    )
+    out = str(tmp_path / "comp_unique")
+    res = runner.validate(spark, df, rules, "rid", out)
+    assert "__unique__k1~k2" in res.units_done
+    v = spark.read.parquet(os.path.join(out, "violations"))
+    rows = {(r["row_key"], r["observed"]) for r in v.collect()}
+    assert rows == {
+        ("r1", "1~a"), ("r2", "1~a"), ("r4", "∅~c"), ("r5", "∅~c")
+    }, rows
+    # resume skips the composite unit
+    res2 = runner.validate(spark, df, rules, "rid", out)
+    assert "__unique__k1~k2" in res2.units_skipped
+
+
+def test_composite_unique_dsl_errors(spark):
+    from invalid_spark.dsl import DSLError
+
+    with pytest.raises(DSLError, match="with"):
+        load_rules("k1: {$type: $int, $unique: {cols: [k2]}}")
+    df = spark.createDataFrame([("r1", 1)], "rid string, k1 int")
+    from invalid_spark.checks.rows import compile_row_checks as crc
+    with pytest.raises(ValueError, match="absent from table schema"):
+        crc(df, load_rules("k1: {$type: $int, $unique: {with: [nope]}}"))
