@@ -810,6 +810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_lineitem": q_benford_lineitem,
         "null_rates_by_group_events": q_null_rates_by_group_events,
         "unique_composite_lineitem": q_unique_composite_lineitem,
+        "rowcheck_format_documents": q_rowcheck_format_documents,
+        "freshness_events": q_freshness_events,
         "stats_entropy_events": q_stats_entropy_events,
         "stats_corr_lineitem": q_stats_corr_lineitem,
         "stats_mi_events": q_stats_mi_events,
@@ -1873,6 +1875,83 @@ FROM d JOIN dups
   ON d.l_orderkey IS NOT DISTINCT FROM dups.k1
  AND d.l_linenumber IS NOT DISTINCT FROM dups.k2
 """
+
+
+def q_rowcheck_format_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$format named whole-value patterns (email here): sugar over
+    hand-rolled $reg with its own formatMismatch error type, anchored
+    and RE2-safe so DuckDB evaluates the identical regex. Corrupt
+    emails planted on a 1/19 doc_id stride."""
+    d = _t(spark, sf_dir, "documents")
+    derived = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 19 == 0, F.lit("user@@bad"))
+        .otherwise(
+            F.concat(F.lit("user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com"))
+        ).alias("em"),
+    )
+    rules = load_rules("em: {$type: $str, $format: email}\n")
+    return _viol(rows.run_row_checks(derived, rules, "doc_id"))
+
+
+def _sql_rowcheck_format_documents() -> str:
+    from invalid_spark.dsl import FORMAT_PATTERNS
+
+    pat = FORMAT_PATTERNS["email"]
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 19 = 0 THEN 'user@@bad'
+              ELSE 'user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         END AS em
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT CAST(doc_id AS VARCHAR) AS row_key, 'em' AS col_name,
+       'em' AS rule_id, 'formatMismatch' AS error_type,
+       'value of [em] must be a valid email' AS message,
+       em AS observed
+FROM d WHERE em IS NOT NULL AND NOT regexp_matches(em, '{pat}')
+"""
+
+
+def q_freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style freshness gate (stats.freshness): newest ts within
+    max_age of an EXPLICIT anchor (never wall clock — reproducible,
+    oracle-replayable). Exact integer microsecond arithmetic
+    (unix_micros ≡ DuckDB epoch_us). Two gates: one passes, one
+    fails."""
+    import datetime as dt
+
+    ev = _t(spark, sf_dir, "events")
+    now = dt.datetime(2024, 1, 31, 12, 0, 0, tzinfo=dt.timezone.utc)
+    day = stats.freshness(ev, "ts", 86400.0, now).withColumn(
+        "max_age_seconds", F.lit(86400.0)
+    )
+    hour = stats.freshness(ev, "ts", 3600.0, now).withColumn(
+        "max_age_seconds", F.lit(3600.0)
+    )
+    return day.unionByName(hour).select(
+        "column_name", "max_ts", "age_seconds", "max_age_seconds", "fresh"
+    )
+
+
+def _sql_freshness_events() -> str:
+    import datetime as dt
+
+    now = dt.datetime(2024, 1, 31, 12, 0, 0, tzinfo=dt.timezone.utc)
+    now_us = int(now.timestamp() * 1_000_000)
+    blocks = []
+    for age_s in (86400.0, 3600.0):
+        max_age_us = int(age_s * 1_000_000)
+        blocks.append(f"""
+SELECT 'ts' AS column_name,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
+       CAST({now_us} - epoch_us(max(ts)) AS DOUBLE) / 1e6 AS age_seconds,
+       {age_s!r} AS max_age_seconds,
+       ({now_us} - epoch_us(max(ts))) <= {max_age_us} AS fresh
+FROM events""")
+    return "\nUNION ALL\n".join(blocks)
 
 
 def q_stat_assertions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3331,6 +3410,8 @@ def oracle_sql() -> dict[str, str]:
         "benford_lineitem": _sql_benford_lineitem(),
         "null_rates_by_group_events": _sql_null_rates_by_group_events(),
         "unique_composite_lineitem": _sql_unique_composite_lineitem(),
+        "rowcheck_format_documents": _sql_rowcheck_format_documents(),
+        "freshness_events": _sql_freshness_events(),
         "stats_entropy_events": _sql_stats_entropy_events(),
         "stats_corr_lineitem": _sql_stats_corr_lineitem(),
         "stats_mi_events": _sql_stats_mi_events(),

@@ -349,6 +349,23 @@ class _Compiler:
                 ),
             )
 
+        if rule.format_ is not None:
+            # $format: named whole-value pattern (anchored, RE2-safe —
+            # dsl.FORMAT_PATTERNS); sugar that rides the same
+            # projection as $reg but reports its own error type
+            from invalid_spark.dsl import FORMAT_PATTERNS
+
+            self._emit(
+                gate & ~sval.rlike(FORMAT_PATTERNS[rule.format_]),
+                _mk_struct(
+                    path,
+                    rule_id,
+                    ErrorType.FORMAT_MISMATCH,
+                    model.format_msg(key, rule.format_),
+                    sval,
+                ),
+            )
+
         if rule.of:
             self._emit(
                 gate & ~sval.isin([str(v) for v in rule.of]),

@@ -593,3 +593,37 @@ def null_rates_by_group(
         (F.col("p.n_null").cast("double") / F.col("n").cast("double"))
         .alias("null_rate"),
     )
+
+
+def freshness(
+    df: DataFrame,
+    ts_col: str,
+    max_age_seconds: float,
+    now,
+) -> DataFrame:
+    """Deequ-style freshness gate: is the newest ``ts_col`` value
+    within ``max_age_seconds`` of ``now``? One row (column_name,
+    max_ts, age_seconds, fresh) from ONE max aggregation.
+
+    ``now`` is an explicit anchor (datetime) — never wall clock — so
+    runs are reproducible and the SQL oracle replays the verdict.
+    Arithmetic is exact integer MICROseconds (``unix_micros`` ≡
+    DuckDB ``epoch_us``); second-granularity epochs truncate
+    fractional seconds differently across engines."""
+    import datetime as _dt
+
+    now_us = int(now.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000) \
+        if now.tzinfo is None else int(now.timestamp() * 1_000_000)
+    # parquet TIMESTAMP_NTZ → session-UTC timestamp (the engine pins
+    # spark.sql.session.timeZone=UTC) so unix_micros ≡ DuckDB epoch_us
+    max_us = F.unix_micros(F.max(F.col(ts_col)).cast("timestamp"))
+    return df.agg(
+        F.lit(ts_col).alias("column_name"),
+        F.date_format(
+            F.max(F.col(ts_col)), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("max_ts"),
+        ((F.lit(now_us) - max_us).cast("double") / F.lit(1e6))
+        .alias("age_seconds"),
+        ((F.lit(now_us) - max_us)
+         <= F.lit(int(max_age_seconds * 1_000_000))).alias("fresh"),
+    )

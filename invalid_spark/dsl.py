@@ -109,7 +109,23 @@ _DIRECTIVES = {
     "$unique", "$ref", "$range", "$stats", "$drift", "$pixel",
     "$caption-eq", "$dynamic", "$vector", "$pii", "$assert",
     "$anomaly", "$expr", "$fd", "$monotonic", "$reconcile", "$magic",
-    "$when",
+    "$when", "$format",
+}
+
+# $format named whole-value patterns (anchored — a format check is
+# whole-value, unlike $reg's unanchored reference semantics). Kept
+# RE2-safe so any engine (and the DuckDB oracle) evaluates them
+# identically.
+FORMAT_PATTERNS = {
+    "email": r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$",
+    "uuid": (r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+             r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+    "url": r"^https?://[^ \t\r\n]+$",
+    "ipv4": (r"^((25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
+             r"(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])$"),
+    "date": r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
+    "datetime": (r"^[0-9]{4}-[0-9]{2}-[0-9]{2}[T ]"
+                 r"[0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?$"),
 }
 
 
@@ -171,6 +187,9 @@ class Rule:
     # satisfying the predicate (FALSE/NULL = out of scope); rides the
     # same projection, so scoping costs zero extra scans
     when: Optional[dict] = None
+    # $format: email|uuid|url|ipv4|date|datetime — named whole-value
+    # format (anchored FORMAT_PATTERNS), sugar over hand-rolled $reg
+    format_: Optional[str] = None
     dynamic: bool = False
 
     def get(self, key: str) -> Optional["Rule"]:
@@ -354,6 +373,16 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
     # engine extensions
     dyn = _mapping_get(value, "$dynamic")
     rule.dynamic = dyn is not None and dyn.value in ("true", "True", "TRUE")
+    fmt = _mapping_get(value, "$format")
+    if fmt is not None and not _is_rule_node(fmt):
+        fname = _scalar_str(fmt)
+        if fname not in FORMAT_PATTERNS:
+            raise DSLError(
+                f"unknown $format [{fname}] : [{key}] (choose from "
+                f"{sorted(FORMAT_PATTERNS)})"
+            )
+        rule.format_ = fname
+
     uq = _mapping_get(value, "$unique")
     if uq is not None and isinstance(uq, yaml.MappingNode):
         # $unique: {with: [col, ...]} — composite natural key

@@ -45,6 +45,7 @@ class ErrorType:
     RECONCILE_MISMATCH = "reconcileMismatch"  # $reconcile: fact-vs-dim totals
     MAGIC_MISMATCH = "magicMismatch"  # $magic: container magic vs declared fmt
     HEADER_MISMATCH = "headerDimsMismatch"  # $magic: header dims vs w/h cols
+    FORMAT_MISMATCH = "formatMismatch"  # $format: named whole-value format
 
 
 # message constructors — exact reference strings
@@ -149,3 +150,7 @@ METRIC_SCHEMA = T.StructType(
         T.StructField("run_id", T.StringType(), True),
     ]
 )
+
+
+def format_msg(key: str, fmt: str) -> str:
+    return f"value of [{key}] must be a valid {fmt}"

@@ -603,3 +603,48 @@ def test_when_plan_stays_shuffle_free(spark):
     v = _violations(spark, df, rules)
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_format_directive(spark):
+    df = spark.createDataFrame(
+        [("r1", "bob@example.com", "https://x.io/a", "2024-01-31"),
+         ("r2", "not-an-email", "ftp://x.io", "2024-13-99x"),
+         ("r3", None, None, None)],
+        "rid string, em string, u string, d string",
+    )
+    rules = """
+em: {$type: $str, $optional: true, $format: email}
+u: {$type: $str, $optional: true, $format: url}
+d: {$type: $str, $optional: true, $format: date}
+"""
+    rows = {(r.row_key, r.column, r.error_type)
+            for r in _violations(spark, df, rules).collect()}
+    assert rows == {
+        ("r2", "em", "formatMismatch"),
+        ("r2", "u", "formatMismatch"),
+        ("r2", "d", "formatMismatch"),
+    }, rows
+    from invalid_spark.dsl import DSLError
+    with pytest.raises(DSLError, match="unknown \\$format"):
+        load_rules("em: {$type: $str, $format: zipcode}")
+
+
+def test_format_uuid_ipv4_datetime(spark):
+    df = spark.createDataFrame(
+        [("r1", "123e4567-e89b-12d3-a456-426614174000", "10.0.0.1",
+          "2024-01-31T23:59:59.123"),
+         ("r2", "123e4567e89b12d3a456426614174000", "999.0.0.1",
+          "2024-01-31 25:00:00")],
+        "rid string, id string, ip string, ts string",
+    )
+    rules = """
+id: {$type: $str, $format: uuid}
+ip: {$type: $str, $format: ipv4}
+ts: {$type: $str, $format: datetime}
+"""
+    rows = {(r.row_key, r.column) for r in
+            _violations(spark, df, rules).collect()}
+    # ts "25:00:00" still matches the shape pattern (format checks are
+    # syntactic, not semantic) — only uuid and ip flag on r2
+    assert ("r2", "id") in rows and ("r2", "ip") in rows
+    assert not any(rk == "r1" for rk, _ in rows)

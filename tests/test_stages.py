@@ -1419,3 +1419,23 @@ def test_null_rates_by_group(spark):
     assert out[("a", "v")]["null_rate"] == pytest.approx(1 / 3)
     assert out[("b", "s")]["null_rate"] == 1.0
     assert out[("b", "v")]["null_rate"] == 1.0
+
+
+def test_freshness(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 30, 12, 0, 0),),
+         (dt.datetime(2024, 1, 31, 11, 30, 0),)],
+        "ts timestamp",
+    )
+    now = dt.datetime(2024, 1, 31, 12, 0, 0, tzinfo=dt.timezone.utc)
+    r = stats.freshness(df, "ts", 3600, now).collect()[0]
+    assert r["fresh"] and r["age_seconds"] == 1800.0
+    r2 = stats.freshness(df, "ts", 900, now).collect()[0]
+    assert not r2["fresh"]
+    # naive `now` is interpreted as UTC (documented contract)
+    r3 = stats.freshness(
+        df, "ts", 3600, dt.datetime(2024, 1, 31, 12, 0, 0)
+    ).collect()[0]
+    assert r3["age_seconds"] == 1800.0
