@@ -812,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_composite_lineitem": q_unique_composite_lineitem,
         "rowcheck_format_documents": q_rowcheck_format_documents,
         "freshness_events": q_freshness_events,
+        "snapshot_diff_documents": q_snapshot_diff_documents,
         "stats_entropy_events": q_stats_entropy_events,
         "stats_corr_lineitem": q_stats_corr_lineitem,
         "stats_mi_events": q_stats_mi_events,
@@ -1952,6 +1953,57 @@ SELECT 'ts' AS column_name,
        ({now_us} - epoch_us(max(ts))) <= {max_age_us} AS fresh
 FROM events""")
     return "\nUNION ALL\n".join(blocks)
+
+
+def q_snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (runner.snapshot_diff): added / removed
+    / changed between two table states, from ONE full-outer join of
+    (key, md5 fingerprint) pairs — delta-sized output, the join
+    payload never carries rows. Plants: every 23rd doc removed, every
+    17th lang changed, every 31st re-added under a new id."""
+    from invalid_spark import runner as _runner
+
+    d = _t(spark, sf_dir, "documents")
+    prev = d.select("doc_id", "lang", "source")
+    cur = d.filter(~(F.col("doc_id") % 23 == 0)).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 0, F.lit("xx"))
+        .otherwise(F.col("lang")).alias("lang"),
+        "source",
+    ).unionByName(
+        d.filter(F.col("doc_id") % 31 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.lit("en").alias("lang"),
+            F.lit("srcnew").alias("source"),
+        )
+    )
+    return _runner.snapshot_diff(cur, prev, "doc_id", cols=["lang", "source"])
+
+
+def _sql_snapshot_diff_documents() -> str:
+    return """
+WITH prev AS (
+  SELECT doc_id, lang, source FROM documents
+), cur AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN 'xx' ELSE lang END AS lang,
+         source
+  FROM documents WHERE doc_id % 23 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'en', 'srcnew'
+  FROM documents WHERE doc_id % 31 = 0
+), j AS (
+  SELECT c.doc_id AS cid, p.doc_id AS pid,
+         CASE WHEN p.doc_id IS NULL THEN 'added'
+              WHEN c.doc_id IS NULL THEN 'removed'
+              WHEN (c.lang IS DISTINCT FROM p.lang)
+                OR (c.source IS DISTINCT FROM p.source) THEN 'changed'
+         END AS change
+  FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+)
+SELECT CAST(coalesce(cid, pid) AS VARCHAR) AS row_key, change
+FROM j WHERE change IS NOT NULL
+"""
 
 
 def q_stat_assertions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3412,6 +3464,7 @@ def oracle_sql() -> dict[str, str]:
         "unique_composite_lineitem": _sql_unique_composite_lineitem(),
         "rowcheck_format_documents": _sql_rowcheck_format_documents(),
         "freshness_events": _sql_freshness_events(),
+        "snapshot_diff_documents": _sql_snapshot_diff_documents(),
         "stats_entropy_events": _sql_stats_entropy_events(),
         "stats_corr_lineitem": _sql_stats_corr_lineitem(),
         "stats_mi_events": _sql_stats_mi_events(),

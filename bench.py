@@ -282,18 +282,19 @@ def _scaling_worker(cores: int) -> None:
     # best-of-2 per level: intermittent co-tenant slowdowns on this
     # host swing a single-shot efficiency number by +-0.15; min wall
     # per level measures the engine, not the neighbor
-    best, n_viol = None, 0
+    runs, n_viol = [], 0
     steal0 = _steal_jiffies()
     for _ in range(2):
         t0 = time.perf_counter()
         v = rowchecks.run_row_checks(img, rules, "image_id")
         vp = image_checks.pixel_violations(img)
         n_viol = v.unionByName(vp.select(*v.columns)).count()
-        el = time.perf_counter() - t0
-        best = el if best is None else min(best, el)
+        runs.append(time.perf_counter() - t0)
+    best = min(runs)
     print(json.dumps({
         "cores": cores,
         "wall_sec": round(best, 2),
+        "runs": [round(r, 2) for r in runs],
         "rows_per_sec": round(SCALE_N / best, 1),
         "violations": n_viol,
         "steal_jiffies": _steal_jiffies() - steal0,

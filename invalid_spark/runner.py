@@ -783,6 +783,62 @@ def incremental_rows(
     return cur.join(prev_keys, F.col(row_key) == F.col("__pk"), "left_anti")
 
 
+def snapshot_diff(
+    cur: DataFrame,
+    prev: DataFrame,
+    row_key: str,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots: (row_key, change) with
+    change ∈ added | removed | changed — the "what actually changed"
+    question a validation report raises next. Unchanged rows are
+    omitted, so the result is delta-sized.
+
+    One full-outer join on the row key (both sides shuffle on the
+    key — unavoidable for a diff; AQE sizes the join) comparing a
+    single md5 row fingerprint per side, so the join payload is
+    (key, 32-byte hash), never the row. ``cols`` defaults to every
+    shared non-key column IN CUR'S COLUMN ORDER. Row keys must be
+    unique per side (it's a diff, not a multiset reconcile — that's
+    ``$reconcile``); float columns compare by their string rendering,
+    which differs across engines — list explicit ``cols`` without
+    floats when an external oracle must replay the fingerprint."""
+    if cols is None:
+        prev_cols = set(prev.columns)
+        cols = [
+            c for c in cur.columns if c != row_key and c in prev_cols
+        ]
+    if not cols:
+        raise ValueError("snapshot_diff: no shared non-key columns")
+
+    def fingerprint(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(row_key).cast("string").alias("rk"),
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("∅"))
+                        for c in cols
+                    ],
+                )
+            ).alias("h"),
+        )
+
+    a = fingerprint(cur).alias("a")
+    b = fingerprint(prev).alias("b")
+    j = a.join(b, F.col("a.rk") == F.col("b.rk"), "full_outer")
+    change = (
+        F.when(F.col("b.rk").isNull(), F.lit("added"))
+        .when(F.col("a.rk").isNull(), F.lit("removed"))
+        .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+    )
+    return j.select(
+        F.coalesce(F.col("a.rk"), F.col("b.rk")).alias("row_key"),
+        change.alias("change"),
+    ).filter(F.col("change").isNotNull())
+
+
 def validate_incremental(
     spark: SparkSession,
     cur: DataFrame,

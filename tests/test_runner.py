@@ -670,3 +670,28 @@ def test_composite_unique_dsl_errors(spark):
     from invalid_spark.checks.rows import compile_row_checks as crc
     with pytest.raises(ValueError, match="absent from table schema"):
         crc(df, load_rules("k1: {$type: $int, $unique: {with: [nope]}}"))
+
+
+def test_snapshot_diff(spark):
+    prev = spark.createDataFrame(
+        [("r1", "a", 1), ("r2", "b", 2), ("r3", None, 3)],
+        "rid string, s string, v int",
+    )
+    cur = spark.createDataFrame(
+        [("r1", "a", 1), ("r2", "B", 2), ("r4", "d", 4)],
+        "rid string, s string, v int",
+    )
+    out = {r["row_key"]: r["change"] for r in
+           runner.snapshot_diff(cur, prev, "rid").collect()}
+    # r1 unchanged (omitted); r2 changed; r3 removed; r4 added
+    assert out == {"r2": "changed", "r3": "removed", "r4": "added"}
+    # NULL vs value counts as changed (sentinel fingerprint)
+    cur2 = spark.createDataFrame([("r3", "x", 3)], "rid string, s string, v int")
+    prev2 = spark.createDataFrame([("r3", None, 3)], "rid string, s string, v int")
+    assert runner.snapshot_diff(cur2, prev2, "rid").collect()[0]["change"] == "changed"
+    with pytest.raises(ValueError, match="no shared non-key columns"):
+        runner.snapshot_diff(
+            spark.createDataFrame([("r1",)], "rid string"),
+            spark.createDataFrame([("r1",)], "rid string"),
+            "rid",
+        )
