@@ -813,6 +813,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rowcheck_format_documents": q_rowcheck_format_documents,
         "freshness_events": q_freshness_events,
         "snapshot_diff_documents": q_snapshot_diff_documents,
+        "mix_report_documents": q_mix_report_documents,
+        "mix_sample_documents": q_mix_sample_documents,
+        "dedup_incremental_documents": q_dedup_incremental_documents,
         "stats_entropy_events": q_stats_entropy_events,
         "stats_corr_lineitem": q_stats_corr_lineitem,
         "stats_mi_events": q_stats_mi_events,
@@ -2143,6 +2146,137 @@ def q_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_dedup_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (dedup.exact_dedup_vs_state): new rows
+    classified against the persisted corpus fingerprint state —
+    dup_of_corpus / dup_in_batch / new — without refingerprinting the
+    prior corpus. Prior corpus = even docs; batch = odd docs + planted
+    corpus dups (every 6th doc re-keyed) + planted in-batch dups
+    (every doc ending in 5 re-keyed)."""
+    from invalid_spark.pipeline import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    state = dedup.fingerprint_state(d.filter("doc_id % 2 = 0"))
+    cur = (
+        d.filter("doc_id % 2 = 1").select("doc_id", "text")
+        .unionByName(
+            d.filter("doc_id % 6 = 0").select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter("doc_id % 10 = 5").select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return dedup.exact_dedup_vs_state(cur, state)
+
+
+def _sql_dedup_incremental() -> str:
+    return f"""
+WITH cur AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 5
+),
+st AS (
+  SELECT DISTINCT md5({_NORM}) AS fp
+  FROM documents WHERE doc_id % 2 = 0
+),
+k AS (SELECT doc_id, md5({_NORM}) AS fingerprint FROM cur),
+keep AS (SELECT fingerprint, min(doc_id) AS kp FROM k GROUP BY 1)
+SELECT k.doc_id, k.fingerprint,
+       CASE WHEN st.fp IS NOT NULL THEN 'dup_of_corpus'
+            WHEN k.doc_id <> keep.kp THEN 'dup_in_batch'
+            ELSE 'new' END AS decision
+FROM k JOIN keep USING (fingerprint) LEFT JOIN st ON k.fingerprint = st.fp
+"""
+
+
+_MIX_TARGET = {"src1": 3.0, "src2": 1.0, "src3": 1.0}  # → 0.6/0.2/0.2
+
+
+def q_mix_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix report (curate.mix_report): per-source sampling
+    rates that reshape the corpus to a declared 60/20/20 mix by
+    downsampling only — feasible size capped by the scarcest declared
+    domain; undeclared sources get rate 0 (a mix is a whitelist)."""
+    from invalid_spark.pipeline import curate
+
+    d = _t(spark, sf_dir, "documents")
+    return curate.mix_report(d, "source", _MIX_TARGET)
+
+
+def _sql_mix_tgt() -> str:
+    from invalid_spark.pipeline.curate import normalize_mix
+
+    shares = normalize_mix(_MIX_TARGET)
+    vals = ", ".join(f"('{d}', {s!r})" for d, s in shares.items())
+    return f"""
+tgt(domain, t) AS (VALUES {vals}),
+counts AS (
+  SELECT CAST(source AS VARCHAR) AS domain,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1
+),
+j AS (
+  SELECT coalesce(c.domain, tgt.domain) AS domain,
+         CAST(coalesce(c.n, 0) AS BIGINT) AS n, tgt.t
+  FROM counts c FULL OUTER JOIN tgt ON c.domain = tgt.domain
+),
+cap AS (
+  SELECT min(CASE WHEN t IS NOT NULL THEN n / t END) AS cap,
+         CAST(sum(n) AS BIGINT) AS total
+  FROM j
+)"""
+
+
+def _sql_mix_report_documents() -> str:
+    return f"""
+WITH {_sql_mix_tgt()}
+SELECT domain, n, n / total AS share, t AS target_share,
+       CASE WHEN t IS NULL OR n = 0 THEN 0.0
+            ELSE least(1.0, t * cap / n) END AS sampling_rate,
+       CAST(floor(CASE WHEN t IS NULL OR n = 0 THEN 0.0
+                       ELSE least(1.0, t * cap / n) END * n)
+            AS BIGINT) AS n_keep
+FROM j, cap
+"""
+
+
+def q_mix_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic target-mix resampling (curate.mix_sample): apply
+    the mix_report rates row-wise via the nested md5-bucket filter —
+    broadcast rates join, the corpus itself never shuffles."""
+    from invalid_spark.pipeline import curate
+
+    d = _t(spark, sf_dir, "documents")
+    return curate.mix_sample(d, "source", _MIX_TARGET).select(
+        "doc_id", "source"
+    )
+
+
+def _sql_mix_sample_documents() -> str:
+    return f"""
+WITH {_sql_mix_tgt()},
+rates AS (
+  SELECT domain,
+         CASE WHEN t IS NULL OR n = 0 THEN 0.0
+              ELSE least(1.0, t * cap / n) END AS r
+  FROM j, cap
+)
+SELECT d.doc_id, d.source
+FROM documents d
+JOIN rates ON CAST(d.source AS VARCHAR) = rates.domain
+WHERE (CAST('0x' || substr(md5('mix-v1-' ||
+        coalesce(CAST(d.doc_id AS VARCHAR), '__null__')), 1, 8)
+        AS BIGINT) % 1000000) < rates.r * 1000000.0
+"""
+
+
 _KS_WINDOW_GRID = (0.0, 200.0, 16)  # lo, hi, bins — uniform reference
 
 
@@ -3465,6 +3599,9 @@ def oracle_sql() -> dict[str, str]:
         "rowcheck_format_documents": _sql_rowcheck_format_documents(),
         "freshness_events": _sql_freshness_events(),
         "snapshot_diff_documents": _sql_snapshot_diff_documents(),
+        "mix_report_documents": _sql_mix_report_documents(),
+        "mix_sample_documents": _sql_mix_sample_documents(),
+        "dedup_incremental_documents": _sql_dedup_incremental(),
         "stats_entropy_events": _sql_stats_entropy_events(),
         "stats_corr_lineitem": _sql_stats_corr_lineitem(),
         "stats_mi_events": _sql_stats_mi_events(),

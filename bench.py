@@ -188,6 +188,9 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
         ("emb_drift", entry.q_emb_drift_embeddings),
         ("rowcheck_when", entry.q_rowcheck_when_documents),
         ("drift_partitioned", entry.q_drift_partitioned_events),
+        ("snapshot_diff", entry.q_snapshot_diff_documents),
+        ("mix_sample", entry.q_mix_sample_documents),
+        ("dedup_incremental", entry.q_dedup_incremental_documents),
     ):
         timed(name, lambda q=q: (q(spark, sf_dir).count(), 0)[1],
               in_headline=False)

@@ -218,3 +218,125 @@ def hash_sample(
     else:
         expr = F.lit(bound(rate))
     return df.filter(bucket < expr)
+
+
+def normalize_mix(target: dict[str, float]) -> dict[str, float]:
+    """Normalize target-mix weights to shares summing to 1. Shared by
+    :func:`mix_report` (Spark side) and any external oracle replay so
+    both embed the SAME IEEE-754 literals — the downstream divisions
+    are then bit-identical across engines."""
+    if not target:
+        raise ValueError("target mix must name at least one domain")
+    for d, w in target.items():
+        if not w > 0:
+            raise ValueError(f"target weight for [{d}] must be > 0, got {w}")
+    w_sum = float(sum(target.values()))
+    return {d: float(w) / w_sum for d, w in target.items()}
+
+
+def mix_report(
+    df: DataFrame,
+    domain_col: str,
+    target: dict[str, float],
+) -> DataFrame:
+    """Domain-mix report for downsample-only data mixing: given target
+    weights per domain (any positive numbers, normalized internally),
+    compute the per-domain deterministic sampling rate that reshapes
+    the corpus to the target mix — the "mix to 60% web / 20% code /
+    20% books" step of training-data curation.
+
+    Downsampling only (no row is duplicated): the achievable corpus
+    size is capped by the scarcest declared domain,
+    ``T = min_d(count_d / share_d)``, and each declared domain keeps
+    ``share_d * T`` rows (rate 1.0 for the binding domain). A declared
+    domain with ZERO rows therefore makes the mix infeasible — every
+    rate reads 0.0, which is the honest answer, not an approximation.
+    Domains present in the data but absent from ``target`` get
+    ``target_share`` NULL and rate 0.0 (a mix is a whitelist).
+
+    One hash-aggregate over the corpus (domains-sized output), then
+    arithmetic on the tiny frame — the corpus itself is scanned once
+    and never shuffled beyond the count. Every expression is plain
+    IEEE double arithmetic, so an external SQL engine fed the same
+    normalized shares reproduces rates bit-for-bit.
+
+    Output: (domain, n, share, target_share, sampling_rate, n_keep).
+    """
+    shares = normalize_mix(target)
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(d, s) for d, s in shares.items()], "domain string, t double"
+    )
+    counts = (
+        df.groupBy(F.col(domain_col).cast("string").alias("domain"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    j = counts.join(F.broadcast(tgt), "domain", "full_outer").select(
+        "domain",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.col("t"),
+    )
+    # feasible corpus size + total, one row — broadcast back onto the
+    # domains-sized frame (never a windowed global sort)
+    cap = j.agg(
+        F.min(
+            F.when(F.col("t").isNotNull(), F.col("n") / F.col("t"))
+        ).alias("cap"),
+        F.sum("n").alias("total"),
+    )
+    rate = F.when(
+        F.col("t").isNull() | (F.col("n") == 0), F.lit(0.0)
+    ).otherwise(
+        F.least(F.lit(1.0), F.col("t") * F.col("cap") / F.col("n"))
+    )
+    return j.crossJoin(F.broadcast(cap)).select(
+        "domain",
+        "n",
+        (F.col("n") / F.col("total")).alias("share"),
+        F.col("t").alias("target_share"),
+        rate.alias("sampling_rate"),
+        F.floor(rate * F.col("n")).cast("long").alias("n_keep"),
+    )
+
+
+def mix_sample(
+    df: DataFrame,
+    domain_col: str,
+    target: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Apply :func:`mix_report`'s rates: keep each row iff its
+    deterministic md5 bucket (same construction as
+    :func:`hash_sample`, so mixes NEST under pilot samples) clears its
+    domain's rate. Undeclared domains are dropped entirely.
+
+    Plan shape: the domains-sized rates frame broadcast-joins onto the
+    corpus scan — the corpus is never shuffled, and re-running with
+    the same salt reproduces the identical subset on any engine or
+    partitioning."""
+    # reserved-name projection so an input column named "domain" /
+    # "sampling_rate" can't collide with the rates frame
+    rates = mix_report(df, domain_col, target).select(
+        F.col("domain").alias("__mix_dom"),
+        F.col("sampling_rate").alias("__mix_rate"),
+    )
+    key_s = F.coalesce(F.col(key_col).cast("string"), F.lit("__null__"))
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit("-"), key_s)), 1, 8
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    return (
+        df.join(
+            F.broadcast(rates),
+            F.col(domain_col).cast("string") == F.col("__mix_dom"),
+            "inner",
+        )
+        .filter(bucket < F.col("__mix_rate") * F.lit(1_000_000.0))
+        .drop("__mix_dom", "__mix_rate")
+    )

@@ -68,6 +68,64 @@ def exact_dup_rows(df: DataFrame, text_col: str = "text",
     )
 
 
+def fingerprint_state(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The persistable exact-dedup corpus state: one row per DISTINCT
+    content fingerprint (16-byte md5 of the normalized text). At
+    100 TB this is the only artifact incremental dedup ever rereads —
+    ~2% of the corpus bytes, and it grows by appending each batch's
+    :func:`fingerprint_state` output (dedup of the state itself is a
+    union+distinct of fingerprint-only frames)."""
+    return df.select(
+        T.fingerprint(F.col(text_col)).alias("fingerprint")
+    ).distinct()
+
+
+def exact_dedup_vs_state(
+    cur: DataFrame,
+    state: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: classify each NEW row against the
+    persisted corpus fingerprint state — the continuous sibling of
+    :func:`exact_dup_rows`, so validate-on-arrival never refingerprints
+    yesterday's corpus. Per cur row: (key, fingerprint, decision)
+
+    - ``dup_of_corpus`` — fingerprint already in ``state``
+    - ``dup_in_batch``  — new to the corpus, but another row of THIS
+      batch with the same fingerprint has a smaller key (first-kept,
+      same keeper rule as :func:`exact_dup_groups`)
+    - ``new``           — first sighting anywhere
+
+    Plan: one hash-aggregate of cur's (fingerprint, min key) plus one
+    left-semi-style join of cur's fingerprints against the state —
+    both shuffle 16-byte keys only; the state never joins against row
+    payloads. Rows whose decision is ``new`` are exactly what gets
+    appended to the state for the next batch."""
+    fp = T.fingerprint(F.col(text_col))
+    keyed = cur.select(F.col(key_col), fp.alias("fingerprint"))
+    keepers = keyed.groupBy("fingerprint").agg(
+        F.min(key_col).alias("__keep")
+    )
+    in_state = state.select(
+        F.col("fingerprint").alias("__sfp"), F.lit(True).alias("__seen")
+    ).distinct()
+    return (
+        keyed.join(keepers, "fingerprint", "inner")
+        .join(
+            in_state, F.col("fingerprint") == F.col("__sfp"), "left_outer"
+        )
+        .select(
+            key_col,
+            "fingerprint",
+            F.when(F.col("__seen"), F.lit("dup_of_corpus"))
+            .when(F.col(key_col) != F.col("__keep"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("decision"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles + n-gram Jaccard
 

@@ -1439,3 +1439,86 @@ def test_freshness(spark):
         df, "ts", 3600, dt.datetime(2024, 1, 31, 12, 0, 0)
     ).collect()[0]
     assert r3["age_seconds"] == 1800.0
+
+
+def test_mix_report_and_sample(spark):
+    from invalid_spark.pipeline import curate
+
+    df = spark.createDataFrame(
+        [(i, "web" if i % 10 < 8 else ("code" if i % 10 == 8 else "books"))
+         for i in range(1000)],
+        "doc_id long, domain string",
+    )
+    # 800 web / 100 code / 100 books; target 50/25/25 → binding domain
+    # is code/books: T = 100/0.25 = 400 → web rate 0.25, others 1.0
+    rep = {r["domain"]: r for r in
+           curate.mix_report(df, "domain", {"web": 2, "code": 1, "books": 1})
+           .collect()}
+    assert rep["web"]["n"] == 800 and rep["web"]["sampling_rate"] == 0.25
+    assert rep["code"]["sampling_rate"] == 1.0
+    assert rep["books"]["n_keep"] == 100
+    assert rep["web"]["n_keep"] == 200
+    assert abs(rep["web"]["share"] - 0.8) < 1e-12
+    # undeclared domain: whitelist semantics
+    rep2 = {r["domain"]: r for r in
+            curate.mix_report(df, "domain", {"web": 1, "code": 1}).collect()}
+    assert rep2["books"]["target_share"] is None
+    assert rep2["books"]["sampling_rate"] == 0.0
+    # declared-but-absent domain → infeasible → all rates 0
+    rep3 = {r["domain"]: r for r in
+            curate.mix_report(df, "domain", {"web": 1, "nope": 1}).collect()}
+    assert all(r["sampling_rate"] == 0.0 for r in rep3.values())
+    assert rep3["nope"]["n"] == 0
+    # sampling: deterministic, approximately hits the mix, drops undeclared
+    out = curate.mix_sample(df, "domain", {"web": 2, "code": 1, "books": 1})
+    assert out.columns == df.columns
+    got = {r["domain"]: r["n"] for r in
+           out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert got["code"] == 100 and got["books"] == 100  # rate-1.0 exact
+    assert abs(got["web"] - 200) < 40                  # hash-bucket ≈
+    out2 = curate.mix_sample(df, "domain", {"web": 2, "code": 1, "books": 1})
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in out2.collect())    # re-run stable
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must be > 0"):
+        curate.mix_report(df, "domain", {"web": 0.0})
+    with _pytest.raises(ValueError, match="at least one"):
+        curate.mix_report(df, "domain", {})
+
+
+def test_exact_dedup_vs_state(spark):
+    from invalid_spark.pipeline import dedup
+
+    prior = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "hello world")],
+        "doc_id long, text string",
+    )
+    state = dedup.fingerprint_state(prior)
+    assert state.columns == ["fingerprint"] and state.count() == 2
+    cur = spark.createDataFrame(
+        [
+            (10, "Hello,   WORLD"),        # normalizes to a corpus dup
+            (11, "something genuinely new"),
+            (12, "something genuinely new"),  # in-batch dup of 11
+            (13, "another fresh doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["decision"] for r in
+           dedup.exact_dedup_vs_state(cur, state).collect()}
+    assert out == {10: "dup_of_corpus", 11: "new",
+                   12: "dup_in_batch", 13: "new"}
+    # appending the new rows' fingerprints closes the loop: re-running
+    # the same batch against the grown state flags everything as seen
+    new_fps = dedup.fingerprint_state(
+        cur.join(
+            dedup.exact_dedup_vs_state(cur, state)
+            .filter("decision = 'new'").select("doc_id"),
+            "doc_id",
+        )
+    )
+    grown = state.unionByName(new_fps).distinct()
+    out2 = {r["doc_id"]: r["decision"] for r in
+            dedup.exact_dedup_vs_state(cur, grown).collect()}
+    assert set(out2.values()) == {"dup_of_corpus"}
