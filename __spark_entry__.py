@@ -816,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_report_documents": q_mix_report_documents,
         "mix_sample_documents": q_mix_sample_documents,
         "dedup_incremental_documents": q_dedup_incremental_documents,
+        "chi2_expected_events": q_chi2_expected_events,
         "stats_entropy_events": q_stats_entropy_events,
         "stats_corr_lineitem": q_stats_corr_lineitem,
         "stats_mi_events": q_stats_mi_events,
@@ -2194,6 +2195,71 @@ SELECT k.doc_id, k.fingerprint,
             ELSE 'new' END AS decision
 FROM k JOIN keep USING (fingerprint) LEFT JOIN st ON k.fingerprint = st.fp
 """
+
+
+def q_chi2_expected_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance gate (drift.chi2_vs_expected): chi² goodness-of-
+    fit of event_type against a DECLARED distribution — no prior
+    snapshot needed. Case declared4 omits 'view' (its rows count as
+    unexpected and fail the gate); case uniform5 declares the true
+    uniform support. Verdict threshold is a compile-time
+    chi2_critical literal — no driver round-trip."""
+    from invalid_spark.checks import drift
+
+    ev = _t(spark, sf_dir, "events")
+    four = {"click": 1.0, "error": 1.0, "purchase": 1.0, "signup": 1.0}
+    five = dict(four, view=1.0)
+    a = drift.chi2_vs_expected(ev, "event_type", four)
+    b = drift.chi2_vs_expected(ev, "event_type", five)
+    return a.select(F.lit("declared4").alias("case_id"), "*").unionByName(
+        b.select(F.lit("uniform5").alias("case_id"), "*")
+    )
+
+
+def _sql_chi2_expected_events() -> str:
+    from invalid_spark import mathutil
+
+    def case(case_id: str, cats: list[str]) -> str:
+        p = 1.0 / len(cats)
+        vals = ", ".join(f"('{c}', {p!r})" for c in cats)
+        dof = len(cats) - 1
+        crit = mathutil.chi2_critical(dof, 0.05)
+        return f"""
+SELECT '{case_id}' AS case_id, 'event_type' AS col_name, statistic, n,
+       n_unexpected, {dof} AS dof, {crit!r} AS threshold,
+       (statistic > {crit!r}) OR (n_unexpected > 0) AS drifted
+FROM (
+  WITH tgt(cat, p) AS (VALUES {vals}),
+  cnt AS (
+    SELECT CAST(event_type AS VARCHAR) AS cat,
+           CAST(count(*) AS BIGINT) AS obs
+    FROM events GROUP BY 1
+  ),
+  j AS (
+    SELECT CAST(coalesce(c.obs, 0) AS BIGINT) AS obs, t.p
+    FROM cnt c FULL OUTER JOIN tgt t ON c.cat = t.cat
+  ),
+  tot AS (
+    SELECT CAST(coalesce(sum(CASE WHEN p IS NOT NULL THEN obs END), 0)
+                AS BIGINT) AS n,
+           CAST(coalesce(sum(CASE WHEN p IS NULL THEN obs END), 0)
+                AS BIGINT) AS n_unexpected
+    FROM j
+  )
+  SELECT n, n_unexpected,
+         coalesce(sum(CASE WHEN p IS NOT NULL AND n > 0
+                      THEN (obs - n*p)*(obs - n*p)/(n*p) END),
+                  0.0) AS statistic
+  FROM j, tot GROUP BY n, n_unexpected
+)
+"""
+
+    four = ["click", "error", "purchase", "signup"]
+    return (
+        case("declared4", four)
+        + "\nUNION ALL\n"
+        + case("uniform5", four + ["view"])
+    )
 
 
 _MIX_TARGET = {"src1": 3.0, "src2": 1.0, "src3": 1.0}  # → 0.6/0.2/0.2
@@ -3602,6 +3668,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_report_documents": _sql_mix_report_documents(),
         "mix_sample_documents": _sql_mix_sample_documents(),
         "dedup_incremental_documents": _sql_dedup_incremental(),
+        "chi2_expected_events": _sql_chi2_expected_events(),
         "stats_entropy_events": _sql_stats_entropy_events(),
         "stats_corr_lineitem": _sql_stats_corr_lineitem(),
         "stats_mi_events": _sql_stats_mi_events(),

@@ -191,6 +191,7 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
         ("snapshot_diff", entry.q_snapshot_diff_documents),
         ("mix_sample", entry.q_mix_sample_documents),
         ("dedup_incremental", entry.q_dedup_incremental_documents),
+        ("chi2_expected", entry.q_chi2_expected_events),
     ):
         timed(name, lambda q=q: (q(spark, sf_dir).count(), 0)[1],
               in_headline=False)

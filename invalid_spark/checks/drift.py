@@ -979,6 +979,98 @@ def psi_drift(
     )
 
 
+def chi2_vs_expected(
+    df: DataFrame,
+    col: str,
+    expected: dict[str, float],
+    alpha: float = 0.05,
+    materialize: bool = True,
+) -> DataFrame:
+    """Chi-square goodness-of-fit against a DECLARED expected
+    distribution — the class-balance gate ("labels should be 50/25/25")
+    that needs no prior snapshot, completing the drift family's third
+    reference point (prev frame, persisted state, declared spec).
+
+    ``expected`` maps category → weight (any positive numbers,
+    normalized internally). Rows whose value is NOT a declared
+    category (including NULL) are counted as ``n_unexpected`` and
+    excluded from the statistic — a goodness-of-fit test is only
+    defined over its declared support, and ANY unexpected observation
+    already fails the gate (``drifted`` is true on either condition).
+
+    Fully distributed and collect-free: one hash-aggregate of the
+    corpus to category counts (map-side partial combine), then
+    arithmetic on the categories-sized frame. The counts frame is
+    eagerly localCheckpoint-ed (``materialize=True``) so the total and
+    the statistic — which both consume it — read the materialized
+    categories instead of re-scanning the corpus (same single-scan
+    device as ``curate.curation_decisions``; pass ``materialize=False``
+    to stay lazy in a plan-inspection context). The verdict compares the
+    statistic to a chi-square critical value computed AT COMPILE TIME
+    from (k-1, alpha) via the shared :func:`mathutil.chi2_critical`
+    bisection, so the returned single row needs no driver round-trip
+    and an external SQL engine replays the whole thing with the
+    threshold embedded as a literal.
+
+    Output (1 row): col_name, statistic, n, n_unexpected, dof,
+    threshold, drifted."""
+    if len(expected) < 2:
+        raise ValueError("chi2_vs_expected needs >= 2 declared categories")
+    for c, w in expected.items():
+        if not w > 0:
+            raise ValueError(f"expected weight for [{c}] must be > 0, got {w}")
+    w_sum = float(sum(expected.values()))
+    shares = {c: float(w) / w_sum for c, w in expected.items()}
+    dof = len(expected) - 1
+    crit = mathutil.chi2_critical(dof, alpha)
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(c, p) for c, p in shares.items()], "cat string, p double"
+    )
+    counts = (
+        df.groupBy(F.col(col).cast("string").alias("cat"))
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    if materialize:
+        counts = counts.localCheckpoint(eager=True)
+    j = counts.join(tgt, "cat", "full_outer").select(
+        F.coalesce(F.col("obs"), F.lit(0)).cast("long").alias("obs"),
+        F.col("p"),
+    )
+    tot = j.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("p").isNotNull(), F.col("obs"))), F.lit(0)
+        ).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("p").isNull(), F.col("obs"))), F.lit(0)
+        ).cast("long").alias("n_unexpected"),
+    )
+    # (obs - n·p)²/(n·p) spelled as d*d (not pow) so the SQL oracle's
+    # multiplication reproduces the identical IEEE result
+    d = F.col("obs") - F.col("n") * F.col("p")
+    term = F.when(
+        F.col("p").isNotNull() & (F.col("n") > 0),
+        d * d / (F.col("n") * F.col("p")),
+    )
+    agg = (
+        j.crossJoin(F.broadcast(tot))
+        .groupBy("n", "n_unexpected")
+        .agg(F.coalesce(F.sum(term), F.lit(0.0)).alias("statistic"))
+    )
+    return agg.select(
+        F.lit(col).alias("col_name"),
+        "statistic",
+        "n",
+        "n_unexpected",
+        F.lit(dof).alias("dof"),
+        F.lit(crit).alias("threshold"),
+        (
+            (F.col("statistic") > F.lit(crit))
+            | (F.col("n_unexpected") > 0)
+        ).alias("drifted"),
+    )
+
+
 def projection_planes(dim: int, planes: int = 4) -> list[list[float]]:
     """md5-derived hyperplanes (``dedup.neardup_planes``) — no RNG
     state, so any engine (or the DuckDB oracle) re-derives the

@@ -238,6 +238,7 @@ def mix_report(
     df: DataFrame,
     domain_col: str,
     target: dict[str, float],
+    materialize: bool = True,
 ) -> DataFrame:
     """Domain-mix report for downsample-only data mixing: given target
     weights per domain (any positive numbers, normalized internally),
@@ -256,7 +257,11 @@ def mix_report(
 
     One hash-aggregate over the corpus (domains-sized output), then
     arithmetic on the tiny frame — the corpus itself is scanned once
-    and never shuffled beyond the count. Every expression is plain
+    and never shuffled beyond the count. ``materialize=True`` (default)
+    eagerly localCheckpoints the domains-sized counts so the feasible-
+    size cap and the outer report — which both consume it — don't each
+    re-aggregate the corpus (the ``curation_decisions`` single-scan
+    device; pass ``materialize=False`` to stay lazy). Every expression is plain
     IEEE double arithmetic, so an external SQL engine fed the same
     normalized shares reproduces rates bit-for-bit.
 
@@ -271,6 +276,8 @@ def mix_report(
         df.groupBy(F.col(domain_col).cast("string").alias("domain"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    if materialize:
+        counts = counts.localCheckpoint(eager=True)
     j = counts.join(F.broadcast(tgt), "domain", "full_outer").select(
         "domain",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),

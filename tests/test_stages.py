@@ -1522,3 +1522,43 @@ def test_exact_dedup_vs_state(spark):
     out2 = {r["doc_id"]: r["decision"] for r in
             dedup.exact_dedup_vs_state(cur, grown).collect()}
     assert set(out2.values()) == {"dup_of_corpus"}
+
+
+def test_chi2_vs_expected(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 60 else "b") for i in range(100)],
+        "id long, lab string",
+    )
+    # 60/40 vs declared 50/50: stat = 2*(10^2/50) = 4.0 > crit(1,.05)=3.84
+    r = drift.chi2_vs_expected(df, "lab", {"a": 1, "b": 1}).collect()[0]
+    assert abs(r["statistic"] - 4.0) < 1e-9
+    assert r["n"] == 100 and r["n_unexpected"] == 0 and r["dof"] == 1
+    assert r["drifted"]
+    # 50/50 data passes
+    df2 = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)],
+        "id long, lab string",
+    )
+    r2 = drift.chi2_vs_expected(df2, "lab", {"a": 1, "b": 1}).collect()[0]
+    assert r2["statistic"] == 0.0 and not r2["drifted"]
+    # any unexpected category (incl. NULL) fails the gate even when the
+    # declared support matches perfectly
+    df3 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "zz"), (4, None)],
+        "id long, lab string",
+    )
+    r3 = drift.chi2_vs_expected(df3, "lab", {"a": 1, "b": 1}).collect()[0]
+    assert r3["n"] == 2 and r3["n_unexpected"] == 2 and r3["drifted"]
+    # declared category absent from the data still contributes n*p
+    df4 = spark.createDataFrame([(1, "a"), (2, "a")], "id long, lab string")
+    r4 = drift.chi2_vs_expected(df4, "lab", {"a": 1, "b": 1}).collect()[0]
+    assert abs(r4["statistic"] - 2.0) < 1e-9  # (2-1)^2/1 + (0-1)^2/1
+    # empty frame: vacuous statistic, no unexpected, not drifted
+    r5 = drift.chi2_vs_expected(
+        df4.filter("id < 0"), "lab", {"a": 1, "b": 1}
+    ).collect()[0]
+    assert r5["statistic"] == 0.0 and r5["n"] == 0 and not r5["drifted"]
+    with pytest.raises(ValueError, match=">= 2"):
+        drift.chi2_vs_expected(df, "lab", {"a": 1})
+    with pytest.raises(ValueError, match="> 0"):
+        drift.chi2_vs_expected(df, "lab", {"a": 1, "b": 0})
