@@ -137,6 +137,7 @@ class RowCheckPlan:
     drift_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     assert_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     anomaly_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
+    dist_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     expr_specs: list[tuple[str, str]] = dc_field(default_factory=list)
     when_specs: list[tuple[str, str]] = dc_field(default_factory=list)
     pixel_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
@@ -644,6 +645,29 @@ class _Compiler:
                         "for non-numeric columns"
                     )
                 self.plan.assert_specs.append((path, child.assert_))
+            if child.dist is not None and dt is not None:
+                # $dist on an absent column: skipped like $assert (the
+                # schema-level keyMissing violation already covers it)
+                exp = child.dist.get("expected")
+                if not isinstance(exp, dict) or len(exp) < 2:
+                    raise ValueError(
+                        f"$dist on column [{path}] needs an 'expected' "
+                        "map of >= 2 categories"
+                    )
+                for cat, w in exp.items():
+                    if not isinstance(w, (int, float)) or not w > 0:
+                        raise ValueError(
+                            f"$dist expected weight for [{cat}] on "
+                            f"column [{path}] must be a number > 0, "
+                            f"got {w!r}"
+                        )
+                alpha = child.dist.get("alpha", 0.05)
+                if not 0.0 < float(alpha) < 1.0:
+                    raise ValueError(
+                        f"$dist alpha on column [{path}] must be in "
+                        f"(0, 1), got {alpha!r}"
+                    )
+                self.plan.dist_specs.append((path, child.dist))
             if child.anomaly is not None and dt is not None:
                 from invalid_spark.checks import anomaly as _anomaly
 

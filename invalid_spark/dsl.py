@@ -74,6 +74,11 @@ Engine extensions (all optional, ignored by reference-parity tests):
   run's metric vs the ``metrics_history`` sink (absolute bounds +
   relative change vs the mean of the last k runs); verdicts land in
   the ``anomalies`` sink (:mod:`invalid_spark.checks.anomaly`)
+- ``$dist: {expected: {cat: weight, ...}, alpha: a}`` — chi² goodness-
+  of-fit of the column against a DECLARED distribution (class-balance
+  gate; weights normalized, unexpected categories fail on their own);
+  verdicts land in the ``distribution`` sink
+  (:func:`invalid_spark.checks.drift.chi2_vs_expected`)
 - ``$assert: {stat: null_rate|min|max|mean|ndv, min: lo, max: hi}`` —
   table-level constraint on a column statistic (deequ-style); runner
   evaluates every $assert in one aggregation and writes the verdicts
@@ -109,7 +114,7 @@ _DIRECTIVES = {
     "$unique", "$ref", "$range", "$stats", "$drift", "$pixel",
     "$caption-eq", "$dynamic", "$vector", "$pii", "$assert",
     "$anomaly", "$expr", "$fd", "$monotonic", "$reconcile", "$magic",
-    "$when", "$format",
+    "$when", "$format", "$dist",
 }
 
 # $format named whole-value patterns (anchored — a format check is
@@ -164,6 +169,9 @@ class Rule:
     # $anomaly: {metric, min, max, max_rel_change, last_k} — current
     # run's metric vs the metrics_history sink (checks/anomaly.py)
     anomaly: Optional[dict] = None
+    # $dist: {expected: {cat: weight, ...}, alpha} — chi² goodness-of-
+    # fit of the column vs a DECLARED distribution (drift.chi2_vs_expected)
+    dist: Optional[dict] = None
     # $expr: {sql: "<boolean SQL over any columns>"} — cross-column
     # row predicate (deequ `satisfies` analog), compiled to a Catalyst
     # expression inside the row-check projection
@@ -404,6 +412,7 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
         ("$pii", "pii"),
         ("$assert", "assert_"),
         ("$anomaly", "anomaly"),
+        ("$dist", "dist"),
         ("$expr", "expr_"),
         ("$fd", "fd"),
         ("$monotonic", "monotonic"),
@@ -423,9 +432,12 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
             d = {}
             def _plain(v):
                 # sequences (e.g. $drift clip: [0.05, 0.95]) convert
-                # element-wise; scalars by their resolved tag
+                # element-wise, nested maps (e.g. $dist expected:)
+                # key-wise; scalars by their resolved tag
                 if isinstance(v, yaml.SequenceNode):
                     return [_plain(e) for e in v.value]
+                if isinstance(v, yaml.MappingNode):
+                    return {k.value: _plain(e) for k, e in v.value}
                 sv = v.value
                 tag = _node_tag(v)
                 if tag == "!!int":

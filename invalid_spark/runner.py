@@ -89,6 +89,11 @@ class RunResult:
     def anomalies(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.out_dir, "anomalies"))
 
+    def distributions(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(self.out_dir, "distribution")
+        )
+
     def metrics_history(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(
             os.path.join(self.out_dir, "metrics_history")
@@ -559,6 +564,24 @@ def validate(
         stats.stat_assertions(df, a_specs, run_id=run_id).withColumn(
             "snapshot_id", F.lit(snapshot)
         ).write.mode("overwrite").parquet(os.path.join(out_dir, "assertions"))
+
+    # ---- declared-distribution gates ($dist) ----------------------------
+    # One corpus aggregate per $dist rule (rare rules; a multi-column
+    # single-pass variant would follow multi_grid's tagged pattern if
+    # wide $dist rule sets ever show up). Verdict rows are tiny and
+    # snapshot-stamped; the sink is overwrite-mode like assertions.
+    if plan.dist_specs and not plan.fail_fast:
+        d_out = None
+        for col, spec in plan.dist_specs:
+            one = drift_checks.chi2_vs_expected(
+                df, col, spec["expected"], float(spec.get("alpha", 0.05))
+            )
+            d_out = one if d_out is None else d_out.unionByName(one)
+        d_out.withColumn("run_id", F.lit(run_id)).withColumn(
+            "snapshot_id", F.lit(snapshot)
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "distribution")
+        )
 
     # ---- metric history + $anomaly (continuous leg 3) -------------------
     # Each run appends O(rules) metric rows to out_dir/metrics_history;

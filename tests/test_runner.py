@@ -695,3 +695,40 @@ def test_snapshot_diff(spark):
             spark.createDataFrame([("r1",)], "rid string"),
             "rid",
         )
+
+
+def test_dist_rule(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 60 else ("b" if i < 90 else "zz"), "s")
+         for i in range(100)],
+        "rid long, lab string, s string",
+    )
+    rules = load_rules("""
+rid: {$type: $int}
+lab: {$type: $str, $dist: {expected: {a: 1, b: 1}, alpha: 0.05}}
+""")
+    out = str(tmp_path / "dist_audit")
+    res = runner.validate(spark, df, rules, "rid", out)
+    rows = res.distributions(spark).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # declared n=90 (60 a / 30 b vs 45/45), 10 unexpected 'zz'
+    assert r["col_name"] == "lab" and r["n"] == 90
+    assert r["n_unexpected"] == 10 and r["drifted"]
+    assert abs(r["statistic"] - (15**2 / 45 + 15**2 / 45)) < 1e-9
+    assert r["snapshot_id"] is not None
+    # compile-time rule-config errors
+    from invalid_spark.checks.rows import compile_row_checks as crc
+    with pytest.raises(ValueError, match="expected"):
+        crc(df, load_rules("lab: {$type: $str, $dist: {alpha: 0.1}}"))
+    with pytest.raises(ValueError, match="> 0"):
+        crc(df, load_rules(
+            "lab: {$type: $str, $dist: {expected: {a: 1, b: 0}}}"))
+    with pytest.raises(ValueError, match="alpha"):
+        crc(df, load_rules(
+            "lab: {$type: $str, $dist: {expected: {a: 1, b: 1}, alpha: 2}}"))
+    # $dist on an absent column is skipped (keyMissing covers it)
+    from invalid_spark.dsl import load_rules as lr
+    plan = crc(df, lr("nope: {$type: $str, $optional: true, "
+                      "$dist: {expected: {a: 1, b: 1}}}"))
+    assert plan.dist_specs == []
