@@ -815,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "mix_report_documents": q_mix_report_documents,
         "mix_sample_documents": q_mix_sample_documents,
+        "mix_report_tokens_documents": q_mix_report_tokens_documents,
         "dedup_incremental_documents": q_dedup_incremental_documents,
         "chi2_expected_events": q_chi2_expected_events,
         "stats_entropy_events": q_stats_entropy_events,
@@ -2276,7 +2277,9 @@ def q_mix_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.mix_report(d, "source", _MIX_TARGET)
 
 
-def _sql_mix_tgt() -> str:
+def _sql_mix_tgt(
+    measure: str = "CAST(count(*) AS BIGINT)", ntype: str = "BIGINT"
+) -> str:
     from invalid_spark.pipeline.curate import normalize_mix
 
     shares = normalize_mix(_MIX_TARGET)
@@ -2285,17 +2288,17 @@ def _sql_mix_tgt() -> str:
 tgt(domain, t) AS (VALUES {vals}),
 counts AS (
   SELECT CAST(source AS VARCHAR) AS domain,
-         CAST(count(*) AS BIGINT) AS n
+         {measure} AS n
   FROM documents GROUP BY 1
 ),
 j AS (
   SELECT coalesce(c.domain, tgt.domain) AS domain,
-         CAST(coalesce(c.n, 0) AS BIGINT) AS n, tgt.t
+         CAST(coalesce(c.n, 0) AS {ntype}) AS n, tgt.t
   FROM counts c FULL OUTER JOIN tgt ON c.domain = tgt.domain
 ),
 cap AS (
   SELECT min(CASE WHEN t IS NOT NULL THEN n / t END) AS cap,
-         CAST(sum(n) AS BIGINT) AS total
+         CAST(sum(n) AS {ntype}) AS total
   FROM j
 )"""
 
@@ -2303,6 +2306,30 @@ cap AS (
 def _sql_mix_report_documents() -> str:
     return f"""
 WITH {_sql_mix_tgt()}
+SELECT domain, n, n / total AS share, t AS target_share,
+       CASE WHEN t IS NULL OR n = 0 THEN 0.0
+            ELSE least(1.0, t * cap / n) END AS sampling_rate,
+       CAST(floor(CASE WHEN t IS NULL OR n = 0 THEN 0.0
+                       ELSE least(1.0, t * cap / n) END * n)
+            AS BIGINT) AS n_keep
+FROM j, cap
+"""
+
+
+def q_mix_report_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mix (curate.mix_report weight_col=): the same
+    60/20/20 target declared over the TOKEN measure (n_chars proxy) —
+    what a training mix actually specifies; the feasible corpus size
+    is capped by the scarcest domain's token total."""
+    from invalid_spark.pipeline import curate
+
+    d = _t(spark, sf_dir, "documents")
+    return curate.mix_report(d, "source", _MIX_TARGET, weight_col="n_chars")
+
+
+def _sql_mix_report_tokens_documents() -> str:
+    return f"""
+WITH {_sql_mix_tgt("CAST(sum(n_chars) AS DOUBLE)", "DOUBLE")}
 SELECT domain, n, n / total AS share, t AS target_share,
        CASE WHEN t IS NULL OR n = 0 THEN 0.0
             ELSE least(1.0, t * cap / n) END AS sampling_rate,
@@ -3667,6 +3694,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff_documents": _sql_snapshot_diff_documents(),
         "mix_report_documents": _sql_mix_report_documents(),
         "mix_sample_documents": _sql_mix_sample_documents(),
+        "mix_report_tokens_documents": _sql_mix_report_tokens_documents(),
         "dedup_incremental_documents": _sql_dedup_incremental(),
         "chi2_expected_events": _sql_chi2_expected_events(),
         "stats_entropy_events": _sql_stats_entropy_events(),

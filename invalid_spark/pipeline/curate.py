@@ -239,6 +239,7 @@ def mix_report(
     domain_col: str,
     target: dict[str, float],
     materialize: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Domain-mix report for downsample-only data mixing: given target
     weights per domain (any positive numbers, normalized internally),
@@ -266,21 +267,35 @@ def mix_report(
     normalized shares reproduces rates bit-for-bit.
 
     Output: (domain, n, share, target_share, sampling_rate, n_keep).
+
+    ``weight_col`` switches the mix measure from document COUNT to a
+    per-row non-negative weight SUM (token or char counts — "20% of
+    the TOKENS from code", which is what a training mix actually
+    declares). ``n`` is then the domain's total weight as a double,
+    and the per-document hash sampling approximates the weight share
+    (whole documents are kept or dropped; the approximation error is
+    one document's weight per domain, negligible at corpus scale).
     """
     shares = normalize_mix(target)
     spark = df.sparkSession
     tgt = spark.createDataFrame(
         [(d, s) for d, s in shares.items()], "domain string, t double"
     )
+    measure = (
+        F.sum(F.col(weight_col)).cast("double")
+        if weight_col
+        else F.count(F.lit(1))
+    )
     counts = (
         df.groupBy(F.col(domain_col).cast("string").alias("domain"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(measure.alias("n"))
     )
     if materialize:
         counts = counts.localCheckpoint(eager=True)
+    n_type = "double" if weight_col else "long"
     j = counts.join(F.broadcast(tgt), "domain", "full_outer").select(
         "domain",
-        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.col("n"), F.lit(0)).cast(n_type).alias("n"),
         F.col("t"),
     )
     # feasible corpus size + total, one row — broadcast back onto the
@@ -312,6 +327,7 @@ def mix_sample(
     target: dict[str, float],
     key_col: str = "doc_id",
     salt: str = "mix-v1",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Apply :func:`mix_report`'s rates: keep each row iff its
     deterministic md5 bucket (same construction as
@@ -324,7 +340,7 @@ def mix_sample(
     partitioning."""
     # reserved-name projection so an input column named "domain" /
     # "sampling_rate" can't collide with the rates frame
-    rates = mix_report(df, domain_col, target).select(
+    rates = mix_report(df, domain_col, target, weight_col=weight_col).select(
         F.col("domain").alias("__mix_dom"),
         F.col("sampling_rate").alias("__mix_rate"),
     )

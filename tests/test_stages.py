@@ -1562,3 +1562,27 @@ def test_chi2_vs_expected(spark):
         drift.chi2_vs_expected(df, "lab", {"a": 1})
     with pytest.raises(ValueError, match="> 0"):
         drift.chi2_vs_expected(df, "lab", {"a": 1, "b": 0})
+
+
+def test_mix_report_weighted(spark):
+    from invalid_spark.pipeline import curate
+
+    df = spark.createDataFrame(
+        # web: 2 docs / 100 tokens total; code: 4 docs / 300 tokens
+        [(1, "web", 40), (2, "web", 60), (3, "code", 100),
+         (4, "code", 100), (5, "code", 50), (6, "code", 50)],
+        "doc_id long, domain string, n_tok long",
+    )
+    rep = {r["domain"]: r for r in
+           curate.mix_report(df, "domain", {"web": 1, "code": 1},
+                             weight_col="n_tok").collect()}
+    # T = min(100/.5, 300/.5) = 200 → web rate 1.0, code 100/300
+    assert rep["web"]["n"] == 100.0 and rep["web"]["sampling_rate"] == 1.0
+    assert abs(rep["code"]["sampling_rate"] - 1 / 3) < 1e-12
+    assert rep["code"]["n_keep"] == 100  # floor(rate * token total)
+    assert abs(rep["web"]["share"] - 0.25) < 1e-12  # 100 of 400 tokens
+    # sampling keeps whole docs; rate-1.0 domain keeps all
+    out = curate.mix_sample(df, "domain", {"web": 1, "code": 1},
+                            weight_col="n_tok")
+    assert out.filter("domain = 'web'").count() == 2
+    assert out.filter("domain = 'code'").count() <= 4
