@@ -1586,3 +1586,48 @@ def test_mix_report_weighted(spark):
                             weight_col="n_tok")
     assert out.filter("domain = 'web'").count() == 2
     assert out.filter("domain = 'code'").count() <= 4
+
+
+def test_round4_late_op_plan_shapes(spark):
+    """Scale-shape assertions for the late round-4 operators: the
+    claims in PLANS.md §22-24 are CI-enforced, not prose."""
+    from invalid_spark import runner as R
+    from invalid_spark.pipeline import curate, dedup
+    import pyspark.sql.functions as _F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    # snapshot_diff: exactly one (full-outer) join, never a cartesian
+    d = R.snapshot_diff(
+        docs.select("doc_id", "lang"),
+        docs.filter("doc_id % 2 = 0").select("doc_id", "lang"),
+        "doc_id",
+    )
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1
+
+    # mix_sample: the corpus payload joins the rates by BROADCAST hash
+    # join (the only nested-loop is the benign 1-row cap cross join)
+    s = curate.mix_sample(docs, "source", {"src1": 1, "src2": 1})
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    # chi2_vs_expected(materialize=True): the returned frame reads the
+    # checkpointed category counts — the corpus parquet appears ZERO
+    # times downstream (it was aggregated once, eagerly)
+    from invalid_spark.checks import drift as _drift
+    g = _drift.chi2_vs_expected(docs, "lang", {"en": 1, "fr": 1})
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan
+
+    # incremental dedup: equi-joins only, 16-byte-key payloads
+    st = dedup.fingerprint_state(docs.filter("doc_id % 2 = 0"))
+    inc = dedup.exact_dedup_vs_state(docs.filter("doc_id % 2 = 1"), st)
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
