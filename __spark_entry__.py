@@ -382,6 +382,41 @@ def q_text_contamination_documents(
     )
 
 
+def q_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication profile (dedup.dup_span_stats): per
+    document, the fraction of token positions whose word 5-gram also
+    occurs in another document, and the merged token span those
+    duplicated grams cover. n=5 (not the dedup default 3) because
+    the synthetic corpus is template-generated — 3-grams repeat
+    everywhere, while 5-gram coverage isolates exactly the planted
+    near-duplicate families (47/500 flagged at sf0.01)."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.dup_span_stats(d, n=5, coverage_threshold=0.5)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "n_positions",
+        "n_dup_positions",
+        "covered_tokens",
+        "coverage_frac",
+        "flagged",
+    )
+
+
+def q_text_unigram_lm_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-trained unigram LM score (text.unigram_logprob):
+    perplexity-style quality signal, bits per token under the
+    corpus's own token distribution — fully SQL-replayable, unlike a
+    KenLM n-gram."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.unigram_logprob(d)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "bits_per_token"
+    )
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "documents")
     # plant exact duplicates: re-append every 10th doc (shifted key)
@@ -793,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint_documents": q_text_fingerprint_documents,
         "text_repetition_documents": q_text_repetition_documents,
         "text_contamination_documents": q_text_contamination_documents,
+        "dup_spans_documents": q_dup_spans_documents,
+        "text_unigram_lm_documents": q_text_unigram_lm_documents,
         "text_pii_documents": q_text_pii_documents,
         "sample_documents": q_sample_documents,
         "rowcheck_pii_documents": q_rowcheck_pii_documents,
@@ -3068,6 +3105,81 @@ LEFT JOIN agg ON agg.doc_id = d.doc_id
 """
 
 
+def _sql_dup_spans(n: int = 3, min_df: int = 2, thr: float = 0.5) -> str:
+    # positional grams via unnest(range(...)) + 1-based inclusive
+    # slicing; doc frequency over DISTINCT (doc, gram); interval
+    # union via the same running-max window Spark uses
+    frac = (
+        "CASE WHEN n_tokens > 0 THEN "
+        "CAST(coalesce(covered_tokens, 0) AS DOUBLE) / n_tokens "
+        "ELSE 0.0 END"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {_NTOKS} AS t FROM documents),
+posx AS (
+  SELECT doc_id, t, unnest(range(len(t) - {n} + 1)) AS i
+  FROM tok WHERE len(t) >= {n}
+),
+pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         array_to_string(t[i+1:i+{n}], ' ') AS g
+  FROM posx
+),
+dupg AS (
+  SELECT g FROM (SELECT DISTINCT doc_id, g FROM pos)
+  GROUP BY g HAVING count(*) >= {min_df}
+),
+dp AS (SELECT pos.doc_id, pos.i FROM pos JOIN dupg USING (g)),
+merged AS (
+  SELECT doc_id, i,
+         max(i + {n}) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_end
+  FROM dp
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_dup_positions,
+         CAST(sum(greatest(0, i + {n} - greatest(i, coalesce(prev_end, i))))
+              AS BIGINT) AS covered_tokens
+  FROM merged GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(greatest(0, len(t) - {n} + 1) AS BIGINT) AS n_positions
+  FROM tok
+)
+SELECT tot.doc_id, n_tokens, n_positions,
+       CAST(coalesce(n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+       CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       round({frac}, 6) AS coverage_frac,
+       ({frac}) >= {thr} AS flagged
+FROM tot LEFT JOIN agg USING (doc_id)
+"""
+
+
+def _sql_text_unigram_lm() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {_NTOKS} AS t FROM documents),
+occ AS (SELECT doc_id, unnest(t) AS w FROM tok),
+vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM vocab),
+per_doc AS (
+  SELECT occ.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         avg(-log2(vocab.c / tot.total)) AS bits
+  FROM occ JOIN vocab USING (w) CROSS JOIN tot
+  GROUP BY occ.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per_doc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(per_doc.bits, 6) AS bits_per_token
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 def _sql_minhash_pairs_ctes(src: str = "documents") -> str:
     """Shared CTE chain ending in ``pairs(a, b, jaccard)`` — the
     MinHash+LSH near-dup pipeline (threshold 0.8) replayed in SQL
@@ -3672,6 +3784,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint_documents": _sql_text_fingerprint(),
         "text_repetition_documents": _sql_text_repetition(),
         "text_contamination_documents": _sql_text_contamination(),
+        "dup_spans_documents": _sql_dup_spans(n=5),
+        "text_unigram_lm_documents": _sql_text_unigram_lm(),
         "text_pii_documents": _sql_text_pii(),
         "sample_documents": _sql_sample_documents(),
         "rowcheck_pii_documents": _sql_rowcheck_pii_documents(),

@@ -166,6 +166,8 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
     # ---- regression coverage (not in the headline accumulator) ------
     for name, q in (
         ("text_contamination", entry.q_text_contamination_documents),
+        ("dup_spans", entry.q_dup_spans_documents),
+        ("text_unigram_lm", entry.q_text_unigram_lm_documents),
         ("text_pii", entry.q_text_pii_documents),
         ("text_linefilter", entry.q_text_linefilter_documents),
         ("hash_sample", entry.q_sample_documents),

@@ -689,3 +689,107 @@ def embedding_neardup_lsh(
     return verified.select(
         "a", "b", dot(F.col("va"), F.col("vb")).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# span-level duplication (substring-dedup signal)
+
+
+def dup_span_stats(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    min_df: int = 2,
+    coverage_threshold: float = 0.5,
+) -> DataFrame:
+    """Span-level (substring) duplication profile per document — the
+    gram-granular approximation of suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022): a token position is *duplicated* when the word
+    ``n``-gram starting there also occurs in at least ``min_df - 1``
+    OTHER documents, and a document is ``flagged`` when the merged
+    token span covered by duplicated grams reaches
+    ``coverage_threshold`` of its tokens. Within-doc repetition does
+    NOT count (that is :func:`~invalid_spark.pipeline.text.
+    repetition_features`); doc frequency is over distinct documents.
+
+    Returns one row per input document: (id, n_tokens, n_positions,
+    n_dup_positions, covered_tokens, coverage_frac, flagged).
+
+    Scale shape: one positional explode (linear in corpus tokens), a
+    distinct + hash-aggregate keyed by gram for doc frequency (the
+    same key distribution the Jaccard/minhash shuffles already
+    handle), an inner shuffle join of positions against the
+    duplicated-gram set, and the interval-union per doc via one
+    window over positions (sorted within a doc, no self-join). No
+    all-pairs stage anywhere; the window partitions by doc id, so
+    skew is bounded by the longest single document.
+    """
+    from pyspark.sql import Window
+
+    toks = T.tokens(T.normalize(F.col(text_col)))
+    base = df.select(F.col(key_col).alias("id"), toks.alias("t"))
+    pos = (
+        base.filter(F.size("t") >= n)
+        .select("id", F.posexplode(_grams(F.col("t"), n)).alias("i", "g"))
+    )
+    dupg = (
+        pos.select("id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("g")
+    )
+    dp = pos.join(dupg, "g").select("id", "i")
+    w = (
+        Window.partitionBy("id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("i") + n).over(w)
+    contrib = F.greatest(
+        F.lit(0),
+        (F.col("i") + n)
+        - F.greatest(F.col("i"), F.coalesce(prev_end, F.col("i"))),
+    )
+    agg = (
+        dp.select("id", contrib.alias("c"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_positions"),
+            F.sum("c").cast("long").alias("covered_tokens"),
+        )
+    )
+    tot = base.select(
+        "id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.greatest(F.lit(0), F.size("t") - n + 1)
+        .cast("long")
+        .alias("n_positions"),
+    )
+    frac = F.when(
+        F.col("n_tokens") > 0,
+        F.col("covered_tokens").cast("double") / F.col("n_tokens"),
+    ).otherwise(F.lit(0.0))
+    return (
+        tot.join(agg, "id", "left")
+        .withColumn(
+            "n_dup_positions",
+            F.coalesce("n_dup_positions", F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "covered_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).cast("long"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            "n_positions",
+            "n_dup_positions",
+            "covered_tokens",
+            F.round(frac, 6).alias("coverage_frac"),
+            (frac >= coverage_threshold).alias("flagged"),
+        )
+    )

@@ -436,3 +436,50 @@ def line_filter(
         F.size(kept).cast("long").alias("n_kept"),
         F.array_join(kept, "\n").alias(text_col),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained unigram language-model score per document —
+    the cheapest useful stand-in for perplexity-based quality
+    filtering (CCNet/Gopher use a KenLM 5-gram; the sandbox has no
+    KenLM, and a unigram model IS exactly replayable in SQL): train
+    P(w) = count(w) / total over THIS corpus's normalized tokens,
+    then score each document by its mean negative log2 probability
+    (bits per token). Gibberish / rare-token soup scores high;
+    repetitive boilerplate scores low — both tails are filter
+    candidates.
+
+    Returns one row per document: (id, n_tokens, bits_per_token);
+    ``bits_per_token`` is NULL for empty documents.
+
+    Scale shape: one token explode (linear), one hash-aggregate
+    keyed by token for the vocabulary (Zipf skew is absorbed by
+    partial combine — hot tokens collapse map-side), a broadcast of
+    the single-row corpus total, one shuffle join of occurrences
+    against the vocabulary, and a per-doc aggregate. The vocabulary
+    is tiny relative to the corpus (sublinear vocabulary growth), so
+    at production scale the occurrence-vocab join can also broadcast
+    a top-K vocabulary with an OOV floor; the default keeps the
+    exact shuffle join so the DuckDB oracle replays bit-identically.
+    """
+    toks = tokens(normalize(F.col(text_col)))
+    occ = df.select(
+        F.col(key_col).alias("id"), F.explode(toks).alias("w")
+    )
+    vocab = occ.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("total"))
+    scored = occ.join(vocab, "w").crossJoin(F.broadcast(total))
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.avg(-F.log2(F.col("c") / F.col("total"))).alias("bits"),
+    )
+    ids = df.select(F.col(key_col).alias("id"))
+    return ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.round("bits", 6).alias("bits_per_token"),
+    )

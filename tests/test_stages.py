@@ -1631,3 +1631,96 @@ def test_round4_late_op_plan_shapes(spark):
     plan = inc._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_dup_span_stats_planted(spark):
+    """Span-level duplication: cross-doc shared 3-gram spans merge
+    into covered-token intervals; within-doc repetition and unique
+    docs stay at zero coverage."""
+    from invalid_spark.pipeline import dedup as D
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "xx alpha beta gamma delta yy"),
+            (3, "one two three four five"),
+            (4, "repeat me repeat me repeat me now"),
+            (5, "hi"),
+            (6, "one two three four five"),
+            (7, "totally unique words nobody else wrote here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in D.dup_span_stats(df, n=3, coverage_threshold=0.5).collect()
+    }
+    assert len(out) == 7
+    # docs 1/2 share grams "alpha beta gamma" + "beta gamma delta":
+    # two overlapping [i, i+3) intervals merge to 4 covered tokens
+    for i in (1, 2):
+        assert out[i]["n_dup_positions"] == 2
+        assert out[i]["covered_tokens"] == 4
+        assert out[i]["coverage_frac"] == pytest.approx(4 / 6, abs=1e-6)
+        assert out[i]["flagged"]
+    # exact duplicate pair 3/6: every position duplicated, full cover
+    for i in (3, 6):
+        assert out[i]["n_dup_positions"] == out[i]["n_positions"] == 3
+        assert out[i]["covered_tokens"] == 5
+        assert out[i]["coverage_frac"] == 1.0 and out[i]["flagged"]
+    # within-doc repetition does NOT count (df is over distinct docs)
+    assert out[4]["n_dup_positions"] == 0 and out[4]["covered_tokens"] == 0
+    assert not out[4]["flagged"]
+    # too short for any gram
+    assert out[5]["n_positions"] == 0 and out[5]["coverage_frac"] == 0.0
+    # unique doc
+    assert out[7]["covered_tokens"] == 0 and not out[7]["flagged"]
+
+
+def test_unigram_logprob_planted(spark):
+    """Unigram LM bits/token: hand-computed cross-entropy against
+    the corpus's own token distribution; empty doc → NULL score."""
+    import math
+
+    from invalid_spark.pipeline import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "B c!"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in T.unigram_logprob(df).collect()}
+    # counts: a=2, b=2, c=1, total 5 (normalize lowercases + strips !)
+    exp1 = -math.log2(2 / 5)  # doc 1 = a a b, every token has count 2
+    exp2 = (-math.log2(2 / 5) + -math.log2(1 / 5)) / 2
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["bits_per_token"] == pytest.approx(exp1, abs=1e-6)
+    assert out[2]["n_tokens"] == 2
+    assert out[2]["bits_per_token"] == pytest.approx(exp2, abs=1e-6)
+    assert out[3]["n_tokens"] == 0 and out[3]["bits_per_token"] is None
+
+
+def test_new_text_op_plan_shapes(spark):
+    """Scale-shape assertions for dup_span_stats / unigram_logprob:
+    equi-joins only (gram- and token-keyed), one window partitioned
+    by doc id, and the single benign 1-row broadcast for the corpus
+    total — never a cartesian over data."""
+    from invalid_spark.pipeline import dedup as D
+    from invalid_spark.pipeline import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    out = D.dup_span_stats(docs, n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("Window") >= 1  # interval union, no self-join
+
+    lm = T.unigram_logprob(docs)
+    plan = lm._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the only nested-loop input is the broadcast single-row total
+    import re
+
+    for m in re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "BuildRight" in m or "BuildLeft" in m
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
