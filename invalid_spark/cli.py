@@ -21,7 +21,9 @@ Local (this sandbox):
         --rules rules.yaml --out /tmp/audit
 
 Subcommands: ``validate`` (full resumable suite), ``profile``
-(column stats for every ``$stats`` directive). The SparkSession is
+(column stats for every ``$stats`` directive), ``suggest`` (rule
+bootstrap), ``curate`` (curation pipeline), ``report`` (markdown
+data-docs over an existing out_dir). The SparkSession is
 taken from ``getOrCreate`` so spark-submit's ``--master``/conf apply;
 local runs fall back to the tuned local profile in
 :mod:`invalid_spark.session`.
@@ -105,12 +107,42 @@ def main(argv: list[str] | None = None) -> int:
                     "0.9,0.05,0.05")
     pc.add_argument("--local-cores", type=int, default=None)
 
+    pr = sub.add_parser(
+        "report",
+        help="render a validation out_dir as a human-readable "
+        "markdown report (data-docs analog)",
+    )
+    pr.add_argument("--out", required=True, help="validation out_dir")
+    pr.add_argument("--snapshot", default=None,
+                    help="snapshot to report on (default: latest)")
+    pr.add_argument("--max-samples", type=int, default=3)
+    pr.add_argument("--write", action="store_true",
+                    help="also write out_dir/report.md")
+    pr.add_argument("--local-cores", type=int, default=None)
+
     args = ap.parse_args(argv)
     spark = _get_session(args)
 
     from invalid_spark import runner
     from invalid_spark.dsl import load_rules_file
     from invalid_spark.io import snapshot_id
+
+    if args.cmd == "report":
+        import os
+
+        from invalid_spark import report as report_mod
+
+        snap = args.snapshot or report_mod.latest_snapshot(spark, args.out)
+        text = report_mod.render_markdown(
+            spark, args.out, snapshot=snap, max_samples=args.max_samples
+        )
+        if args.write:
+            path = os.path.join(args.out, "report.md")
+            with open(path + ".tmp", "w") as f:
+                f.write(text)
+            os.replace(path + ".tmp", path)
+        sys.stdout.write(text)
+        return 0
 
     df = spark.read.parquet(args.table)
 

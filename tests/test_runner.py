@@ -732,3 +732,59 @@ lab: {$type: $str, $dist: {expected: {a: 1, b: 1}, alpha: 0.05}}
     plan = crc(df, lr("nope: {$type: $str, $optional: true, "
                       "$dist: {expected: {a: 1, b: 1}}}"))
     assert plan.dist_specs == []
+
+
+def test_markdown_report(spark, tmp_path):
+    """report.render_markdown / latest_snapshot / cli report: a
+    human-readable summary over the run's sinks, scoped to ONE
+    snapshot; everything collected is sketch-sized."""
+    from invalid_spark import cli, report
+
+    n = 330
+    df = synth.images_df(spark, n)
+    rules = load_rules(
+        "w: {$type: $int, $range: {$min: 1, $max: 100000},\n"
+        "    $anomaly: {metric: violation_rate, max: 0.9}}\n"
+    )
+    exp_bad = len(synth.violation_indices(n, "range_w"))
+    out = str(tmp_path / "rep")
+    r1 = runner.validate(
+        spark, df, rules, "image_id", out, snapshot="s1",
+        manifest_dir=os.path.join(out, "m1"),
+    )
+    assert report.latest_snapshot(spark, out) == "s1"
+    # reports render right after the run they describe (the overwrite
+    # sinks hold only the latest run)
+    md1 = report.render_markdown(spark, out, snapshot="s1", run_id=r1.run_id)
+    assert "## Verdict: FAIL" in md1
+    assert "rangeMismatch" in md1 and str(exp_bad) in md1
+    assert "## Sample violations" in md1
+    assert "## Anomalies" in md1
+
+    # write_markdown round-trip via the RunResult
+    p = report.write_markdown(spark, r1)
+    assert open(p).read() == report.render_markdown(
+        spark, out, snapshot="s1", run_id=r1.run_id,
+        units_done=r1.units_done, units_skipped=r1.units_skipped,
+    )
+
+    fixed = df.withColumn(
+        "w",
+        F.when((F.col("w") < 1) | (F.col("w") > 100000), F.lit(500))
+        .otherwise(F.col("w")),
+    )
+    runner.validate(
+        spark, fixed, rules, "image_id", out, snapshot="s2",
+        manifest_dir=os.path.join(out, "m2"),
+    )
+    # two snapshots: metrics_history's max seq picks the latest
+    assert report.latest_snapshot(spark, out) == "s2"
+    # s2 is clean — and s1's appended violations must NOT leak in
+    md2 = report.render_markdown(spark, out, snapshot="s2")
+    assert "## Verdict: PASS" in md2
+    assert "rangeMismatch" not in md2
+
+    # CLI: defaults to the latest snapshot, --write persists report.md
+    rc = cli.main(["report", "--out", out, "--write"])
+    assert rc == 0
+    assert "## Verdict: PASS" in open(os.path.join(out, "report.md")).read()
