@@ -138,6 +138,7 @@ class RowCheckPlan:
     assert_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     anomaly_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     dist_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
+    dupspan_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     expr_specs: list[tuple[str, str]] = dc_field(default_factory=list)
     when_specs: list[tuple[str, str]] = dc_field(default_factory=list)
     pixel_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
@@ -668,6 +669,34 @@ class _Compiler:
                         f"(0, 1), got {alpha!r}"
                     )
                 self.plan.dist_specs.append((path, child.dist))
+            if child.dupspan is not None and dt is not None:
+                # $dupspan: cross-document duplicated-span coverage
+                # gate — a text-column rule ($dist-style absent-column
+                # skip; the schema keyMissing violation covers that)
+                if not isinstance(dt, T.StringType):
+                    raise ValueError(
+                        f"$dupspan on column [{path}] requires a "
+                        f"string column, got {dt.simpleString()}"
+                    )
+                ds_n = child.dupspan.get("n", 3)
+                if not isinstance(ds_n, int) or ds_n < 2:
+                    raise ValueError(
+                        f"$dupspan n on column [{path}] must be an "
+                        f"integer >= 2, got {ds_n!r}"
+                    )
+                cov = child.dupspan.get("max_coverage", 0.5)
+                if not isinstance(cov, (int, float)) or not 0 < cov <= 1:
+                    raise ValueError(
+                        f"$dupspan max_coverage on column [{path}] "
+                        f"must be in (0, 1], got {cov!r}"
+                    )
+                ds_df = child.dupspan.get("min_df", 2)
+                if not isinstance(ds_df, int) or ds_df < 2:
+                    raise ValueError(
+                        f"$dupspan min_df on column [{path}] must be "
+                        f"an integer >= 2, got {ds_df!r}"
+                    )
+                self.plan.dupspan_specs.append((path, child.dupspan))
             if child.anomaly is not None and dt is not None:
                 from invalid_spark.checks import anomaly as _anomaly
 

@@ -79,6 +79,11 @@ Engine extensions (all optional, ignored by reference-parity tests):
   gate; weights normalized, unexpected categories fail on their own);
   verdicts land in the ``distribution`` sink
   (:func:`invalid_spark.checks.drift.chi2_vs_expected`)
+- ``$dupspan: {n: g, max_coverage: f, min_df: d}`` — cross-document
+  duplicated n-gram span gate on a text column (substring-dedup
+  signal): a row fails when duplicated-gram spans cover ≥ f of its
+  tokens; runs as a resumable global unit like ``$unique``
+  (:func:`invalid_spark.pipeline.dedup.dup_span_stats`)
 - ``$assert: {stat: null_rate|min|max|mean|ndv, min: lo, max: hi}`` —
   table-level constraint on a column statistic (deequ-style); runner
   evaluates every $assert in one aggregation and writes the verdicts
@@ -114,7 +119,7 @@ _DIRECTIVES = {
     "$unique", "$ref", "$range", "$stats", "$drift", "$pixel",
     "$caption-eq", "$dynamic", "$vector", "$pii", "$assert",
     "$anomaly", "$expr", "$fd", "$monotonic", "$reconcile", "$magic",
-    "$when", "$format", "$dist",
+    "$when", "$format", "$dist", "$dupspan",
 }
 
 # $format named whole-value patterns (anchored — a format check is
@@ -172,6 +177,11 @@ class Rule:
     # $dist: {expected: {cat: weight, ...}, alpha} — chi² goodness-of-
     # fit of the column vs a DECLARED distribution (drift.chi2_vs_expected)
     dist: Optional[dict] = None
+    # $dupspan: {n, max_coverage, min_df} — cross-document duplicated
+    # n-gram span coverage gate on a text column (the substring-dedup
+    # signal, pipeline/dedup.dup_span_stats); runs as a resumable
+    # global unit like $unique
+    dupspan: Optional[dict] = None
     # $expr: {sql: "<boolean SQL over any columns>"} — cross-column
     # row predicate (deequ `satisfies` analog), compiled to a Catalyst
     # expression inside the row-check projection
@@ -413,6 +423,7 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
         ("$assert", "assert_"),
         ("$anomaly", "anomaly"),
         ("$dist", "dist"),
+        ("$dupspan", "dupspan"),
         ("$expr", "expr_"),
         ("$fd", "fd"),
         ("$monotonic", "monotonic"),

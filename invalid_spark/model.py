@@ -46,6 +46,7 @@ class ErrorType:
     MAGIC_MISMATCH = "magicMismatch"  # $magic: container magic vs declared fmt
     HEADER_MISMATCH = "headerDimsMismatch"  # $magic: header dims vs w/h cols
     FORMAT_MISMATCH = "formatMismatch"  # $format: named whole-value format
+    DUPSPAN_MISMATCH = "dupSpanMismatch"  # $dupspan: cross-doc span coverage
 
 
 # message constructors — exact reference strings

@@ -793,3 +793,49 @@ def dup_span_stats(
             (frac >= coverage_threshold).alias("flagged"),
         )
     )
+
+
+def dup_span_violations(
+    df: DataFrame,
+    col: str,
+    row_key: str,
+    run_id: str = "",
+    n: int = 3,
+    max_coverage: float = 0.5,
+    min_df: int = 2,
+) -> DataFrame:
+    """``$dupspan`` rule evaluation: VIOLATION_SCHEMA rows for every
+    document whose duplicated-span coverage (:func:`dup_span_stats`)
+    reaches ``max_coverage``. Whole-table semantics like ``$unique``
+    — a span duplicated across two work units is invisible per-batch
+    — so the runner gives it its own resumable global unit."""
+    from invalid_spark.model import ErrorType
+
+    flagged = dup_span_stats(
+        df, n=n, text_col=col, key_col=row_key,
+        min_df=min_df, coverage_threshold=max_coverage,
+    ).filter(F.col("flagged"))
+    base = df.select(
+        F.col(row_key).cast("string").alias("row_key"),
+        F.spark_partition_id().alias("partition_id"),
+    )
+    return (
+        flagged.select(
+            F.col("id").cast("string").alias("row_key"),
+            F.col("coverage_frac"),
+        )
+        .join(base, "row_key")
+        .select(
+            "row_key",
+            F.lit(col).alias("column"),
+            F.lit(col).alias("rule_id"),
+            F.lit(ErrorType.DUPSPAN_MISMATCH).alias("error_type"),
+            F.lit(
+                f"duplicated {n}-gram spans in [{col}] must cover "
+                f"< {max_coverage} of tokens"
+            ).alias("message"),
+            F.col("coverage_frac").cast("string").alias("observed"),
+            "partition_id",
+            F.lit(run_id).alias("run_id"),
+        )
+    )

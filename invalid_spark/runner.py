@@ -432,6 +432,21 @@ def validate(
                     strict=bool(spec.get("strict", False)), run_id=run_id,
                 ),
             )
+        # $dupspan: cross-document duplicated-span coverage — whole-
+        # table semantics like $unique (a span shared across two work
+        # units is invisible per-batch) → one resumable global unit
+        from invalid_spark.pipeline import dedup as dedup_pipeline
+
+        for col, spec in plan.dupspan_specs:
+            _global_stage(
+                f"__dupspan__{col}",
+                lambda col=col, spec=spec: dedup_pipeline.dup_span_violations(
+                    df, col, row_key, run_id,
+                    n=int(spec.get("n", 3)),
+                    max_coverage=float(spec.get("max_coverage", 0.5)),
+                    min_df=int(spec.get("min_df", 2)),
+                ),
+            )
         for col, spec in plan.reconcile_specs:
             dim_name = spec["table"]
             if dim_name not in dims:
@@ -499,6 +514,7 @@ def validate(
                for c, e in plan.unique_composite}
             | {f"__fd__{c}->{s.get('dep')}" for c, s in plan.fd_specs}
             | {f"__monotonic__{c}" for c, _ in plan.monotonic_specs}
+            | {f"__dupspan__{c}" for c, _ in plan.dupspan_specs}
             | {f"__reconcile__{c}~{s['value']}" for c, s in plan.reconcile_specs}
         )
         if expected <= manifest.done_units():

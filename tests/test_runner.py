@@ -788,3 +788,44 @@ def test_markdown_report(spark, tmp_path):
     rc = cli.main(["report", "--out", out, "--write"])
     assert rc == 0
     assert "## Verdict: PASS" in open(os.path.join(out, "report.md")).read()
+
+
+def test_dupspan_rule_through_runner(spark, tmp_path):
+    """$dupspan: documents whose cross-doc duplicated 3-gram spans
+    cover >= max_coverage of their tokens produce dupSpanMismatch
+    violations; the stage is a resumable global unit like $unique."""
+    dup = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [(0, dup), (1, dup),
+            (2, "completely different words appear in this sentence"),
+            (3, "spark partitions shuffle data between executor cores")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rules = load_rules(
+        "text: {$type: $str, $dupspan: {n: 3, max_coverage: 0.5}}\n"
+    )
+    out = str(tmp_path / "dupspan_audit")
+    res = runner.validate(spark, df, rules, "doc_id", out, snapshot="s1")
+    assert "__dupspan__text" in res.units_done
+    v = res.violations(spark).filter("error_type = 'dupSpanMismatch'")
+    got = {r["row_key"]: r for r in v.collect()}
+    assert set(got) == {"0", "1"}
+    assert got["0"]["observed"] == "1.0"  # full coverage, exact dup
+    assert "must cover < 0.5" in got["0"]["message"]
+    # resume skips the done global unit and appends nothing
+    res2 = runner.validate(spark, df, rules, "doc_id", out, snapshot="s1")
+    assert "__dupspan__text" in res2.units_skipped
+    assert res2.violations(spark).filter(
+        "error_type = 'dupSpanMismatch'").count() == 2
+
+    # compile-time rule-config errors
+    from invalid_spark.checks.rows import compile_row_checks as crc
+    with pytest.raises(ValueError, match="string column"):
+        crc(df, load_rules("doc_id: {$type: $int, $dupspan: {n: 3}}"))
+    with pytest.raises(ValueError, match=">= 2"):
+        crc(df, load_rules("text: {$type: $str, $dupspan: {n: 1}}"))
+    with pytest.raises(ValueError, match="max_coverage"):
+        crc(df, load_rules(
+            "text: {$type: $str, $dupspan: {max_coverage: 0}}"))
+    # absent column: skipped (keyMissing covers it), like $dist
+    plan = crc(df, load_rules(
+        "nope: {$type: $str, $optional: true, $dupspan: {n: 3}}"))
+    assert plan.dupspan_specs == []
