@@ -417,6 +417,39 @@ def q_text_unigram_lm_documents(
     )
 
 
+def q_text_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile (text.vocab_stats): token/type
+    counts, type-token ratio, hapax fraction, top-10 token share —
+    the Zipf head/tail summary tracked across corpus snapshots."""
+    d = _t(spark, sf_dir, "documents")
+    return text.vocab_stats(d, top_k=10)
+
+
+def q_streaming_profile_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Windowed numeric profile (streaming.windowed_profile) of
+    events.value per event-time day, executed on the batch path —
+    pytest proves streaming execution emits identical rows, so the
+    whole computation is SQL-replayable."""
+    from invalid_spark import streaming
+
+    ev = _t(spark, sf_dir, "events").select("value", "ts").filter(
+        F.col("ts").isNotNull()
+    )
+    out = streaming.windowed_profile(ev, "value", window="1 day",
+                                     watermark="1 day")
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.col("window_end").cast("string").alias("window_end"),
+        "n_rows",
+        "n_null",
+        "vmin",
+        "vmax",
+        "mean",
+    )
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "documents")
     # plant exact duplicates: re-append every 10th doc (shifted key)
@@ -830,6 +863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination_documents": q_text_contamination_documents,
         "dup_spans_documents": q_dup_spans_documents,
         "text_unigram_lm_documents": q_text_unigram_lm_documents,
+        "text_vocab_documents": q_text_vocab_documents,
+        "streaming_profile_events": q_streaming_profile_events,
         "text_pii_documents": q_text_pii_documents,
         "sample_documents": q_sample_documents,
         "rowcheck_pii_documents": q_rowcheck_pii_documents,
@@ -3180,6 +3215,46 @@ LEFT JOIN per_doc USING (doc_id)
 """
 
 
+def _sql_text_vocab(top_k: int = 10) -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {_NTOKS} AS t FROM documents),
+occ AS (SELECT unnest(t) AS w FROM tok),
+vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY w),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM vocab
+),
+tk AS (
+  SELECT CAST(sum(c) AS BIGINT) AS top_tokens
+  FROM (SELECT c FROM vocab ORDER BY c DESC, w ASC LIMIT {top_k})
+)
+SELECT n_tokens, n_types, n_hapax,
+       round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+       round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac,
+       round(CAST(top_tokens AS DOUBLE) / n_tokens, 6) AS topk_share
+FROM tot, tk
+"""
+
+
+def _sql_streaming_profile_events() -> str:
+    return """
+WITH w AS (
+  SELECT date_trunc('day', ts) AS ws, value
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT CAST(CAST(ws AS TIMESTAMP) AS VARCHAR) AS window_start,
+       CAST(ws + INTERVAL 1 DAY AS VARCHAR) AS window_end,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(value) AS BIGINT) AS n_null,
+       min(value) AS vmin,
+       max(value) AS vmax,
+       round(avg(value), 6) AS mean
+FROM w GROUP BY ws
+"""
+
+
 def _sql_minhash_pairs_ctes(src: str = "documents") -> str:
     """Shared CTE chain ending in ``pairs(a, b, jaccard)`` — the
     MinHash+LSH near-dup pipeline (threshold 0.8) replayed in SQL
@@ -3786,6 +3861,8 @@ def oracle_sql() -> dict[str, str]:
         "text_contamination_documents": _sql_text_contamination(),
         "dup_spans_documents": _sql_dup_spans(n=5),
         "text_unigram_lm_documents": _sql_text_unigram_lm(),
+        "text_vocab_documents": _sql_text_vocab(),
+        "streaming_profile_events": _sql_streaming_profile_events(),
         "text_pii_documents": _sql_text_pii(),
         "sample_documents": _sql_sample_documents(),
         "rowcheck_pii_documents": _sql_rowcheck_pii_documents(),

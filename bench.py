@@ -168,6 +168,8 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
         ("text_contamination", entry.q_text_contamination_documents),
         ("dup_spans", entry.q_dup_spans_documents),
         ("text_unigram_lm", entry.q_text_unigram_lm_documents),
+        ("text_vocab", entry.q_text_vocab_documents),
+        ("streaming_profile", entry.q_streaming_profile_events),
         ("text_pii", entry.q_text_pii_documents),
         ("text_linefilter", entry.q_text_linefilter_documents),
         ("hash_sample", entry.q_sample_documents),

@@ -67,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--quarantine", action="store_true",
                     help="also write clean/ and quarantine/ row splits "
                     "(only once every unit is validated)")
+    pv.add_argument("--report", action="store_true",
+                    help="also render out_dir/report.md (markdown "
+                    "data-docs for this run)")
     pv.add_argument("--local-cores", type=int, default=None)
 
     pp = sub.add_parser("profile", help="column statistics ($stats rules)")
@@ -253,6 +256,10 @@ def main(argv: list[str] | None = None) -> int:
         udf_parallelism=args.udf_parallelism,
         quarantine=args.quarantine,
     )
+    if args.report:
+        from invalid_spark import report as report_mod
+
+        report_mod.write_markdown(spark, res)
     n_viol = res.violations(spark).count()
     verd = [r.asDict() for r in res.verdicts(spark).collect()]
     print(json.dumps({

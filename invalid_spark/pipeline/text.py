@@ -483,3 +483,52 @@ def unigram_logprob(
         F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         F.round("bits", 6).alias("bits_per_token"),
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 10,
+) -> DataFrame:
+    """Corpus vocabulary profile in one row: total token count,
+    type (distinct-token) count, type-token ratio, hapax fraction
+    (types occurring exactly once — the Zipf tail), and the token
+    share of the ``top_k`` most frequent types (the Zipf head). The
+    standard corpus-composition summary a training-data pipeline
+    tracks across snapshots: a collapsing TTR or an inflating head
+    share signals boilerplate/dup contamination before any dedup
+    runs.
+
+    Scale shape: one token explode + one vocabulary hash-aggregate
+    (shared with :func:`unigram_logprob`), then two aggregates over
+    the types-sized frame; the top-k side is orderBy+limit —
+    TakeOrdered, never a global sort — with a deterministic
+    (count desc, token asc) tie-break so any SQL engine replays the
+    same k rows."""
+    toks = tokens(normalize(F.col(text_col)))
+    occ = df.select(F.explode(toks).alias("w"))
+    vocab = occ.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    top = (
+        vocab.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(top_k)
+        .agg(F.sum("c").cast("long").alias("top_tokens"))
+    )
+    return totals.crossJoin(F.broadcast(top)).select(
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.col("n_hapax") / F.col("n_types"), 6).alias("hapax_frac"),
+        F.round(F.col("top_tokens") / F.col("n_tokens"), 6).alias(
+            "topk_share"
+        ),
+    )

@@ -455,3 +455,42 @@ def write_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def windowed_profile(
+    df: DataFrame,
+    value_col: str,
+    window: str = "1 day",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-event-time-window numeric profile: (window_start,
+    window_end, n_rows, n_null, vmin, vmax, mean) — the streaming
+    sibling of the batch column profile, and the raw series the
+    ``$anomaly`` history consumes in a continuous deployment. One
+    watermarked aggregation of streaming-legal functions (count /
+    min / max / avg), no stream-stream join, no arbitrary state;
+    identical code runs on a batch frame, which is what the
+    oracle-checked entry query does (pytest proves the streaming
+    execution emits the same rows)."""
+    v = F.col(value_col)
+    per_w = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(v).alias("n_values"),
+            F.min(v).alias("vmin"),
+            F.max(v).alias("vmax"),
+            F.avg(v).alias("mean"),
+        )
+    )
+    return per_w.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") - F.col("n_values")).cast("long").alias("n_null"),
+        "vmin",
+        "vmax",
+        F.round("mean", 6).alias("mean"),
+    )

@@ -789,6 +789,19 @@ def test_markdown_report(spark, tmp_path):
     assert rc == 0
     assert "## Verdict: PASS" in open(os.path.join(out, "report.md")).read()
 
+    # validate --report renders in the same run
+    tbl = str(tmp_path / "rep_tbl")
+    df.write.mode("overwrite").parquet(tbl)
+    ry = str(tmp_path / "rules.yaml")
+    with open(ry, "w") as f:
+        f.write("w: {$type: $int, $range: {$min: 1, $max: 100000}}\n")
+    out2 = str(tmp_path / "rep2")
+    rc = cli.main(["validate", "--table", tbl, "--rules", ry,
+                   "--out", out2, "--row-key", "image_id", "--report"])
+    assert rc == 0
+    md = open(os.path.join(out2, "report.md")).read()
+    assert "## Verdict: FAIL" in md and "rangeMismatch" in md
+
 
 def test_dupspan_rule_through_runner(spark, tmp_path):
     """$dupspan: documents whose cross-doc duplicated 3-gram spans

@@ -1724,3 +1724,20 @@ def test_new_text_op_plan_shapes(spark):
     for m in re.findall(r"BroadcastNestedLoopJoin[^\n]*", plan):
         assert "BuildRight" in m or "BuildLeft" in m
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_vocab_stats_planted(spark):
+    """Corpus vocabulary profile: hand-computed Zipf head/tail stats
+    with a deterministic (count desc, token asc) top-k tie-break."""
+    from invalid_spark.pipeline import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "B c!")], "doc_id long, text string"
+    )
+    r = T.vocab_stats(df, top_k=2).collect()[0]
+    # tokens: a a b b c → 5 tokens, 3 types, hapax {c}
+    assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (5, 3, 1)
+    assert r["type_token_ratio"] == pytest.approx(0.6)
+    assert r["hapax_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    # top-2 by (c desc, w asc) = a(2), b(2) → 4/5
+    assert r["topk_share"] == pytest.approx(0.8)

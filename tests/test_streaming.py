@@ -379,3 +379,46 @@ def test_windowed_ks_drift_batch_and_stream(spark, tmp_path):
         streaming.windowed_ks_drift(src, "value", ref, 100.0, 0.0)
     with pytest.raises(ValueError, match="negative"):
         streaming.windowed_ks_drift(src, "value", [0.5, -0.1, 0.6], 0.0, 1.0)
+
+
+def test_windowed_profile_batch_and_stream(spark, tmp_path):
+    """Windowed numeric profile: per-window count/null/min/max/mean
+    agree between batch execution (the oracle-checked path) and
+    Structured Streaming for closed windows; NULL values count into
+    n_null, not the stats."""
+    rows = []
+    for i in range(40):  # window A: values 0..39
+        rows.append((float(i), "2024-01-01 00:00:%02d" % (i % 60)))
+    rows += [(None, "2024-01-01 00:01:30")] * 4  # 4 NULLs in window B
+    rows += [(100.0, "2024-01-01 00:01:31"), (50.0, "2024-01-01 00:01:32")]
+    # window C far ahead so the 1-minute watermark closes A and B
+    rows += [(1.0, "2024-01-01 00:30:%02d" % i) for i in range(5)]
+    src = spark.createDataFrame(rows, "value double, ts_s string").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    ).drop("ts_s")
+    out = {str(r["window_start"]): r for r in streaming.windowed_profile(
+        src, "value", window="1 minute", watermark="1 minute").collect()}
+    a = out["2024-01-01 00:00:00"]
+    assert (a["n_rows"], a["n_null"], a["vmin"], a["vmax"]) == (40, 0, 0.0, 39.0)
+    assert a["mean"] == pytest.approx(19.5)
+    b = out["2024-01-01 00:01:00"]
+    assert (b["n_rows"], b["n_null"]) == (6, 4)
+    assert (b["vmin"], b["vmax"], b["mean"]) == (50.0, 100.0, 75.0)
+    # streaming execution emits identical rows for closed windows
+    d = str(tmp_path / "prof_ev")
+    src.coalesce(1).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(src.schema).parquet(d)
+    q = streaming.windowed_profile(sdf, "value", window="1 minute",
+                                   watermark="1 minute")
+    sink = str(tmp_path / "prof_sink")
+    h = q.writeStream.format("parquet").outputMode("append").option(
+        "checkpointLocation", str(tmp_path / "prof_ck")
+    ).option("path", sink).trigger(availableNow=True).start()
+    h.awaitTermination(120)
+    got = spark.read.parquet(sink).collect()
+    closed = {str(r["window_start"]) for r in got}
+    assert {"2024-01-01 00:00:00", "2024-01-01 00:01:00"} <= closed, closed
+    for r in got:
+        bb = out[str(r["window_start"])]
+        for c in ("n_rows", "n_null", "vmin", "vmax", "mean"):
+            assert r[c] == bb[c], (c, r, bb)
