@@ -150,6 +150,32 @@ def q_ref_lineitem_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _viol(v)
 
 
+def q_ref_bloom_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter referential screen (refint.bloom_build /
+    bloom_ref_violations) — the middle-regime scale path when the
+    dimension is too big to broadcast as rows and the fact side is
+    too big to shuffle. The dimension folds once into a ``(word,
+    bits)`` bit-array frame; the fact table is checked with k
+    broadcast equi-joins and NEVER shuffles. md5-derived positions
+    make the screen — including its false positives — replayable
+    bit-for-bit in the DuckDB oracle. ~10% of suppliers are dropped
+    from the dimension to plant genuine violations."""
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 10 != 0)
+    m_bits, k = 1 << 16, 3
+    bloom = refint.bloom_build(dim, "s_suppkey", m_bits=m_bits, k=k)
+    v = refint.bloom_ref_violations(
+        li.withColumn("li_key", F.concat_ws("-", "l_orderkey", "l_linenumber")),
+        "l_suppkey",
+        bloom,
+        "s_suppkey",
+        "li_key",
+        m_bits=m_bits,
+        k=k,
+    )
+    return _viol(v)
+
+
 def q_drift_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     cur = ev.filter(F.col("event_id") % 2 == 1)
@@ -847,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_profile_lineitem": q_stats_profile_lineitem,
         "unique_part_name": q_unique_part_name,
         "ref_lineitem_suppkey": q_ref_lineitem_suppkey,
+        "ref_bloom_lineitem": q_ref_bloom_lineitem,
         "drift_ks_events": q_drift_ks_events,
         "drift_chi2_events": q_drift_chi2_events,
         "drift_psi_events": q_drift_psi_events,
@@ -1053,6 +1080,57 @@ SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
 FROM lineitem
 WHERE l_suppkey NOT IN
   (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+"""
+
+
+def _sql_ref_bloom_lineitem() -> str:
+    # Replays the Bloom screen exactly: same md5-derived positions,
+    # same 32-bit words, so even false positives match. A per-row
+    # rid keeps duplicate (orderkey, linenumber) fact rows distinct
+    # (the Spark side emits one violation per fact ROW).
+    m = 1 << 16
+    return f"""
+WITH dim AS (
+  SELECT s_suppkey AS k FROM supplier WHERE s_suppkey % 10 <> 0
+),
+pos AS (
+  SELECT CAST('0x' || substr(md5('bloom-v1-' || CAST(i AS VARCHAR) || '-'
+                || CAST(k AS VARCHAR)), 1, 15) AS BIGINT) % {m} AS pos
+  FROM dim, (VALUES (0), (1), (2)) s(i)
+),
+bloom AS (
+  SELECT pos >> 5 AS word,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+fact AS (
+  SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+           AS row_key,
+         l_suppkey AS fk,
+         row_number() OVER () AS rid
+  FROM lineitem
+),
+fp AS (
+  SELECT rid, row_key, fk,
+         CAST('0x' || substr(md5('bloom-v1-' || CAST(i AS VARCHAR) || '-'
+               || CAST(fk AS VARCHAR)), 1, 15) AS BIGINT) % {m} AS pos
+  FROM fact, (VALUES (0), (1), (2)) s(i)
+),
+checked AS (
+  SELECT f.rid, any_value(f.row_key) AS row_key, any_value(f.fk) AS fk,
+         bool_and(COALESCE(
+           (b.bits & (1::BIGINT << CAST(f.pos % 32 AS INT))) <> 0,
+           FALSE)) AS hit
+  FROM fp f LEFT JOIN bloom b ON (f.pos >> 5) = b.word
+  GROUP BY 1
+)
+SELECT row_key,
+       'l_suppkey' AS col_name, 'l_suppkey' AS rule_id,
+       'refMismatch' AS error_type,
+       'value of [l_suppkey] fails bloom screen of reference [s_suppkey]'
+         AS message,
+       CAST(fk AS VARCHAR) AS observed
+FROM checked WHERE NOT hit
 """
 
 
@@ -3843,6 +3921,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_profile_lineitem": _sql_stats_profile_lineitem(),
         "unique_part_name": _sql_unique_part_name(),
         "ref_lineitem_suppkey": _sql_ref_lineitem_suppkey(),
+        "ref_bloom_lineitem": _sql_ref_bloom_lineitem(),
         "drift_ks_events": _sql_drift_ks_events(),
         "drift_chi2_events": _sql_drift_chi2_events(),
         "drift_psi_events": _sql_drift_psi_events(),

@@ -117,6 +117,12 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
         lambda: (entry.q_ref_lineitem_suppkey(spark, sf_dir).count(), n_li)[1],
     )
 
+    timed(
+        "ref_bloom",
+        lambda: (entry.q_ref_bloom_lineitem(spark, sf_dir).count(), n_li)[1],
+        in_headline=False,
+    )
+
     # skew handling: salted uniqueness with a hot key on 10% of rows
     skew_n = 50_000
     skew_df = synth.images_df(spark, skew_n, partitions=CPUS * 2, skew=True)

@@ -46,6 +46,70 @@ def test_ref_violations(spark, images):
     assert all(r.error_type == "refMismatch" for r in rows)
 
 
+def test_bloom_ref_exact_at_generous_sizing(spark):
+    # dim = {0..49}; facts reference {0..59}. At m=2^16 bits for 50
+    # keys the false-positive rate is ~0, so the screen reproduces
+    # the exact LEFT ANTI answer.
+    dim = spark.range(50).select(F.col("id").alias("k"))
+    facts = spark.range(60).select(
+        F.col("id").alias("rk"), F.col("id").alias("fk")
+    )
+    bloom = refint.bloom_build(dim, "k", m_bits=1 << 16, k=3)
+    v = refint.bloom_ref_violations(
+        facts, "fk", bloom, "k", "rk", m_bits=1 << 16, k=3
+    )
+    assert sorted(r.observed for r in v.collect()) == sorted(
+        str(i) for i in range(50, 60)
+    )
+    assert all(
+        r.error_type == "refMismatch" for r in v.collect()
+    )
+
+
+def test_bloom_ref_subset_and_null_semantics(spark):
+    # Tiny bloom (256 bits, 2 hashes) for 200 keys: false positives
+    # are certain, but every REPORTED violation must still be a true
+    # one (no false negatives for present keys), and NULL foreign
+    # keys are always flagged — same as the LEFT ANTI path.
+    dim = spark.range(200).select(F.col("id").alias("k"))
+    facts = spark.range(260).select(
+        F.col("id").alias("rk"),
+        F.when(F.col("id") == 255, F.lit(None)).otherwise(
+            F.col("id")
+        ).alias("fk"),
+    )
+    bloom = refint.bloom_build(dim, "k", m_bits=256, k=2)
+    v = refint.bloom_ref_violations(
+        facts, "fk", bloom, "k", "rk", m_bits=256, k=2
+    )
+    flagged = {r.row_key for r in v.collect()}
+    true_missing = {str(i) for i in range(200, 260)}
+    assert flagged <= true_missing | {"255"}
+    assert "255" in flagged  # NULL fk flagged
+
+
+def test_bloom_ref_plan_fact_side_never_shuffles(spark):
+    dim = spark.range(1000).select(F.col("id").alias("k"))
+    facts = spark.range(5000).select(
+        F.col("id").alias("rk"), F.col("id").alias("fk")
+    )
+    bloom = refint.bloom_build(dim, "k", m_bits=1 << 14, k=3)
+    v = refint.bloom_ref_violations(
+        facts, "fk", bloom, "k", "rk", m_bits=1 << 14, k=3
+    )
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v.explain()
+    plan = buf.getvalue()
+    # check side: k broadcast joins, never a sort-merge/shuffled join
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Cartesian" not in plan
+
+
 def test_column_profile_single_pass(spark, images):
     prof = stats.column_profile(
         images,
