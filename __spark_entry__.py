@@ -150,6 +150,85 @@ def q_ref_lineitem_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _viol(v)
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (pack.pack_sequences): documents
+    binned into 8 md5 buckets, packed first-fit-in-order into
+    256-token sequences. Only the (key, bucket, n_tokens) projection
+    shuffles; the per-bucket loop is O(n_seqs log n) searchsorted.
+    The DuckDB oracle replays the greedy rule with a recursive CTE."""
+    from invalid_spark.pipeline import pack
+
+    d = _t(spark, sf_dir, "documents")
+    return pack.pack_sequences(d, max_tokens=256, n_buckets=8)
+
+
+def q_pack_summary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency summary over the same assignment: sequence
+    count, mean fill ratio, oversize count."""
+    from invalid_spark.pipeline import pack
+
+    d = _t(spark, sf_dir, "documents")
+    return pack.pack_summary(pack.pack_sequences(d, 256, n_buckets=8), 256)
+
+
+_SQL_PACK_CTE = """
+WITH RECURSIVE meta AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('pack-v1-' || CAST(doc_id AS VARCHAR)),
+              1, 8) AS BIGINT) % 8 AS bucket,
+         CAST(coalesce(len(list_filter(
+              regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')), 0)
+              AS BIGINT) AS t
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, bucket, t,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM meta
+),
+pk AS (
+  SELECT bucket, rn, doc_id, t,
+         0::BIGINT AS seq_id, 0::BIGINT AS seq_offset, t AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.t,
+         CASE WHEN p.fill > 0 AND p.fill + o.t > 256
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.fill > 0 AND p.fill + o.t > 256
+              THEN 0 ELSE p.fill END,
+         CASE WHEN p.fill > 0 AND p.fill + o.t > 256
+              THEN o.t ELSE p.fill + o.t END
+  FROM pk p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+)
+"""
+
+
+def _sql_pack_documents() -> str:
+    return (
+        _SQL_PACK_CTE
+        + "SELECT doc_id, bucket, t AS n_tokens, seq_id, seq_offset FROM pk"
+    )
+
+
+def _sql_pack_summary_documents() -> str:
+    return (
+        _SQL_PACK_CTE
+        + """,
+per_seq AS (
+  SELECT bucket, seq_id, sum(t) AS fill, count(*) AS n_docs FROM pk
+  GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sequences,
+       CAST(sum(n_docs) AS BIGINT) AS n_documents,
+       CAST(sum(fill) AS BIGINT) AS total_tokens,
+       round(avg(least(fill, 256) / 256.0), 6) AS mean_fill_ratio,
+       CAST(sum(CASE WHEN fill > 256 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oversize
+FROM per_seq
+"""
+    )
+
+
 def q_ref_bloom_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter referential screen (refint.bloom_build /
     bloom_ref_violations) — the middle-regime scale path when the
@@ -874,6 +953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_part_name": q_unique_part_name,
         "ref_lineitem_suppkey": q_ref_lineitem_suppkey,
         "ref_bloom_lineitem": q_ref_bloom_lineitem,
+        "pack_documents": q_pack_documents,
+        "pack_summary_documents": q_pack_summary_documents,
         "drift_ks_events": q_drift_ks_events,
         "drift_chi2_events": q_drift_chi2_events,
         "drift_psi_events": q_drift_psi_events,
@@ -3922,6 +4003,8 @@ def oracle_sql() -> dict[str, str]:
         "unique_part_name": _sql_unique_part_name(),
         "ref_lineitem_suppkey": _sql_ref_lineitem_suppkey(),
         "ref_bloom_lineitem": _sql_ref_bloom_lineitem(),
+        "pack_documents": _sql_pack_documents(),
+        "pack_summary_documents": _sql_pack_summary_documents(),
         "drift_ks_events": _sql_drift_ks_events(),
         "drift_chi2_events": _sql_drift_chi2_events(),
         "drift_psi_events": _sql_drift_psi_events(),

@@ -1,0 +1,146 @@
+"""Sequence packing: greedy token bin-packing of documents into
+fixed-budget training sequences.
+
+The step every LLM training pipeline runs between curation and
+tokenized-shard writing: concatenate documents (in a deterministic
+order) into sequences of at most ``max_tokens`` tokens, starting a
+new sequence whenever the next document would overflow the budget.
+The packing itself is inherently sequential — each boundary depends
+on the previous one — so it CANNOT be a window function; production
+pipelines therefore pack per shard, never globally. This module
+makes that shape explicit:
+
+1. Documents are assigned to ``n_buckets`` deterministic md5 buckets
+   (the "shards"). Packing is independent per bucket, so buckets are
+   the unit of parallelism AND of reproducibility: the assignment of
+   any document depends only on its bucket's membership, never on
+   Spark partitioning.
+2. Only the ``(key, bucket, n_tokens)`` projection is shuffled —
+   ~24 bytes per document, regardless of document size. The text
+   never moves.
+3. Within a bucket, documents are ordered by key and packed greedily
+   (first-fit-in-order) inside one ``applyInPandas`` group. The
+   Python loop is O(n_sequences · log n) via ``numpy.searchsorted``
+   over the token cumsum — not O(n_docs) Python iterations — so a
+   10M-document bucket packs in milliseconds.
+
+A document longer than ``max_tokens`` occupies a sequence alone
+(real pipelines then split it downstream); empty documents cost 0
+tokens and ride along. The greedy rule, restated exactly (both the
+numpy path and the DuckDB oracle's recursive CTE implement it):
+``fill = 0; for each doc in key order: if fill > 0 and
+fill + t > max_tokens: seq += 1, fill = 0; assign(seq, offset=fill);
+fill += t``.
+
+At 100 TB: one shuffle of the metadata projection keyed by bucket;
+``n_buckets`` is chosen so a bucket's metadata (~24 B/doc) fits an
+executor — 256 buckets handle 10¹⁰ documents at ~1 GB per group.
+Token counts ride the scan projection (whitespace tokens, or the
+BPE-regex estimator from ``text.token_count_bpe``); both are pure
+Catalyst and SQL-replayable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from invalid_spark.pipeline import text as _text
+
+PACK_SALT = "pack-v1"
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_buckets: int = 64,
+    salt: str = PACK_SALT,
+    bpe: bool = False,
+) -> DataFrame:
+    """Assign every document to a (bucket, seq_id, seq_offset).
+
+    Returns one row per document: ``(key_col, bucket, n_tokens,
+    seq_id, seq_offset)``. ``seq_id`` numbers sequences within a
+    bucket from 0; ``seq_offset`` is the token offset of the
+    document inside its sequence. Deterministic for a given corpus
+    regardless of partitioning.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    counter = (
+        _text.token_count_bpe(F.col(text_col))
+        if bpe
+        else _text.token_count(F.col(text_col))
+    )
+    key_s = F.col(key_col).cast("string")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "-"), key_s)), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    meta = df.select(
+        F.col(key_col),
+        bucket.alias("bucket"),
+        F.coalesce(counter.cast("long"), F.lit(0)).alias("n_tokens"),
+    )
+    ktype = df.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {ktype}, bucket bigint, n_tokens bigint, "
+        "seq_id bigint, seq_offset bigint"
+    )
+    cap = int(max_tokens)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(key_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        t = pdf["n_tokens"].to_numpy(dtype="int64")
+        n = len(t)
+        c = np.cumsum(t)
+        seq = np.zeros(n, dtype="int64")
+        off = np.zeros(n, dtype="int64")
+        start, base, s = 0, 0, 0
+        while start < n:
+            # first index whose inclusive cumsum overflows the budget;
+            # an oversize head document still takes one slot (alone)
+            j = int(np.searchsorted(c, base + cap, side="right"))
+            j = max(j, start + 1)
+            seq[start:j] = s
+            off[start:j] = c[start:j] - t[start:j] - base
+            base = int(c[j - 1])
+            s += 1
+            start = j
+        pdf["seq_id"] = seq
+        pdf["seq_offset"] = off
+        return pdf[[key_col, "bucket", "n_tokens", "seq_id", "seq_offset"]]
+
+    return meta.groupBy("bucket").applyInPandas(_pack, out_schema)
+
+
+def pack_summary(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """One-row packing efficiency summary from a ``pack_sequences``
+    result: sequence count, mean fill ratio, oversize-document count
+    and token totals. Two sketch-sized aggregates (per-sequence,
+    then global)."""
+    per_seq = packed.groupBy("bucket", "seq_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return per_seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sequences"),
+        F.sum("n_docs").cast("long").alias("n_documents"),
+        F.sum("fill").cast("long").alias("total_tokens"),
+        F.round(
+            F.avg(F.least(F.col("fill"), F.lit(max_tokens)) / max_tokens), 6
+        ).alias("mean_fill_ratio"),
+        F.sum(F.when(F.col("fill") > max_tokens, 1).otherwise(0))
+        .cast("long")
+        .alias("n_oversize"),
+    )

@@ -110,6 +110,61 @@ def test_bloom_ref_plan_fact_side_never_shuffles(spark):
     assert "Cartesian" not in plan
 
 
+def test_pack_sequences_invariants(spark):
+    from invalid_spark.pipeline import pack
+
+    # doc i has i+1 tokens; id 37 is oversize (200 > cap=64)
+    docs = spark.range(40).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id = 37 THEN repeat('w ', 200)"
+        "     ELSE repeat('w ', CAST(id + 1 AS INT)) END AS text",
+    )
+    p = pack.pack_sequences(docs, max_tokens=64, n_buckets=4)
+    rows = p.collect()
+    assert len(rows) == 40
+    by_seq: dict = {}
+    for r in rows:
+        by_seq.setdefault((r.bucket, r.seq_id), []).append(r)
+    for (_, _), members in by_seq.items():
+        fill = sum(m.n_tokens for m in members)
+        if fill > 64:  # only a lone oversize doc may overflow
+            assert len(members) == 1 and members[0].n_tokens > 64
+        # offsets are the prefix sums of the members in key order
+        members.sort(key=lambda m: m.doc_id)
+        acc = 0
+        for m in members:
+            assert m.seq_offset == acc
+            acc += m.n_tokens
+    # the oversize doc sits alone in its sequence
+    over = [r for r in rows if r.doc_id == 37][0]
+    assert len(by_seq[(over.bucket, over.seq_id)]) == 1
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    from invalid_spark.pipeline import pack
+
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id", "repeat('tok ', CAST(id % 30 + 1 AS INT)) AS text"
+    )
+    a = pack.pack_sequences(docs, 128, n_buckets=8)
+    b = pack.pack_sequences(docs.repartition(13), 128, n_buckets=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_summary(spark):
+    from invalid_spark.pipeline import pack
+
+    docs = spark.range(100).selectExpr(
+        "id AS doc_id", "repeat('t ', 10) AS text"
+    )
+    s = pack.pack_summary(pack.pack_sequences(docs, 50, n_buckets=1), 50)
+    row = s.collect()[0]
+    # 100 docs x 10 tokens into 50-token budget = 5 docs/seq, 20 seqs
+    assert row.n_sequences == 20 and row.n_documents == 100
+    assert row.total_tokens == 1000 and row.mean_fill_ratio == 1.0
+    assert row.n_oversize == 0
+
+
 def test_column_profile_single_pass(spark, images):
     prof = stats.column_profile(
         images,
