@@ -229,6 +229,91 @@ FROM per_seq
     )
 
 
+def q_dsir_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (curate.dsir_weights; Xie et al.
+    2023): hashed bag-of-words log-likelihood ratio of a target
+    domain (en docs from src0/src1) vs the raw corpus. The model is
+    a fixed n_buckets-row count vector — broadcastable at any scale
+    and md5-hashed, so DuckDB replays it exactly."""
+    from invalid_spark.pipeline import curate
+
+    d = _t(spark, sf_dir, "documents")
+    tgt = d.filter(
+        (F.col("lang") == "en") & F.col("source").isin("src0", "src1")
+    )
+    return curate.dsir_weights(d, tgt, n_buckets=1024)
+
+
+def q_dsir_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: deterministic Gumbel top-50 over the
+    importance weights (sampling without replacement proportional to
+    exp(log_ratio)); Gumbel noise from 52 md5 bits of the doc key."""
+    from invalid_spark.pipeline import curate
+
+    d = _t(spark, sf_dir, "documents")
+    tgt = d.filter(
+        (F.col("lang") == "en") & F.col("source").isin("src0", "src1")
+    )
+    return curate.dsir_sample(d, tgt, 50, n_buckets=1024)
+
+
+_SQL_DSIR_TOK = (
+    "list_filter(regexp_split_to_array(trim(regexp_replace("
+    "regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), "
+    "'\\s+', ' ', 'g')), '\\s+'), x -> x <> '')"
+)
+
+
+def _sql_dsir_weights_documents() -> str:
+    b, a = 1024, 1.0
+    return f"""
+WITH raw_occ AS (
+  SELECT doc_id, unnest({_SQL_DSIR_TOK}) AS w FROM documents
+),
+tgt_occ AS (
+  SELECT unnest({_SQL_DSIR_TOK}) AS w FROM documents
+  WHERE lang = 'en' AND source IN ('src0', 'src1')
+),
+rb AS (SELECT CAST('0x'||substr(md5('dsir-v1-'||w),1,8) AS BIGINT) % {b} AS b,
+              CAST(count(*) AS BIGINT) AS cr FROM raw_occ GROUP BY 1),
+tb AS (SELECT CAST('0x'||substr(md5('dsir-v1-'||w),1,8) AS BIGINT) % {b} AS b,
+              CAST(count(*) AS BIGINT) AS ct FROM tgt_occ GROUP BY 1),
+model AS (SELECT COALESCE(rb.b, tb.b) AS b, COALESCE(cr, 0) AS cr,
+                 COALESCE(ct, 0) AS ct
+          FROM rb FULL OUTER JOIN tb ON rb.b = tb.b),
+tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr,
+               CAST(sum(ct) AS DOUBLE) AS tt FROM model),
+sm AS (SELECT b, (ln(ct + {a}) - ln(tt + {a}*{b}))
+               - (ln(cr + {a}) - ln(tr + {a}*{b})) AS lr
+       FROM model, tot),
+per AS (
+  SELECT o.doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(sum(sm.lr), 6) AS log_ratio
+  FROM (SELECT doc_id,
+               CAST('0x'||substr(md5('dsir-v1-'||w),1,8) AS BIGINT) % {b} AS b
+        FROM raw_occ) o
+  JOIN sm USING (b) GROUP BY 1
+)
+SELECT d.doc_id AS id, CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       COALESCE(per.log_ratio, 0.0) AS log_ratio
+FROM documents d LEFT JOIN per ON d.doc_id = per.id
+"""
+
+
+def _sql_dsir_sample_documents() -> str:
+    return f"""
+WITH w AS ({_sql_dsir_weights_documents()}),
+keyed AS (
+  SELECT id, n_tokens, log_ratio,
+         round(log_ratio + (-ln(-ln(
+           (CAST('0x'||substr(md5('dsir-v1-g-'||CAST(id AS VARCHAR)),1,13)
+            AS BIGINT) + 0.5) / {float(1 << 52)}))), 6) AS gumbel_key
+  FROM w
+)
+SELECT * FROM keyed ORDER BY gumbel_key DESC, id ASC LIMIT 50
+"""
+
+
 def q_ref_bloom_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter referential screen (refint.bloom_build /
     bloom_ref_violations) — the middle-regime scale path when the
@@ -955,6 +1040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_bloom_lineitem": q_ref_bloom_lineitem,
         "pack_documents": q_pack_documents,
         "pack_summary_documents": q_pack_summary_documents,
+        "dsir_weights_documents": q_dsir_weights_documents,
+        "dsir_sample_documents": q_dsir_sample_documents,
         "drift_ks_events": q_drift_ks_events,
         "drift_chi2_events": q_drift_chi2_events,
         "drift_psi_events": q_drift_psi_events,
@@ -4005,6 +4092,8 @@ def oracle_sql() -> dict[str, str]:
         "ref_bloom_lineitem": _sql_ref_bloom_lineitem(),
         "pack_documents": _sql_pack_documents(),
         "pack_summary_documents": _sql_pack_summary_documents(),
+        "dsir_weights_documents": _sql_dsir_weights_documents(),
+        "dsir_sample_documents": _sql_dsir_sample_documents(),
         "drift_ks_events": _sql_drift_ks_events(),
         "drift_chi2_events": _sql_drift_chi2_events(),
         "drift_psi_events": _sql_drift_psi_events(),

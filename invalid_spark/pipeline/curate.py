@@ -363,3 +363,140 @@ def mix_sample(
         .filter(bucket < F.col("__mix_rate") * F.lit(1_000_000.0))
         .drop("__mix_dom", "__mix_rate")
     )
+
+
+def _dsir_bucket_counts(
+    d: DataFrame, text_col: str, n_buckets: int, salt: str
+) -> DataFrame:
+    """Hashed bag-of-words counts: md5-bucket every normalized token
+    into ``n_buckets`` features. The hashing trick from DSIR (Xie et
+    al. 2023, public): the model is a FIXED-size count vector no
+    matter the vocabulary, so it broadcasts at any corpus scale."""
+    occ = d.select(
+        F.explode(T.tokens(T.normalize(F.col(text_col)))).alias("w")
+    )
+    b = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "-"), F.col("w"))), 1, 8
+            ),
+            16, 10,
+        ).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    return occ.select(b.alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every raw document by how
+    much more likely it is under a hashed bag-of-words model of the
+    TARGET domain than under the raw corpus's own model.
+
+    ``log_ratio = Σ_tokens [log p_t(b(w)) − log p_r(b(w))]`` with
+    Laplace-``alpha`` smoothed bucket probabilities. Positive means
+    target-like. Returns ``(id, n_tokens, log_ratio)``; empty
+    documents get ``log_ratio = 0``.
+
+    Scale shape: two bucket-count aggregates (each a linear token
+    explode collapsing to ≤ ``n_buckets`` rows map-side), one
+    broadcast join of the merged model onto the corpus's token
+    stream, one per-doc aggregate. The model is ``n_buckets`` rows
+    regardless of corpus size — the hashing trick is what makes DSIR
+    work at 100 TB, and it is exactly what makes this SQL-replayable
+    (md5 buckets, no JVM-private hashing).
+    """
+    raw_m = _dsir_bucket_counts(df, text_col, n_buckets, salt)
+    tgt_m = _dsir_bucket_counts(target, text_col, n_buckets, salt)
+    model = (
+        raw_m.withColumnRenamed("c", "cr")
+        .join(tgt_m.withColumnRenamed("c", "ct"), "b", "full_outer")
+        .select(
+            "b",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    totals = model.agg(
+        F.sum("cr").cast("double").alias("tr"),
+        F.sum("ct").cast("double").alias("tt"),
+    )
+    scored_model = model.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            (F.log(F.col("ct") + alpha) - F.log(F.col("tt") + alpha * n_buckets))
+            - (F.log(F.col("cr") + alpha) - F.log(F.col("tr") + alpha * n_buckets))
+        ).alias("lr"),
+    )
+    occ = df.select(
+        F.col(key_col).alias("id"),
+        F.explode(T.tokens(T.normalize(F.col(text_col)))).alias("w"),
+    )
+    b = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "-"), F.col("w"))), 1, 8),
+            16, 10,
+        ).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    per_doc = (
+        occ.select("id", b.alias("b"))
+        .join(F.broadcast(scored_model), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("log_ratio"),
+        )
+    )
+    ids = df.select(F.col(key_col).alias("id"))
+    return ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("log_ratio", F.lit(0.0)).alias("log_ratio"),
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """DSIR selection: Gumbel top-``k`` over the importance weights —
+    sampling WITHOUT replacement proportional to ``exp(log_ratio)``,
+    deterministically. The Gumbel noise comes from 52 md5 bits of the
+    document key (exactly representable in a double), so the draw is
+    reproducible anywhere, including the SQL oracle. The top-k is an
+    ``orderBy().limit()`` — TakeOrdered partial top-k per partition,
+    never a global sort."""
+    w = dsir_weights(df, target, text_col, key_col, n_buckets, alpha, salt)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "-g-"), F.col("id").cast("string"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
+    gumbel = -F.log(-F.log(u))
+    keyed = w.select(
+        "id", "n_tokens", "log_ratio",
+        F.round(F.col("log_ratio") + gumbel, 6).alias("gumbel_key"),
+    )
+    return keyed.orderBy(F.col("gumbel_key").desc(), F.col("id").asc()).limit(k)

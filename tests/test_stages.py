@@ -165,6 +165,64 @@ def test_pack_summary(spark):
     assert row.n_oversize == 0
 
 
+def test_dsir_separates_domains(spark):
+    from invalid_spark.pipeline import curate
+
+    rows = []
+    for i in range(100):
+        if i % 2 == 0:
+            rows.append((i, "medical patient dose trial symptom " * 5))
+        else:
+            rows.append((i, "football match goal striker league " * 5))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = docs.filter("doc_id % 10 = 0")  # a medical-only subset
+    w = curate.dsir_weights(docs, tgt, n_buckets=512)
+    d = {r.id: r.log_ratio for r in w.collect()}
+    assert len(d) == 100
+    med = [d[i] for i in range(0, 100, 2)]
+    spo = [d[i] for i in range(1, 100, 2)]
+    # every target-domain doc outranks every off-domain doc
+    assert min(med) > max(spo)
+    # Gumbel top-k concentrates the sample on the target domain
+    s = curate.dsir_sample(docs, tgt, 20, n_buckets=512)
+    ids = [r.id for r in s.collect()]
+    assert len(ids) == 20
+    assert sum(1 for i in ids if i % 2 == 0) >= 18
+
+
+def test_dsir_empty_and_null_docs(spark):
+    from invalid_spark.pipeline import curate
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, ""), (2, None), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    w = curate.dsir_weights(docs, docs.filter("doc_id = 0"), n_buckets=64)
+    d = {r.id: (r.n_tokens, r.log_ratio) for r in w.collect()}
+    assert d[1] == (0, 0.0) and d[2] == (0, 0.0)
+    assert d[0][0] == 3 and d[3][0] == 2
+
+
+def test_dsir_plan_model_broadcasts(spark):
+    import contextlib
+    import io as _io
+
+    from invalid_spark.pipeline import curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    tgt = docs.filter("source = 'src0'")
+    w = curate.dsir_weights(docs, tgt, n_buckets=256)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        w.explain()
+    plan = buf.getvalue()
+    # the scored model joins the token stream via broadcast; the only
+    # nested loop is the 1-row totals frame
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
 def test_column_profile_single_pass(spark, images):
     prof = stats.column_profile(
         images,
