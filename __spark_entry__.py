@@ -783,6 +783,59 @@ def q_ann_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH and IVF indexes vs brute-force ground
+    truth (similarity.ann_recall) — the acceptance gate for an
+    approximate index. One row per (method, query); the oracle
+    replays all three ANN paths and the recall fold in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    truth = similarity.brute_topk(emb, q, k=5)
+    lsh = similarity.lsh_ann(
+        emb, q, k=5, probe_hamming=1, plane_matrix=dedup.neardup_planes(64, 4)
+    )
+    cent = similarity.ivf_md5_centroids(emb, n_lists=16)
+    ivf = similarity.ivf_ann(emb, q, k=5, n_lists=16, nprobe=4, centroids=cent)
+    out = None
+    for method, approx in (("lsh", lsh), ("ivf", ivf)):
+        r = similarity.ann_recall(truth, approx, 5).select(
+            F.lit(method).alias("method"), "query_id", "n_hits", "recall"
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def _sql_ann_recall() -> str:
+    return f"""
+WITH truth AS ({_sql_ann_brute_topk()}),
+lshr AS ({_sql_ann_lsh()}),
+ivfr AS ({_sql_ann_ivf()}),
+both_m AS (
+  SELECT 'lsh' AS method, query_id, neighbor_id FROM lshr
+  UNION ALL
+  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivfr
+),
+hits AS (
+  SELECT b.method, b.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM both_m b
+  WHERE EXISTS (SELECT 1 FROM truth t
+                WHERE t.query_id = b.query_id
+                  AND t.neighbor_id = b.neighbor_id)
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT m.method, q.query_id
+  FROM (SELECT DISTINCT query_id FROM truth) q,
+       (VALUES ('lsh'), ('ivf')) m(method)
+)
+SELECT base.method, base.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall
+FROM base LEFT JOIN hits h
+  ON h.method = base.method AND h.query_id = base.query_id
+"""
+
+
 def q_tdigest_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "lineitem")
     qs = stats.tdigest_quantiles(df, "l_extendedprice", (0.25, 0.5, 0.75))
@@ -1103,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "ann_brute_topk_embeddings": q_ann_brute_topk_embeddings,
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
+        "ann_recall_embeddings": q_ann_recall_embeddings,
         "ann_ivf_embeddings": q_ann_ivf_embeddings,
         "tdigest_quantiles_lineitem": q_tdigest_quantiles_lineitem,
         "percentiles_exact_lineitem": q_percentiles_exact_lineitem,
@@ -4165,6 +4219,7 @@ def oracle_sql() -> dict[str, str]:
         "unique_phash_skew": _sql_unique_phash_skew(),
         "ann_brute_topk_embeddings": _sql_ann_brute_topk(),
         "ann_lsh_embeddings": _sql_ann_lsh(),
+        "ann_recall_embeddings": _sql_ann_recall(),
         "ann_ivf_embeddings": _sql_ann_ivf(),
         # ann_ivf_embeddings: sampled-k-means codebook (iterative,
         #   driver-side numpy) — rows-only

@@ -363,3 +363,32 @@ def ivf_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def ann_recall(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Recall@k of an approximate ANN result against exact ground
+    truth: per query, the fraction of the true top-k the approximate
+    method returned. The standard acceptance gate for an LSH/IVF
+    index before it replaces the brute-force path.
+
+    Both inputs are ``(query_id, neighbor_id, ...)`` top-k frames —
+    k·n_queries rows, sketch-sized by construction — so the semi-join
+    and per-query aggregate are trivial at any corpus scale; the cost
+    lives in producing the inputs. Queries the approximate method
+    returned nothing for still appear (recall 0).
+    """
+    t = truth.select("query_id", "neighbor_id")
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(t, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    base = t.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6).alias(
+            "recall"
+        ),
+    )

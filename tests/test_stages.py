@@ -445,6 +445,23 @@ def test_ivf_ann_recall(spark):
     assert all(v == 5 for v in per_q.values())
 
 
+def test_ann_recall_operator_semantics(spark):
+    from invalid_spark.pipeline import similarity
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30), (3, 31)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        # q1: both right; q2: one right one wrong; q3: absent entirely
+        [(1, 10), (1, 11), (2, 20), (2, 99)],
+        "query_id long, neighbor_id long",
+    )
+    r = {x.query_id: (x.n_hits, x.recall)
+         for x in similarity.ann_recall(truth, approx, 2).collect()}
+    assert r == {1: (2, 1.0), 2: (1, 0.5), 3: (0, 0.0)}
+
+
 def test_lsh_ann_recall(spark):
     from invalid_spark.pipeline import similarity
 
