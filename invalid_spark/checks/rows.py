@@ -613,6 +613,12 @@ class _Compiler:
                     (path, list(child.unique_with))
                 )
             if child.ref is not None:
+                mode = child.ref.get("mode", "exact")
+                if mode not in ("exact", "bloom"):
+                    raise ValueError(
+                        f"$ref mode on [{path}] must be 'exact' or "
+                        f"'bloom', got [{mode}]"
+                    )
                 self.plan.ref_specs.append((path, child.ref))
             if child.stats is not None:
                 self.plan.stats_specs.append((path, child.stats))

@@ -30,6 +30,9 @@ Engine extensions (all optional, ignored by reference-parity tests):
 
 - ``$unique: true``                — uniqueness check on the column
 - ``$ref: {table: t, key: k}``     — referential check vs a dimension
+  (optional ``mode: bloom`` with ``bits``/``hashes`` switches to the
+  Bloom screen: fact side never shuffles, reported violations exact,
+  misses bounded by the Bloom fpp — for dims too big to broadcast)
 - ``$when: {sql: "<boolean SQL>"}`` — row-scope predicate (deequ
   ``.where()`` analog): the rule's row checks apply only to rows
   satisfying the predicate; table-level directives cannot be

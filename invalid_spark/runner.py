@@ -127,9 +127,25 @@ def _stage_violations(
         dim_name = spec.get("table")
         if dim_name not in dims:
             raise ValueError(f"$ref table [{dim_name}] not provided to runner")
-        r = refint.ref_violations(
-            df, col, dims[dim_name], spec.get("key", col), row_key, run_id
-        )
+        dim_key = spec.get("key", col)
+        if spec.get("mode") == "bloom":
+            # Bloom screen: the middle regime — dim too big to
+            # broadcast as rows, fact side too big to shuffle.
+            # Reported violations are exact; misses bounded by the
+            # Bloom fpp at the configured sizing (PLANS.md §26).
+            m_bits = int(spec.get("bits", 1 << 20))
+            hashes = int(spec.get("hashes", 3))
+            bloom = refint.bloom_build(
+                dims[dim_name], dim_key, m_bits=m_bits, k=hashes
+            )
+            r = refint.bloom_ref_violations(
+                df, col, bloom, dim_key, row_key,
+                m_bits=m_bits, k=hashes, run_id=run_id,
+            )
+        else:
+            r = refint.ref_violations(
+                df, col, dims[dim_name], dim_key, row_key, run_id
+            )
         v = v.unionByName(r.select(*cols))
     for col, spec in plan.pixel_specs:
         p = image_checks.pixel_violations(

@@ -51,6 +51,33 @@ def _expected_counts():
     }
 
 
+def test_ref_bloom_mode_matches_exact(spark, img_table, tmp_path):
+    """$ref: {mode: bloom} reproduces the exact LEFT ANTI counts at
+    generous sizing, and a bad mode fails at plan-compile time."""
+    df = spark.read.parquet(img_table)
+    rules = load_rules(
+        "image_id: {$type: $str}\n"
+        "license_id: {$type: $str, $ref: {table: licenses, "
+        "key: license_id, mode: bloom, bits: 65536, hashes: 3}}\n"
+    )
+    res = runner.validate(
+        spark, df, rules, "image_id", str(tmp_path / "bloom"),
+        dims={"licenses": synth.licenses_df(spark)},
+    )
+    v = res.violations(spark)
+    n = v.filter(F.col("error_type") == "refMismatch").count()
+    assert n == len(synth.violation_indices(N, "ref_license"))
+
+    bad = load_rules(
+        "license_id: {$type: $str, $ref: {table: licenses, "
+        "key: license_id, mode: sketchy}}\n"
+    )
+    from invalid_spark.checks.rows import run_row_checks
+
+    with pytest.raises(ValueError, match="exact.*bloom|bloom.*exact"):
+        run_row_checks(df, bad, "image_id")
+
+
 def test_full_run_and_goldens(spark, img_table, tmp_path):
     df = spark.read.parquet(img_table)
     out = str(tmp_path / "run1")
