@@ -22,8 +22,9 @@ Local (this sandbox):
 
 Subcommands: ``validate`` (full resumable suite), ``profile``
 (column stats for every ``$stats`` directive), ``suggest`` (rule
-bootstrap), ``curate`` (curation pipeline), ``report`` (markdown
-data-docs over an existing out_dir). The SparkSession is
+bootstrap), ``curate`` (curation pipeline, optional DSIR selection),
+``pack`` (sequence packing under a token budget), ``report``
+(markdown data-docs over an existing out_dir). The SparkSession is
 taken from ``getOrCreate`` so spark-submit's ``--master``/conf apply;
 local runs fall back to the tuned local profile in
 :mod:`invalid_spark.session`.
@@ -108,7 +109,31 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--split", default=None, metavar="TR,VA,TE",
                     help="append a train/val/test split column, e.g. "
                     "0.9,0.05,0.05")
+    pc.add_argument("--dsir-target-sql", default=None, metavar="PREDICATE",
+                    help="boolean SQL over the input selecting the DSIR "
+                    "target domain (e.g. \"lang = 'en'\"); with --dsir-k, "
+                    "kept rows are reduced to the Gumbel top-k by "
+                    "importance weight")
+    pc.add_argument("--dsir-k", type=int, default=None,
+                    help="number of documents DSIR selection keeps")
     pc.add_argument("--local-cores", type=int, default=None)
+
+    pk = sub.add_parser(
+        "pack",
+        help="greedy sequence packing: assign every document a "
+        "(bucket, seq_id, seq_offset) under a token budget and write "
+        "the assignment parquet plus a fill-efficiency summary",
+    )
+    pk.add_argument("--table", required=True, help="input parquet path")
+    pk.add_argument("--out", required=True, help="output dir")
+    pk.add_argument("--row-key", default="doc_id")
+    pk.add_argument("--text-col", default="text")
+    pk.add_argument("--max-tokens", type=int, required=True)
+    pk.add_argument("--buckets", type=int, default=64)
+    pk.add_argument("--bpe", action="store_true",
+                    help="count tokens with the BPE-regex estimator "
+                    "instead of whitespace tokens")
+    pk.add_argument("--local-cores", type=int, default=None)
 
     pr = sub.add_parser(
         "report",
@@ -159,6 +184,27 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
+    if args.cmd == "pack":
+        import os
+
+        from invalid_spark.pipeline import pack as pack_mod
+
+        packed = pack_mod.pack_sequences(
+            df,
+            max_tokens=args.max_tokens,
+            text_col=args.text_col,
+            key_col=args.row_key,
+            n_buckets=args.buckets,
+            bpe=args.bpe,
+        )
+        packed.write.mode("overwrite").parquet(
+            os.path.join(args.out, "assignments")
+        )
+        packed = spark.read.parquet(os.path.join(args.out, "assignments"))
+        s = pack_mod.pack_summary(packed, args.max_tokens).collect()[0]
+        print(json.dumps(s.asDict(), sort_keys=True))
+        return 0
+
     if args.cmd == "curate":
         import os
 
@@ -189,6 +235,17 @@ def main(argv: list[str] | None = None) -> int:
                 kept, args.sample_rate, key_col=args.row_key
             )
             n_sampled = kept.count()
+        n_dsir = None
+        if args.dsir_k is not None:
+            if not args.dsir_target_sql:
+                raise SystemExit("--dsir-k requires --dsir-target-sql")
+            tgt = df.filter(args.dsir_target_sql)
+            sel = curate_mod.dsir_sample(
+                kept, tgt, args.dsir_k,
+                text_col=args.text_col, key_col=args.row_key,
+            ).select(F.col("id").alias(args.row_key))
+            kept = kept.join(sel, args.row_key, "left_semi")
+            n_dsir = kept.count()
         if args.split:
             w = [float(x) for x in args.split.split(",")]
             if len(w) != 3:
@@ -216,6 +273,8 @@ def main(argv: list[str] | None = None) -> int:
         }
         if n_sampled is not None:
             summary["n_sampled"] = n_sampled
+        if n_dsir is not None:
+            summary["n_dsir_selected"] = n_dsir
         if args.split:
             summary["splits"] = {
                 r["split"]: r["cnt"]

@@ -87,6 +87,51 @@ def test_cli_curate_in_process(spark, tmp_path, capsys):
     assert lib_rows == cli_rows
 
 
+def test_cli_pack_in_process(spark, tmp_path, capsys):
+    """cli pack: assignment parquet + one-line summary agree with the
+    library call."""
+    from invalid_spark import cli
+    from invalid_spark.pipeline import pack as pack_mod
+
+    out = tmp_path / "pk"
+    rc = cli.main([
+        "pack",
+        "--table", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(out),
+        "--max-tokens", "256",
+        "--buckets", "4",
+        "--local-cores", "4",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lib = pack_mod.pack_summary(
+        pack_mod.pack_sequences(docs, 256, n_buckets=4), 256
+    ).collect()[0]
+    assert summary == lib.asDict()
+    assignments = spark.read.parquet(str(out / "assignments"))
+    assert assignments.count() == summary["n_documents"] == docs.count()
+
+
+def test_cli_curate_dsir_in_process(spark, tmp_path, capsys):
+    from invalid_spark import cli
+
+    out = tmp_path / "cur_dsir"
+    rc = cli.main([
+        "curate",
+        "--table", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(out),
+        "--row-key", "doc_id",
+        "--dsir-target-sql", "lang = 'en'",
+        "--dsir-k", "10",
+        "--local-cores", "4",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_dsir_selected"] == 10
+    assert spark.read.parquet(str(out / "curated")).count() == 10
+
+
 def test_manifest_atomic_and_idempotent(tmp_path):
     m = Manifest(str(tmp_path / "mf"))
     assert not m.is_done("u1")
