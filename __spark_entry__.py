@@ -1137,6 +1137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample_documents": q_mix_sample_documents,
         "mix_report_tokens_documents": q_mix_report_tokens_documents,
         "dedup_incremental_documents": q_dedup_incremental_documents,
+        "dedup_minhash_incremental_documents":
+            q_dedup_minhash_incremental_documents,
         "chi2_expected_events": q_chi2_expected_events,
         "stats_entropy_events": q_stats_entropy_events,
         "stats_corr_lineitem": q_stats_corr_lineitem,
@@ -2547,6 +2549,23 @@ def q_dedup_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return dedup.exact_dedup_vs_state(cur, state)
 
 
+def q_dedup_minhash_incremental_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental NEAR-dup dedup (dedup.minhash_dedup_vs_state): the
+    batch (odd docs) classified against the persisted minhash
+    signature state of the prior corpus (even docs) — dup_of_corpus /
+    dup_in_batch / new with best signature-estimated Jaccard per
+    side, never touching the prior corpus text."""
+    from invalid_spark.pipeline import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    state = dedup.minhash_state(d.filter("doc_id % 2 = 0"))
+    return dedup.minhash_dedup_vs_state(
+        d.filter("doc_id % 2 = 1"), state, threshold=0.7
+    )
+
+
 def _sql_dedup_incremental() -> str:
     return f"""
 WITH cur AS (
@@ -3605,6 +3624,87 @@ pairs AS (
 )"""
 
 
+def _sql_minhash_incremental() -> str:
+    # Replays minhash_dedup_vs_state: signatures over the full table,
+    # split into state (even ids) / batch (odd ids); banded candidate
+    # joins on each side; best matching-component estimate per batch
+    # doc; decision fold at threshold 0.7.
+    p = dedup.MINHASH_P
+    sig_cols = ", ".join(
+        f"min((h1 + {j} * h2) % {p}) AS s{j}" for j in range(16)
+    )
+
+    def _bands(src: str) -> str:
+        return "\n  UNION ALL\n  ".join(
+            f"SELECT doc_id, {b} AS bi, "
+            f"md5(CAST(s{b*4} AS VARCHAR) || ',' || CAST(s{b*4+1} AS VARCHAR)"
+            f" || ',' || CAST(s{b*4+2} AS VARCHAR) || ',' "
+            f"|| CAST(s{b*4+3} AS VARCHAR)) AS band_hash FROM {src}"
+            for b in range(4)
+        )
+
+    def _est(a: str, b: str) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN {a}.s{j} = {b}.s{j} THEN 1 ELSE 0 END)"
+            for j in range(16)
+        )
+        return f"({terms}) / 16.0"
+
+    return f"""
+WITH {_sql_shingle_cte()},
+ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0
+),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(g), 9, 8) AS BIGINT) AS h2
+  FROM ex
+),
+sig AS (
+  SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id
+),
+bsig AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+ssig AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+bbands AS (
+  {_bands("bsig")}
+),
+sbands AS (
+  {_bands("ssig")}
+),
+cs AS (
+  SELECT DISTINCT b.doc_id AS bid, s.doc_id AS sid
+  FROM bbands b JOIN sbands s
+    ON b.bi = s.bi AND b.band_hash = s.band_hash
+),
+est_c AS (
+  SELECT bid, max({_est("a", "c")}) AS est_corpus
+  FROM cs JOIN bsig a ON a.doc_id = bid JOIN ssig c ON c.doc_id = sid
+  GROUP BY bid
+),
+bbp AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bbands x JOIN bbands y
+    ON x.bi = y.bi AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+),
+est_b AS (
+  SELECT bbp.b AS bid2, max({_est("sa", "sb2")}) AS est_batch
+  FROM bbp JOIN bsig sa ON sa.doc_id = bbp.a
+           JOIN bsig sb2 ON sb2.doc_id = bbp.b
+  GROUP BY bbp.b
+)
+SELECT d.doc_id AS id,
+       CASE WHEN est_c.est_corpus >= 0.7 THEN 'dup_of_corpus'
+            WHEN est_b.est_batch >= 0.7 THEN 'dup_in_batch'
+            ELSE 'new' END AS decision,
+       round(est_c.est_corpus, 6) AS est_corpus,
+       round(est_b.est_batch, 6) AS est_batch
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN est_c ON est_c.bid = d.doc_id
+LEFT JOIN est_b ON est_b.bid2 = d.doc_id
+"""
+
+
 def _sql_dedup_minhash_lsh() -> str:
     return f"""
 WITH {_sql_minhash_pairs_ctes()}
@@ -4192,6 +4292,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_sample_documents": _sql_mix_sample_documents(),
         "mix_report_tokens_documents": _sql_mix_report_tokens_documents(),
         "dedup_incremental_documents": _sql_dedup_incremental(),
+        "dedup_minhash_incremental_documents": _sql_minhash_incremental(),
         "chi2_expected_events": _sql_chi2_expected_events(),
         "stats_entropy_events": _sql_stats_entropy_events(),
         "stats_corr_lineitem": _sql_stats_corr_lineitem(),

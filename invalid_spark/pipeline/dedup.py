@@ -257,16 +257,9 @@ def minhash_signatures(
     return h.groupBy("id").agg(*aggs)
 
 
-def minhash_bands(
-    df: DataFrame,
-    bands: int = 4,
-    rows: int = 4,
-    n: int = 3,
-    text_col: str = "text",
-    key_col: str = "doc_id",
-) -> DataFrame:
-    """One row per (doc, band): (id, band, band_hash). k = bands*rows."""
-    sig = minhash_signatures(df, bands * rows, n, text_col, key_col)
+def _sig_bands(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Band rows (id, band, band_hash) derived from a signature
+    frame — a pure projection, so state bands never need storing."""
     band_structs = F.array(
         *[
             F.struct(
@@ -283,6 +276,19 @@ def minhash_bands(
     return sig.select("id", F.explode(band_structs).alias("bh")).select(
         "id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")
     )
+
+
+def minhash_bands(
+    df: DataFrame,
+    bands: int = 4,
+    rows: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """One row per (doc, band): (id, band, band_hash). k = bands*rows."""
+    sig = minhash_signatures(df, bands * rows, n, text_col, key_col)
+    return _sig_bands(sig, bands, rows)
 
 
 def lsh_candidates(
@@ -317,6 +323,126 @@ def lsh_candidates(
         .localCheckpoint(eager=True)
     )
     b.unpersist()
+    return out
+
+
+def minhash_state(
+    df: DataFrame,
+    k: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """The persistable NEAR-dup corpus state: one (id, s0..s{k-1})
+    MinHash signature row per document — the near-dup sibling of
+    :func:`fingerprint_state`. k·8 bytes per doc, independent of
+    document size, and band rows are a pure projection of it
+    (:func:`_sig_bands`), so the state is the only artifact
+    incremental near-dup ever rereads. It grows by appending each
+    batch's ``new`` decisions' signatures."""
+    return minhash_signatures(df, k, n, text_col, key_col)
+
+
+def minhash_dedup_vs_state(
+    cur: DataFrame,
+    state: DataFrame,
+    threshold: float = 0.7,
+    bands: int = 4,
+    rows: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup dedup: classify each batch document
+    against the persisted signature state WITHOUT touching yesterday's
+    corpus text — the continuous sibling of :func:`minhash_lsh_dedup`
+    for validate-on-arrival pipelines. Per batch row:
+    ``(id, decision, est_corpus, est_batch)``
+
+    - ``dup_of_corpus`` — estimated Jaccard (matching-signature-
+      component fraction, resolution 1/k) ≥ ``threshold`` vs some
+      state doc
+    - ``dup_in_batch``  — not a corpus dup, but ≥ threshold vs a
+      SMALLER-keyed batch doc (first-kept rule, matching
+      :func:`exact_dedup_vs_state`)
+    - ``new``           — first sighting anywhere; exactly the rows
+      whose signatures get appended to the state
+
+    ``est_corpus`` / ``est_batch`` are the best estimates over the
+    LSH candidates on each side (NULL when no candidate shared a
+    band). Verification is signature-estimated on BOTH sides by
+    design: the state carries no text, so the corpus side cannot be
+    exact-verified, and using one metric keeps the two decisions
+    comparable. Candidate generation is the usual banded equi-join —
+    batch bands vs state bands (shuffle on pre-hashed keys; AQE
+    splits hot buckets), batch-internal self-join — never all-pairs.
+    Short documents (< n tokens, no shingles) have no signature and
+    are always ``new``.
+    """
+    k = bands * rows
+    bsig = minhash_signatures(cur, k, n, text_col, key_col).persist()
+    bb = _sig_bands(bsig, bands, rows)
+    stb = _sig_bands(state, bands, rows)
+    est = sum(
+        F.when(F.col(f"__a_s{j}") == F.col(f"__b_s{j}"), 1).otherwise(0)
+        for j in range(k)
+    ) / F.lit(float(k))
+
+    def _renamed(sig: DataFrame, side: str, idc: str) -> DataFrame:
+        return sig.select(
+            F.col("id").alias(idc),
+            *[F.col(f"s{j}").alias(f"__{side}_s{j}") for j in range(k)],
+        )
+
+    # batch vs corpus state
+    cs = (
+        bb.select(F.col("id").alias("__bid"), "band", "band_hash")
+        .join(
+            stb.select(F.col("id").alias("__sid"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        .select("__bid", "__sid")
+        .distinct()
+    )
+    est_c = (
+        cs.join(_renamed(bsig, "a", "__bid"), "__bid")
+        .join(_renamed(state, "b", "__sid"), "__sid")
+        .groupBy("__bid")
+        .agg(F.max(est).alias("est_corpus"))
+    )
+    # batch-internal, smaller key → candidate keeper
+    bbp = (
+        bb.select(F.col("id").alias("__a"), "band", "band_hash")
+        .join(
+            bb.select(F.col("id").alias("__b"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        .filter(F.col("__a") < F.col("__b"))
+        .select("__a", "__b")
+        .distinct()
+    )
+    est_b = (
+        bbp.join(_renamed(bsig, "a", "__a"), "__a")
+        .join(_renamed(bsig, "b", "__b"), "__b")
+        .groupBy("__b")
+        .agg(F.max(est).alias("est_batch"))
+    )
+    ids = cur.select(F.col(key_col).alias("id"))
+    out = (
+        ids.join(est_c, ids.id == est_c["__bid"], "left")
+        .join(est_b, ids.id == est_b["__b"], "left")
+        .select(
+            "id",
+            F.when(F.col("est_corpus") >= threshold, F.lit("dup_of_corpus"))
+            .when(F.col("est_batch") >= threshold, F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("decision"),
+            F.round("est_corpus", 6).alias("est_corpus"),
+            F.round("est_batch", 6).alias("est_batch"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bsig.unpersist()
     return out
 
 

@@ -165,6 +165,75 @@ def test_pack_summary(spark):
     assert row.n_oversize == 0
 
 
+def test_minhash_dedup_vs_state_planted(spark):
+    from invalid_spark.pipeline import dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank "
+    other = "completely different content about spark planning and shuffles "
+    state_docs = spark.createDataFrame(
+        [(0, base * 4), (2, other * 4)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, base * 4 + "extra"),   # near-dup of state doc 0
+            (13, other[:20] + "fresh unseen words entirely " * 6),  # new-ish
+            (15, "unique snowflake paragraph with rare tokens " * 5),
+            (17, "unique snowflake paragraph with rare tokens " * 5 + "tail"),
+            (19, "tiny"),               # < n tokens: no signature
+        ],
+        "doc_id long, text string",
+    )
+    st = dedup.minhash_state(state_docs)
+    out = {r.id: r.decision
+           for r in dedup.minhash_dedup_vs_state(batch, st, 0.7).collect()}
+    assert out[11] == "dup_of_corpus"
+    assert out[15] == "new"            # smaller key = keeper
+    assert out[17] == "dup_in_batch"   # larger-keyed near-dup of 15
+    assert out[19] == "new"            # no shingles → always new
+    assert len(out) == 5
+
+
+def test_minhash_state_roundtrip_grows_by_new(spark):
+    """Appending a batch's `new` signatures to the state makes a
+    re-run of the SAME batch classify every doc as dup_of_corpus."""
+    from invalid_spark.pipeline import dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(60)
+    st = dedup.minhash_state(docs.filter("doc_id % 2 = 0"))
+    batch = docs.filter("doc_id % 2 = 1")
+    first = dedup.minhash_dedup_vs_state(batch, st, 0.7)
+    new_ids = [r.id for r in first.filter("decision = 'new'").collect()]
+    st2 = st.unionByName(
+        dedup.minhash_state(
+            batch.join(
+                spark.createDataFrame([(i,) for i in new_ids], "doc_id long"),
+                "doc_id", "left_semi",
+            )
+        )
+    )
+    again = dedup.minhash_dedup_vs_state(batch, st2, 0.7)
+    # docs too short to shingle (no signature) can never match
+    from invalid_spark.pipeline import text as _T
+    from pyspark.sql import functions as _F
+
+    sigless = {
+        r.doc_id
+        for r in batch.filter(
+            _F.size(
+                _T.word_ngrams(_T.tokens(_T.normalize(_F.col("text"))), 3)
+            ) == 0
+        ).collect()
+    }
+    # every signatured doc now matches its own appended state signature
+    for r in again.collect():
+        if r.id in new_ids and r.id not in sigless:
+            assert r.decision == "dup_of_corpus", r
+        elif r.id in sigless:
+            assert r.decision == "new", r
+
+
 def test_dsir_separates_domains(spark):
     from invalid_spark.pipeline import curate
 
