@@ -1104,6 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ks_windows": q_streaming_ks_windows,
         "anomaly_history_events": q_anomaly_history_events,
         "streaming_dedup_metrics_events": q_streaming_dedup_metrics_events,
+        "streaming_minhash_screen_documents":
+            q_streaming_minhash_screen_documents,
         "text_quality_documents": q_text_quality_documents,
         "text_langid_documents": q_text_langid_documents,
         "text_fingerprint_documents": q_text_fingerprint_documents,
@@ -2948,6 +2950,90 @@ FROM k GROUP BY ws
 """
 
 
+def q_streaming_minhash_screen_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming near-dup screen (streaming.minhash_screen_stream):
+    arriving odd docs (synthetic arrival time = epoch + doc_id
+    minutes) checked against the even docs' persisted minhash state;
+    one row per flagged arrival per hourly window. Executed on the
+    batch path — pytest proves streaming execution emits identical
+    rows — so signature, banding, stream-static join, and the
+    windowed max-estimate all replay in SQL."""
+    from invalid_spark import streaming
+    from invalid_spark.pipeline import dedup as _dedup
+
+    d = _t(spark, sf_dir, "documents")
+    state = _dedup.minhash_state(d.filter("doc_id % 2 = 0"))
+    cur = d.filter("doc_id % 2 = 1").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 60)
+    )
+    out = streaming.minhash_screen_stream(cur, state, threshold=0.7)
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.col("window_end").cast("string").alias("window_end"),
+        "id",
+        "est_corpus",
+    )
+
+
+def _sql_streaming_minhash_screen() -> str:
+    p = dedup.MINHASH_P
+    sig_cols = ", ".join(
+        f"min((h1 + {j} * h2) % {p}) AS s{j}" for j in range(16)
+    )
+    bands_tpl = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS bi, "
+        f"md5(CAST(s{b*4} AS VARCHAR) || ',' || CAST(s{b*4+1} AS VARCHAR)"
+        f" || ',' || CAST(s{b*4+2} AS VARCHAR) || ',' "
+        f"|| CAST(s{b*4+3} AS VARCHAR)) AS band_hash FROM {{src}}"
+        for b in range(4)
+    )
+    est = "(" + " + ".join(
+        f"(CASE WHEN a.s{j} = c.s{j} THEN 1 ELSE 0 END)" for j in range(16)
+    ) + ") / 16.0"
+    return f"""
+WITH {_sql_shingle_cte()},
+ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0
+),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(g), 9, 8) AS BIGINT) AS h2
+  FROM ex
+),
+sig AS (
+  SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id
+),
+bsig AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+ssig AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+bbands AS (
+  {bands_tpl.format(src="bsig")}
+),
+sbands AS (
+  {bands_tpl.format(src="ssig")}
+),
+cs AS (
+  SELECT DISTINCT b.doc_id AS bid, s.doc_id AS sid
+  FROM bbands b JOIN sbands s
+    ON b.bi = s.bi AND b.band_hash = s.band_hash
+),
+est_c AS (
+  SELECT bid, max({est}) AS est_corpus
+  FROM cs JOIN bsig a ON a.doc_id = bid JOIN ssig c ON c.doc_id = sid
+  GROUP BY bid
+)
+SELECT CAST(epoch_ms(CAST(floor((1700000000 + bid * 60) / 3600.0) * 3600
+              AS BIGINT) * 1000) AS VARCHAR) AS window_start,
+       CAST(epoch_ms((CAST(floor((1700000000 + bid * 60) / 3600.0) * 3600
+              AS BIGINT) + 3600) * 1000) AS VARCHAR) AS window_end,
+       bid AS id,
+       round(est_corpus, 6) AS est_corpus
+FROM est_c WHERE est_corpus >= 0.7
+"""
+
+
 def q_streaming_chi2_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed goodness-of-fit drift (streaming.windowed_chi2_drift)
     over daily event-time windows: chi-square of each day's
@@ -4258,6 +4344,7 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_history_events": _sql_anomaly_history_events(),
         "percentiles_exact_lineitem": _sql_percentiles_exact_lineitem(),
         "streaming_dedup_metrics_events": _sql_streaming_dedup_metrics_events(),
+        "streaming_minhash_screen_documents": _sql_streaming_minhash_screen(),
         "streaming_ks_windows": _sql_streaming_ks_windows(),
         "text_quality_documents": _sql_text_quality(),
         "text_langid_documents": _sql_text_langid(),

@@ -257,9 +257,13 @@ def minhash_signatures(
     return h.groupBy("id").agg(*aggs)
 
 
-def _sig_bands(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+def _sig_bands(
+    sig: DataFrame, bands: int, rows: int, keep_sig: bool = False
+) -> DataFrame:
     """Band rows (id, band, band_hash) derived from a signature
-    frame — a pure projection, so state bands never need storing."""
+    frame — a pure projection, so state bands never need storing.
+    ``keep_sig=True`` carries the signature columns along (the
+    stream-static screen verifies in the same row as the join)."""
     band_structs = F.array(
         *[
             F.struct(
@@ -273,9 +277,61 @@ def _sig_bands(sig: DataFrame, bands: int, rows: int) -> DataFrame:
             for b in range(bands)
         ]
     )
-    return sig.select("id", F.explode(band_structs).alias("bh")).select(
-        "id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")
+    extra = (
+        [F.col(f"s{j}") for j in range(bands * rows)] if keep_sig else []
     )
+    return sig.select("id", *extra, F.explode(band_structs).alias("bh")).select(
+        "id",
+        *extra,
+        F.col("bh.band").alias("band"),
+        F.col("bh.band_hash").alias("band_hash"),
+    )
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    k: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    out_col: str = "__sig",
+) -> DataFrame:
+    """ROW-LOCAL minhash signature as an ``array<long>`` column —
+    no explode, no aggregate, so it works on STREAMING frames (the
+    batch :func:`minhash_signatures` is an explode + hash-aggregate,
+    which a stream cannot run per-row). The md5 digest is computed
+    once per shingle in its own projection (CollapseProject keeps a
+    non-cheap expression referenced k times from inlining), then the
+    k min-hash folds are cheap integer ``transform``/``array_min``
+    passes. ``out_col`` is NULL for documents too short to shingle —
+    identical membership to the aggregate path."""
+    sh = shingle_col(F.col(text_col), n)
+    hs = F.transform(
+        sh,
+        lambda g: F.struct(
+            F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5(g), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        ),
+    )
+    d = df.withColumn("__mh_hs", hs)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__mh_hs"),
+                    lambda s: (s["h1"] + F.lit(j) * s["h2"]) % MINHASH_P,
+                )
+            )
+            for j in range(k)
+        ]
+    )
+    return d.withColumn(
+        out_col,
+        F.when(F.size("__mh_hs") > 0, sig),
+    ).drop("__mh_hs")
 
 
 def minhash_bands(

@@ -392,6 +392,108 @@ def windowed_dedup_metrics(
     )
 
 
+def minhash_screen_stream(
+    df: DataFrame,
+    state: DataFrame,
+    threshold: float = 0.7,
+    bands: int = 4,
+    rows: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming NEAR-dup screen: flag arriving documents whose
+    estimated Jaccard vs the persisted minhash signature state
+    (:func:`invalid_spark.pipeline.dedup.minhash_state`) reaches
+    ``threshold`` — validate-on-arrival's answer to "is this document
+    already in the training corpus, approximately?". Exact arrivals
+    are :func:`dedup_on_arrival`'s job; batch-internal near-dups are
+    the batch layer's (:func:`~invalid_spark.pipeline.dedup.
+    minhash_dedup_vs_state`).
+
+    Streaming-legal shape: the signature is computed ROW-LOCALLY
+    (:func:`~invalid_spark.pipeline.dedup.with_minhash_signature` —
+    no explode-aggregate, bit-identical to the batch signature), band
+    rows explode per arrival (stateless generate), candidates come
+    from ONE stream-static equi-join against the state's band
+    projection (the state's signature columns ride the join, so
+    verification is row-local too), and the only stateful operator is
+    the watermarked (window, key) max-estimate aggregate. No
+    stream-stream join, state bounded by the watermark. Emits one row
+    per flagged arrival: (window_start, window_end, id, est_corpus).
+
+    Works identically on a batch frame — the oracle-checked entry
+    query runs this code on the batch path; pytest proves streaming
+    execution emits the same rows."""
+    from invalid_spark.pipeline import dedup as _dedup
+
+    if df.isStreaming:
+        # watermark BEFORE the join: non-matching arrivals (most of
+        # the stream) must still advance event time, or windows whose
+        # matches stopped arriving would never close
+        df = df.withWatermark(ts_col, watermark)
+    k = bands * rows
+    d = _dedup.with_minhash_signature(df, k, n, text_col).filter(
+        F.col("__sig").isNotNull()
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("__sig", b * rows + r + 1).cast(
+                                "string"
+                            )
+                            for r in range(rows)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    e = d.select(
+        F.col(key_col).alias("id"),
+        F.col(ts_col),
+        F.col("__sig"),
+        F.explode(band_structs).alias("bh"),
+    ).select(
+        "id", ts_col, "__sig",
+        F.col("bh.band").alias("band"),
+        F.col("bh.band_hash").alias("band_hash"),
+    )
+    stb = _dedup._sig_bands(state, bands, rows, keep_sig=True).select(
+        F.col("id").alias("__sid"),
+        *[F.col(f"s{j}").alias(f"__st_s{j}") for j in range(k)],
+        "band",
+        "band_hash",
+    )
+    est = sum(
+        F.when(
+            F.element_at("__sig", j + 1) == F.col(f"__st_s{j}"), 1
+        ).otherwise(0)
+        for j in range(k)
+    ) / F.lit(float(k))
+    joined = e.join(stb, ["band", "band_hash"]).select(
+        "id", ts_col, est.alias("__est")
+    )
+    agg = joined.groupBy(
+        F.window(ts_col, window).alias("w"), F.col("id")
+    ).agg(F.max("__est").alias("est_corpus"))
+    return agg.filter(F.col("est_corpus") >= threshold).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "id",
+        F.round("est_corpus", 6).alias("est_corpus"),
+    )
+
+
 def running_rule_totals(
     violations: DataFrame,
 ) -> DataFrame:

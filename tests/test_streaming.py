@@ -332,6 +332,65 @@ def test_streaming_dedup_batch_and_stream(spark, tmp_path):
         )
 
 
+def test_minhash_screen_batch_and_stream(spark, tmp_path):
+    """Streaming near-dup screen: arriving docs flagged against the
+    persisted minhash state; batch and streaming execution emit the
+    same flagged rows for closed windows."""
+    from invalid_spark.pipeline import dedup
+
+    base = "the quick brown fox jumps over the lazy dog by the river " * 3
+    other = "catalyst plans shuffles and broadcast joins at scale " * 3
+    state = dedup.minhash_state(
+        spark.createDataFrame(
+            [(0, base), (2, other)], "doc_id long, text string"
+        )
+    )
+    arrivals = spark.createDataFrame(
+        [
+            (11, base + "plus a tail", "2024-01-01 00:10:00"),
+            (13, "entirely novel content with fresh words " * 4,
+             "2024-01-01 00:20:00"),
+            (15, other + "slightly longer", "2024-01-01 00:40:00"),
+            # sentinel far ahead: closes the earlier windows
+            (99, "sentinel " + "unique terminal words " * 4,
+             "2024-01-02 12:00:00"),
+        ],
+        "doc_id long, text string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+    batch_rows = {
+        (str(r["window_start"]), r["id"], r["est_corpus"])
+        for r in streaming.minhash_screen_stream(
+            arrivals, state, threshold=0.7, window="30 minutes",
+            watermark="30 minutes",
+        ).collect()
+    }
+    flagged_ids = {r[1] for r in batch_rows}
+    assert 11 in flagged_ids and 15 in flagged_ids
+    assert 13 not in flagged_ids and 99 not in flagged_ids
+
+    d = str(tmp_path / "mh_arr")
+    arrivals.coalesce(1).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(arrivals.schema).parquet(d)
+    q = streaming.minhash_screen_stream(
+        sdf, state, threshold=0.7, window="30 minutes",
+        watermark="30 minutes",
+    )
+    sink = str(tmp_path / "mh_sink")
+    h = q.writeStream.format("parquet").outputMode("append").option(
+        "checkpointLocation", str(tmp_path / "mh_ck")
+    ).option("path", sink).trigger(availableNow=True).start()
+    h.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["id"], r["est_corpus"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    # every closed-window streaming row matches batch, and the two
+    # planted near-dups' windows (closed by the sentinel) are present
+    assert got <= batch_rows
+    assert {r[1] for r in got} == {11, 15}
+
+
 def test_windowed_ks_drift_batch_and_stream(spark, tmp_path):
     """One-sample windowed KS: a window matching the uniform
     reference passes, a concentrated window flags; the same query
