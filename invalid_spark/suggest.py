@@ -19,6 +19,9 @@ Mapping (column profile → rule):
 - any NULLs seen    → ``$optional: true`` (required is the DSL default)
 - numeric           → ``$range {$min, $max}`` at the observed bounds
 - low-ndv string    → ``$of`` with the exact observed spellings
+- format-pure string → ``$format`` (every non-null value matches one
+  of the DSL's named whole-value patterns; priority order below —
+  more specific formats win)
 - other strings     → ``$length {$min, $max}`` at the observed byte
   bounds (0 disables a side, matching the DSL's semantics — a 0
   min is therefore widened to 1 only when no empty string was seen)
@@ -30,6 +33,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from invalid_spark.dsl import FORMAT_PATTERNS
+
+# more specific formats first: a column of UUIDs also matches no other
+# pattern, but e.g. every ipv4 is NOT a date — order decides ties when
+# a column satisfies several patterns
+_FORMAT_PRIORITY = ("uuid", "email", "ipv4", "url", "datetime", "date")
 
 
 def _rule_type(dt: T.DataType) -> str | None:
@@ -85,6 +95,12 @@ def suggest_rules(
             aggs.append(ndv.alias(f"ndv_{name}"))
             aggs.append(F.min(F.octet_length(c)).alias(f"lmin_{name}"))
             aggs.append(F.max(F.octet_length(c)).alias(f"lmax_{name}"))
+            for fname in _FORMAT_PRIORITY:
+                aggs.append(
+                    F.sum(
+                        F.when(c.rlike(FORMAT_PATTERNS[fname]), 1).otherwise(0)
+                    ).alias(f"fmt_{fname}_{name}")
+                )
     prof = df.agg(*aggs).collect()[0]
 
     # second (tiny) pass: exact value sets for enum candidates only
@@ -126,8 +142,20 @@ def suggest_rules(
                     "$max": int(hi) if rt == "$int" else float(hi),
                 }
         elif rt == "$str":
+            n_present = (prof["__n"] or 0) - (prof[f"nn_{name}"] or 0)
+            fmt = next(
+                (
+                    f
+                    for f in _FORMAT_PRIORITY
+                    if n_present > 0
+                    and (prof[f"fmt_{f}_{name}"] or 0) == n_present
+                ),
+                None,
+            )
             if name in enums:
                 rule["$of"] = enums[name]
+            elif fmt is not None:
+                rule["$format"] = fmt
             else:
                 lmin, lmax = prof[f"lmin_{name}"], prof[f"lmax_{name}"]
                 if lmin is not None and lmax is not None and lmax > 0:

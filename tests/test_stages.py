@@ -1386,6 +1386,40 @@ def test_suggest_rules_round_trip(spark):
     assert num_cols, yml
 
 
+def test_suggest_rules_proposes_format(spark):
+    """A string column whose every non-null value matches a named
+    whole-value pattern is suggested as $format (not $length); mixed
+    columns are not; the round-trip still passes."""
+    from invalid_spark import suggest
+    from invalid_spark.checks.rows import run_row_checks
+    from invalid_spark.dsl import load_rules
+    import yaml as _y
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@example.com", "550e8400-e29b-41d4-a716-446655440000",
+             "some free text one"),
+            (2, "b.c@sub.example.org", "123e4567-e89b-12d3-a456-426614174000",
+             "totally different words"),
+            (3, None, "00000000-0000-0000-0000-000000000000",
+             "a@looks-like-mail.com maybe"),
+        ],
+        "id long, em string, uid string, txt string",
+    )
+    yml = suggest.suggest_rules(df, row_key="id", ndv_enum_max=1)
+    parsed = _y.safe_load(yml)
+    assert parsed["em"]["$format"] == "email"
+    assert parsed["em"]["$optional"] is True  # NULL seen
+    assert parsed["uid"]["$format"] == "uuid"
+    assert "$format" not in parsed["txt"] and "$length" in parsed["txt"]
+    rules = load_rules(yml)
+    assert run_row_checks(df, rules, "id").count() == 0
+    # and the suggested format is a real constraint
+    bad = df.limit(1).withColumn("em", F.lit("not-an-email"))
+    v = run_row_checks(bad, rules, "id").collect()
+    assert any(r["error_type"] == "formatMismatch" for r in v)
+
+
 def test_round3_operator_plan_shapes(spark):
     """Plan assertions for the round-3 operators: contamination's
     candidate join is a broadcast equi-join (never cartesian),
