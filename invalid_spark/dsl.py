@@ -241,6 +241,20 @@ class RuleSet:
     def get(self, key: str) -> Optional[Rule]:
         return self.root.get(key)
 
+    def fingerprint(self) -> str:
+        """Deterministic md5 of the compiled rule tree — the runner
+        pins it in the checkpoint manifest so a resume under a
+        DIFFERENT ruleset is refused (units validated under different
+        rules must never mix in one audit trail)."""
+        import dataclasses
+        import hashlib
+        import json
+
+        canon = json.dumps(
+            dataclasses.asdict(self.root), sort_keys=True, default=str
+        )
+        return hashlib.md5(canon.encode()).hexdigest()
+
 
 def _scalar_str(node) -> Optional[str]:
     if isinstance(node, yaml.ScalarNode):

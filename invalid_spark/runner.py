@@ -239,7 +239,8 @@ def validate(
     snapshot = snapshot or ""
     plan = rowchecks.compile_row_checks(df, rules)
     manifest = Manifest(manifest_dir or os.path.join(out_dir, "manifest"))
-    stored_snaps = {m.get("snapshot_id", "") for m in manifest.read_meta()}
+    meta = manifest.read_meta()
+    stored_snaps = {m.get("snapshot_id", "") for m in meta}
     if stored_snaps and stored_snaps != {snapshot}:
         raise ValueError(
             f"manifest at {manifest.root} was written for snapshot(s) "
@@ -247,6 +248,22 @@ def validate(
             f"{snapshot!r}; resuming would skip units of a different "
             "table state — use a fresh out_dir/manifest_dir per snapshot"
         )
+    rules_fp = rules.fingerprint()
+    stored_fps = {m["rules_fp"] for m in meta if "rules_fp" in m}
+    if stored_fps and stored_fps != {rules_fp}:
+        # same reasoning as the snapshot pin: done-unit marks written
+        # under other rules would skip units this ruleset never
+        # validated, and the audit trail would mix rule semantics
+        raise ValueError(
+            f"manifest at {manifest.root} was written under a "
+            "different ruleset (rules fingerprint "
+            f"{sorted(stored_fps)} vs {rules_fp}); resuming would mix "
+            "units validated under different rules — use a fresh "
+            "out_dir/manifest_dir when the rules change"
+        )
+    unit_meta = {
+        "run_id": run_id, "snapshot_id": snapshot, "rules_fp": rules_fp,
+    }
     v_dir = os.path.join(out_dir, "violations")
     result = RunResult(run_id=run_id, snapshot=snapshot, out_dir=out_dir)
 
@@ -269,7 +286,7 @@ def validate(
             "*", F.lit(run_id).alias("run_id"), F.lit(snapshot).alias("snapshot_id")
         )
         sdf.write.mode("append").parquet(v_dir)
-        manifest.mark_done("__schema__", {"run_id": run_id, "snapshot_id": snapshot})
+        manifest.mark_done("__schema__", unit_meta)
         result.units_done.append("__schema__")
     if plan.fail_fast:
         # a missing REQUIRED column aborts the whole run (reference
@@ -341,7 +358,7 @@ def validate(
         v_out = v_out.drop("run_id").select("*", *lineage)
         v_out.write.mode("append").parquet(v_dir)
         for u in batch:
-            manifest.mark_done(u, {"run_id": run_id, "snapshot_id": snapshot})
+            manifest.mark_done(u, unit_meta)
             result.units_done.append(u)
 
     # ---- global stages --------------------------------------------------
@@ -376,7 +393,7 @@ def validate(
             u_out.drop("run_id").select("*", *lineage).write.mode(
                 "append"
             ).parquet(v_dir)
-            manifest.mark_done(gu, {"run_id": run_id, "snapshot_id": snapshot})
+            manifest.mark_done(gu, unit_meta)
             result.units_done.append(gu)
 
         # composite natural keys ($unique: {with: [...]}) — same
@@ -402,7 +419,7 @@ def validate(
             u_out.drop("run_id").select("*", *lineage).write.mode(
                 "append"
             ).parquet(v_dir)
-            manifest.mark_done(gu, {"run_id": run_id, "snapshot_id": snapshot})
+            manifest.mark_done(gu, unit_meta)
             result.units_done.append(gu)
 
         # $fd / $monotonic are whole-table invariants like $unique
@@ -430,7 +447,7 @@ def validate(
             g_out.drop("run_id").select("*", *lineage).write.mode(
                 "append"
             ).parquet(v_dir)
-            manifest.mark_done(gu, {"run_id": run_id, "snapshot_id": snapshot})
+            manifest.mark_done(gu, unit_meta)
             result.units_done.append(gu)
 
         for col, spec in plan.fd_specs:
@@ -487,7 +504,7 @@ def validate(
                     "run_id"
                 ).select("*", *lineage).write.mode("append").parquet(v_dir)
                 manifest.mark_done(
-                    gu, {"run_id": run_id, "snapshot_id": snapshot}
+                    gu, unit_meta
                 )
                 result.units_done.append(gu)
 

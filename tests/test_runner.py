@@ -279,6 +279,27 @@ def test_resume_refuses_snapshot_mismatch(spark, tmp_path):
     assert res.units_done == []
 
 
+def test_resume_refuses_ruleset_mismatch(spark, tmp_path):
+    """A resume under DIFFERENT rules must be refused: done-unit marks
+    written under other rules would skip units this ruleset never
+    validated."""
+    df = synth.images_df(spark, 40, partitions=2).drop("bytes")
+    out = str(tmp_path / "rulemix")
+    rules_a = load_rules("w: {$type: $int, $range: {$min: 1, $max: 100000}}")
+    rules_b = load_rules("w: {$type: $int, $range: {$min: 5, $max: 100000}}")
+    assert rules_a.fingerprint() != rules_b.fingerprint()
+    runner.validate(spark, df, rules_a, "image_id", out, snapshot="s")
+    with pytest.raises(ValueError, match="ruleset"):
+        runner.validate(spark, df, rules_b, "image_id", out, snapshot="s")
+    # identical rules loaded from a fresh parse resume fine
+    rules_a2 = load_rules(
+        "w: {$type: $int, $range: {$min: 1, $max: 100000}}"
+    )
+    assert rules_a2.fingerprint() == rules_a.fingerprint()
+    res = runner.validate(spark, df, rules_a2, "image_id", out, snapshot="s")
+    assert res.units_done == []
+
+
 def test_incremental_successive_deltas_not_skipped(spark, tmp_path):
     """Two successive deltas against the same out_dir: the second
     must be validated, not skipped by the first delta's manifest."""
