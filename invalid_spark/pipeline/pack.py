@@ -52,6 +52,31 @@ from invalid_spark.pipeline import text as _text
 PACK_SALT = "pack-v1"
 
 
+def greedy_pack(t: "np.ndarray", cap: int) -> tuple["np.ndarray", "np.ndarray"]:
+    """The greedy rule over one ordered token-count vector: returns
+    (seq_id, seq_offset) arrays. O(n_sequences · log n) — each
+    boundary is one searchsorted over the cumsum, not a Python
+    iteration per document. Property-tested against the naive
+    per-document loop."""
+    t = np.asarray(t, dtype="int64")
+    n = len(t)
+    c = np.cumsum(t)
+    seq = np.zeros(n, dtype="int64")
+    off = np.zeros(n, dtype="int64")
+    start, base, s = 0, 0, 0
+    while start < n:
+        # first index whose inclusive cumsum overflows the budget;
+        # an oversize head document still takes one slot (alone)
+        j = int(np.searchsorted(c, base + cap, side="right"))
+        j = max(j, start + 1)
+        seq[start:j] = s
+        off[start:j] = c[start:j] - t[start:j] - base
+        base = int(c[j - 1])
+        s += 1
+        start = j
+    return seq, off
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,
@@ -101,22 +126,7 @@ def pack_sequences(
         pdf = pdf.sort_values(key_col, kind="mergesort").reset_index(
             drop=True
         )
-        t = pdf["n_tokens"].to_numpy(dtype="int64")
-        n = len(t)
-        c = np.cumsum(t)
-        seq = np.zeros(n, dtype="int64")
-        off = np.zeros(n, dtype="int64")
-        start, base, s = 0, 0, 0
-        while start < n:
-            # first index whose inclusive cumsum overflows the budget;
-            # an oversize head document still takes one slot (alone)
-            j = int(np.searchsorted(c, base + cap, side="right"))
-            j = max(j, start + 1)
-            seq[start:j] = s
-            off[start:j] = c[start:j] - t[start:j] - base
-            base = int(c[j - 1])
-            s += 1
-            start = j
+        seq, off = greedy_pack(pdf["n_tokens"].to_numpy(dtype="int64"), cap)
         pdf["seq_id"] = seq
         pdf["seq_offset"] = off
         return pdf[[key_col, "bucket", "n_tokens", "seq_id", "seq_offset"]]

@@ -137,3 +137,27 @@ def test_garbage_never_decodes_silently(raw):
         return
     # if it decoded, it must be a well-formed pixel array
     assert px.ndim == 3 and px.shape[2] == 3
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=60),
+    st.integers(min_value=1, max_value=40),
+)
+def test_greedy_pack_matches_naive_loop(tokens, cap):
+    """pack.greedy_pack's searchsorted boundaries equal the naive
+    per-document greedy loop for any token vector and budget."""
+    import numpy as np
+
+    from invalid_spark.pipeline.pack import greedy_pack
+
+    seq, off = greedy_pack(np.array(tokens, dtype="int64"), cap)
+    # the reference loop, straight from the documented rule
+    fill, s = 0, 0
+    for i, t in enumerate(tokens):
+        if fill > 0 and fill + t > cap:
+            s += 1
+            fill = 0
+        assert seq[i] == s, (tokens, cap, i)
+        assert off[i] == fill, (tokens, cap, i)
+        fill += t
