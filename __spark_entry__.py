@@ -1155,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_documents": q_dedup_simhash_documents,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "phash_neardup": q_phash_neardup,
+        "phash_incremental": q_phash_incremental,
         "rowcheck_dynamic_events": q_rowcheck_dynamic_events,
         "emb_neardup_cosine": q_emb_neardup_cosine,
         "emb_neardup_lsh": q_emb_neardup_lsh,
@@ -3870,6 +3871,101 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """
 
 
+def q_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IMAGE near-dup (dedup.phash_neardup_vs_state): an
+    arriving batch classified against the persisted (id, phash) state
+    — 2-bit twins of every 10th corpus image (dup_of_corpus), plus a
+    planted in-batch pair (fresh hash + its 1-bit variant under a
+    larger key → dup_in_batch) and the fresh keeper itself (new). The
+    pigeonhole block joins never re-pair the prior corpus; decisions
+    within the radius are exact."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("id"),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("sig"),
+    )
+    fresh = d.filter(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("fid"),
+        F.conv(F.substring(F.md5(F.concat("text", F.lit("-alt"))), 1, 15),
+               16, 10).cast("long").alias("fsig"),
+    )
+    batch = (
+        base.filter(F.col("id") % 10 == 0)
+        .select(
+            (-(F.col("id") + 1)).alias("image_id"),
+            F.col("sig").bitwiseXOR(F.lit((1 << 3) | (1 << 37)))
+            .alias("phash"),
+        )
+        .unionByName(
+            fresh.select(
+                (F.col("fid") + 1000000).alias("image_id"),
+                F.col("fsig").alias("phash"),
+            )
+        )
+        .unionByName(
+            fresh.select(
+                (F.col("fid") + 2000000).alias("image_id"),
+                F.col("fsig").bitwiseXOR(F.lit(1 << 9)).alias("phash"),
+            )
+        )
+    )
+    return dedup.phash_neardup_vs_state(
+        batch, base, max_hamming=3, bits=60
+    )
+
+
+def _sql_phash_incremental() -> str:
+    mask = (1 << 3) | (1 << 37)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS sig
+  FROM documents
+),
+fresh AS (
+  SELECT doc_id AS fid,
+         CAST('0x' || substr(md5(text || '-alt'), 1, 15) AS BIGINT) AS fsig
+  FROM documents WHERE doc_id % 10 = 3
+),
+batch AS (
+  SELECT -(id + 1) AS id, xor(sig, {mask}) AS sig FROM base WHERE id % 10 = 0
+  UNION ALL
+  SELECT fid + 1000000, fsig FROM fresh
+  UNION ALL
+  SELECT fid + 2000000, xor(fsig, 512) FROM fresh
+),
+be AS (
+  SELECT id, sig, b.blk, (sig >> (b.blk * 15)) & 32767 AS val
+  FROM batch, (VALUES (0), (1), (2), (3)) AS b(blk)
+),
+se AS (
+  SELECT id, sig, b.blk, (sig >> (b.blk * 15)) & 32767 AS val
+  FROM base, (VALUES (0), (1), (2), (3)) AS b(blk)
+),
+bc AS (
+  SELECT be.id, min(bit_count(xor(be.sig, se.sig))) AS best_corpus
+  FROM be JOIN se ON be.blk = se.blk AND be.val = se.val
+  GROUP BY 1
+),
+bbp AS (
+  SELECT y.id, min(bit_count(xor(x.sig, y.sig))) AS best_batch
+  FROM be x JOIN be y ON x.blk = y.blk AND x.val = y.val AND x.id < y.id
+  GROUP BY 1
+)
+SELECT b.id,
+       CASE WHEN bc.best_corpus <= 3 THEN 'dup_of_corpus'
+            WHEN bbp.best_batch <= 3 THEN 'dup_in_batch'
+            ELSE 'new' END AS decision,
+       CAST(bc.best_corpus AS BIGINT) AS best_corpus,
+       CAST(bbp.best_batch AS BIGINT) AS best_batch
+FROM (SELECT id FROM batch) b
+LEFT JOIN bc ON bc.id = b.id
+LEFT JOIN bbp ON bbp.id = b.id
+"""
+
+
 def _sql_phash_neardup() -> str:
     mask = (1 << 3) | (1 << 37)
     return f"""
@@ -4394,6 +4490,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_documents": _sql_dedup_simhash(),
         "dedup_simhash_pairs": _sql_dedup_simhash_pairs(),
         "phash_neardup": _sql_phash_neardup(),
+        "phash_incremental": _sql_phash_incremental(),
         "rowcheck_dynamic_events": _sql_rowcheck_dynamic_events(),
         "rowcheck_json_events": _sql_rowcheck_json_events(),
         "rowcheck_yaml_docs": _sql_rowcheck_yaml_docs(),

@@ -677,6 +677,129 @@ def phash_neardup_pairs(
     return hamming_block_pairs(s, max_hamming, bits)
 
 
+def _hamming_blocks(
+    sig: DataFrame, max_hamming: int, bits: int, idc: str, sigc: str
+) -> DataFrame:
+    """Pigeonhole block rows (idc, sigc, blk, val) for one side of an
+    incremental Hamming join (same block math as
+    :func:`hamming_block_pairs`)."""
+    nblocks = max_hamming + 1
+    width = bits // nblocks
+    if width < 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {nblocks} blocks over "
+            f"{bits} signature bits — width 0 would put every row in "
+            "one bucket (an all-pairs join); lower max_hamming or use "
+            "a wider signature"
+        )
+    blocks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright(F.col("sig"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("val"),
+                )
+                for i in range(nblocks)
+            ]
+        )
+    ).alias("b")
+    return sig.select("id", "sig", blocks).select(
+        F.col("id").alias(idc),
+        F.col("sig").alias(sigc),
+        F.col("b.blk").alias("blk"),
+        F.col("b.val").alias("val"),
+    )
+
+
+def hamming_neardup_vs_state(
+    batch_sig: DataFrame,
+    state_sig: DataFrame,
+    max_hamming: int,
+    bits: int,
+) -> DataFrame:
+    """Incremental Hamming near-dup: classify each batch signature
+    row (id, sig) against the persisted state's (id, sig) rows —
+    the pigeonhole sibling of :func:`minhash_dedup_vs_state`, shared
+    by phash image dedup and SimHash text dedup. Per batch row:
+    ``(id, decision, best_corpus, best_batch)`` where the bests are
+    the minimum Hamming distance over candidates on each side (NULL
+    when no candidate shared a block).
+
+    - ``dup_of_corpus`` — some state signature within ``max_hamming``
+    - ``dup_in_batch``  — not a corpus dup, but within range of a
+      SMALLER-keyed batch row (first-kept rule)
+    - ``new``           — first sighting; exactly the rows appended
+      to the state (the state is just (id, sig) — 16 bytes/image)
+
+    Candidates come from block equi-joins on both sides — never
+    all-pairs; the pigeonhole guarantee (≥1 agreeing block within the
+    radius) makes the minimum over candidates the TRUE minimum
+    whenever it is ≤ ``max_hamming``, so decisions are exact."""
+    bb = _hamming_blocks(batch_sig, max_hamming, bits, "__bid", "__bsig")
+    sb = _hamming_blocks(state_sig, max_hamming, bits, "__sid", "__ssig")
+    ham_cs = F.bit_count(F.col("__bsig").bitwiseXOR(F.col("__ssig")))
+    best_c = (
+        bb.join(sb, ["blk", "val"])
+        .select("__bid", ham_cs.alias("__h"))
+        .groupBy("__bid")
+        .agg(F.min("__h").alias("best_corpus"))
+    )
+    l = bb.select(
+        F.col("__bid").alias("__a"), F.col("__bsig").alias("__asig"),
+        "blk", "val",
+    )
+    r = bb.select(
+        F.col("__bid").alias("__b"), F.col("__bsig").alias("__xsig"),
+        "blk", "val",
+    )
+    ham_bb = F.bit_count(F.col("__asig").bitwiseXOR(F.col("__xsig")))
+    best_b = (
+        l.join(r, ["blk", "val"])
+        .filter(F.col("__a") < F.col("__b"))
+        .select("__b", ham_bb.alias("__h"))
+        .groupBy("__b")
+        .agg(F.min("__h").alias("best_batch"))
+    )
+    ids = batch_sig.select("id")
+    return (
+        ids.join(best_c, ids.id == best_c["__bid"], "left")
+        .join(best_b, ids.id == best_b["__b"], "left")
+        .select(
+            "id",
+            F.when(
+                F.col("best_corpus") <= max_hamming, F.lit("dup_of_corpus")
+            )
+            .when(F.col("best_batch") <= max_hamming, F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("decision"),
+            F.col("best_corpus").cast("long").alias("best_corpus"),
+            F.col("best_batch").cast("long").alias("best_batch"),
+        )
+    )
+
+
+def phash_neardup_vs_state(
+    df: DataFrame,
+    state: DataFrame,
+    max_hamming: int = 4,
+    bits: int = 64,
+    hash_col: str = "phash",
+    key_col: str = "image_id",
+) -> DataFrame:
+    """Incremental IMAGE near-dup: arriving images classified against
+    the persisted (id, phash) state — validate-on-arrival for the
+    10¹²-image corpus, where re-pairing yesterday's corpus per batch
+    (the :func:`phash_neardup_pairs` shape) would rescan everything.
+    The state is the phash column itself: 16 bytes/image, no decode
+    ever re-runs."""
+    b = df.select(
+        F.col(key_col).alias("id"), F.col(hash_col).cast("long").alias("sig")
+    )
+    return hamming_neardup_vs_state(b, state, max_hamming, bits)
+
+
 # ---------------------------------------------------------------------------
 # clusters: pairs → connected components → keeper per component
 

@@ -165,6 +165,34 @@ def test_pack_summary(spark):
     assert row.n_oversize == 0
 
 
+def test_phash_neardup_vs_state_planted(spark):
+    from invalid_spark.pipeline import dedup
+
+    state = spark.createDataFrame(
+        [(0, 0b1111000011110000), (1, 0b0000111100001111)],
+        "id long, sig long",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, 0b1111000011110001),  # hamming 1 from state 0
+            (11, 0b1010101010101010),  # far from everything
+            (12, 0b1010101010101011),  # hamming 1 from 11 → in-batch dup
+            (13, 0b0101010101010101),  # far from all (complement of 11)
+        ],
+        "id long, sig long",
+    )
+    out = {r.id: (r.decision, r.best_corpus, r.best_batch)
+           for r in dedup.hamming_neardup_vs_state(
+               batch, state, max_hamming=2, bits=16).collect()}
+    assert out[10][0] == "dup_of_corpus" and out[10][1] == 1
+    assert out[11][0] == "new"
+    assert out[12] == ("dup_in_batch", None, 1) or (
+        out[12][0] == "dup_in_batch" and out[12][2] == 1
+    )
+    assert out[13][0] == "new"
+    assert len(out) == 4
+
+
 def test_minhash_dedup_vs_state_planted(spark):
     from invalid_spark.pipeline import dedup
 
