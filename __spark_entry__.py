@@ -1156,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "phash_neardup": q_phash_neardup,
         "phash_incremental": q_phash_incremental,
+        "streaming_phash_screen_documents": q_streaming_phash_screen_documents,
         "rowcheck_dynamic_events": q_rowcheck_dynamic_events,
         "emb_neardup_cosine": q_emb_neardup_cosine,
         "emb_neardup_lsh": q_emb_neardup_lsh,
@@ -3966,6 +3967,90 @@ LEFT JOIN bbp ON bbp.id = b.id
 """
 
 
+def q_streaming_phash_screen_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming image near-dup screen (streaming.phash_screen_stream)
+    on the batch path: arriving 2-bit twins of every 10th corpus image
+    (flagged, best_hamming 2) and fresh '-alt' hashes (unflagged
+    unless md5 chance puts them within 3 bits — the oracle replays
+    chance identically). Synthetic arrival time = epoch + id minutes."""
+    from invalid_spark import streaming
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("id"),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("sig"),
+    )
+    twins = base.filter(F.col("id") % 10 == 0).select(
+        (-(F.col("id") + 1)).alias("image_id"),
+        F.col("sig").bitwiseXOR(F.lit((1 << 3) | (1 << 37))).alias("phash"),
+        (F.lit(1700000000) + F.col("id") * 60).alias("sec"),
+    )
+    fresh = d.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 1000000).alias("image_id"),
+        F.conv(F.substring(F.md5(F.concat("text", F.lit("-alt"))), 1, 15),
+               16, 10).cast("long").alias("phash"),
+        (F.lit(1700000000) + F.col("doc_id") * 60 + 30).alias("sec"),
+    )
+    arrivals = twins.unionByName(fresh).withColumn(
+        "ts", F.timestamp_seconds("sec")
+    ).drop("sec")
+    out = streaming.phash_screen_stream(
+        arrivals, base, max_hamming=3, bits=60
+    )
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.col("window_end").cast("string").alias("window_end"),
+        "id",
+        "best_hamming",
+    )
+
+
+def _sql_streaming_phash_screen() -> str:
+    mask = (1 << 3) | (1 << 37)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS sig
+  FROM documents
+),
+arr AS (
+  SELECT -(id + 1) AS id, xor(sig, {mask}) AS sig,
+         1700000000 + id * 60 AS sec
+  FROM base WHERE id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 1000000,
+         CAST('0x' || substr(md5(text || '-alt'), 1, 15) AS BIGINT),
+         1700000000 + doc_id * 60 + 30
+  FROM documents WHERE doc_id % 10 = 3
+),
+ae AS (
+  SELECT id, sig, sec, b.blk, (sig >> (b.blk * 15)) & 32767 AS val
+  FROM arr, (VALUES (0), (1), (2), (3)) AS b(blk)
+),
+se AS (
+  SELECT sig AS ssig, b.blk, (sig >> (b.blk * 15)) & 32767 AS val
+  FROM base, (VALUES (0), (1), (2), (3)) AS b(blk)
+),
+m AS (
+  SELECT ae.id, any_value(ae.sec) AS sec,
+         min(bit_count(xor(ae.sig, se.ssig))) AS best
+  FROM ae JOIN se ON ae.blk = se.blk AND ae.val = se.val
+  GROUP BY ae.id
+)
+SELECT CAST(epoch_ms(CAST(floor(sec / 3600.0) * 3600 AS BIGINT) * 1000)
+         AS VARCHAR) AS window_start,
+       CAST(epoch_ms((CAST(floor(sec / 3600.0) * 3600 AS BIGINT) + 3600)
+         * 1000) AS VARCHAR) AS window_end,
+       id,
+       CAST(best AS BIGINT) AS best_hamming
+FROM m WHERE best <= 3
+"""
+
+
 def _sql_phash_neardup() -> str:
     mask = (1 << 3) | (1 << 37)
     return f"""
@@ -4491,6 +4576,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _sql_dedup_simhash_pairs(),
         "phash_neardup": _sql_phash_neardup(),
         "phash_incremental": _sql_phash_incremental(),
+        "streaming_phash_screen_documents": _sql_streaming_phash_screen(),
         "rowcheck_dynamic_events": _sql_rowcheck_dynamic_events(),
         "rowcheck_json_events": _sql_rowcheck_json_events(),
         "rowcheck_yaml_docs": _sql_rowcheck_yaml_docs(),

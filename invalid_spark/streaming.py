@@ -494,6 +494,82 @@ def minhash_screen_stream(
     )
 
 
+def phash_screen_stream(
+    df: DataFrame,
+    state: DataFrame,
+    max_hamming: int = 4,
+    bits: int = 64,
+    hash_col: str = "phash",
+    key_col: str = "image_id",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming IMAGE near-dup screen: flag arriving images whose
+    phash is within ``max_hamming`` of the persisted (id, sig) state
+    — the image sibling of :func:`minhash_screen_stream`, and simpler:
+    the signature already IS a column, so there is no per-row
+    signature computation at all. Pigeonhole blocks explode per
+    arrival (stateless), ONE stream-static block equi-join carries
+    the state signature into the row, and the watermarked
+    (window, id) MIN-distance aggregate is the only stateful
+    operator. Within the radius the pigeonhole guarantee makes the
+    minimum exact, so flags are exact, not estimates. Emits
+    (window_start, window_end, id, best_hamming) per flagged arrival;
+    works identically on a batch frame."""
+    from invalid_spark.pipeline import dedup as _dedup
+
+    if df.isStreaming:
+        # watermark BEFORE the join (see minhash_screen_stream: non-
+        # matching arrivals must still advance event time)
+        df = df.withWatermark(ts_col, watermark)
+    b = df.select(
+        F.col(key_col).alias("id"),
+        F.col(hash_col).cast("long").alias("sig"),
+        F.col(ts_col),
+    )
+    nblocks = max_hamming + 1
+    width = bits // nblocks
+    if width < 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {nblocks} blocks over "
+            f"{bits} bits — width 0 degrades to all-pairs"
+        )
+    blocks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright(F.col("sig"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("val"),
+                )
+                for i in range(nblocks)
+            ]
+        )
+    ).alias("bh")
+    e = b.select("id", "sig", ts_col, blocks).select(
+        "id", "sig", ts_col,
+        F.col("bh.blk").alias("blk"), F.col("bh.val").alias("val"),
+    )
+    stb = _dedup._hamming_blocks(
+        state, max_hamming, bits, "__sid", "__ssig"
+    )
+    ham = F.bit_count(F.col("sig").bitwiseXOR(F.col("__ssig")))
+    joined = e.join(stb, ["blk", "val"]).select(
+        "id", ts_col, ham.alias("__h")
+    )
+    agg = joined.groupBy(
+        F.window(ts_col, window).alias("w"), F.col("id")
+    ).agg(F.min("__h").alias("best_hamming"))
+    return agg.filter(F.col("best_hamming") <= max_hamming).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "id",
+        F.col("best_hamming").cast("long").alias("best_hamming"),
+    )
+
+
 def running_rule_totals(
     violations: DataFrame,
 ) -> DataFrame:

@@ -391,6 +391,47 @@ def test_minhash_screen_batch_and_stream(spark, tmp_path):
     assert {r[1] for r in got} == {11, 15}
 
 
+def test_phash_screen_batch_and_stream(spark, tmp_path):
+    """Streaming image near-dup screen: flags arrivals within the
+    Hamming radius of the persisted phash state, batch ≡ stream."""
+    state = spark.createDataFrame(
+        [(0, 0xF0F0F0F0), (1, 0x0F0F0F0F)], "id long, sig long"
+    )
+    arrivals = spark.createDataFrame(
+        [
+            (10, 0xF0F0F0F1, "2024-01-01 00:10:00"),  # hamming 1 of 0
+            (11, 0xAAAA5555, "2024-01-01 00:20:00"),  # far
+            (12, 0x0F0F0F0B, "2024-01-01 00:40:00"),  # hamming 1 of 1
+            (99, 0x12345678, "2024-01-02 12:00:00"),  # sentinel, far
+        ],
+        "image_id long, phash long, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+    kwargs = dict(max_hamming=2, bits=32, window="30 minutes",
+                  watermark="30 minutes")
+    batch_rows = {
+        (str(r["window_start"]), r["id"], r["best_hamming"])
+        for r in streaming.phash_screen_stream(
+            arrivals, state, **kwargs).collect()
+    }
+    assert {(rk[1], rk[2]) for rk in batch_rows} == {(10, 1), (12, 1)}
+
+    d = str(tmp_path / "ph_arr")
+    arrivals.coalesce(1).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(arrivals.schema).parquet(d)
+    q = streaming.phash_screen_stream(sdf, state, **kwargs)
+    sink = str(tmp_path / "ph_sink")
+    h = q.writeStream.format("parquet").outputMode("append").option(
+        "checkpointLocation", str(tmp_path / "ph_ck")
+    ).option("path", sink).trigger(availableNow=True).start()
+    h.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["id"], r["best_hamming"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got <= batch_rows and {r[1] for r in got} == {10, 12}
+
+
 def test_windowed_ks_drift_batch_and_stream(spark, tmp_path):
     """One-sample windowed KS: a window matching the uniform
     reference passes, a concentrated window flags; the same query
