@@ -106,6 +106,35 @@ class RunResult:
         return spark.read.parquet(os.path.join(self.out_dir, "quarantine"))
 
 
+def _bloom_key(col: str, spec: dict) -> tuple:
+    return (
+        spec.get("table"),
+        spec.get("key", col),
+        int(spec.get("bits", 1 << 20)),
+        int(spec.get("hashes", 3)),
+    )
+
+
+def _prep_blooms(
+    plan: rowchecks.RowCheckPlan, dims: dict[str, DataFrame]
+) -> dict[tuple, DataFrame]:
+    """Materialize each distinct Bloom screen ONCE per run (eager
+    localCheckpoint): without this, every unit batch AND each of the
+    k broadcast joins would re-execute the dimension fold. The
+    checkpoint blocks are ≤ m/32 rows and reclaimed by the
+    ContextCleaner when the run's frames go out of scope."""
+    blooms: dict[tuple, DataFrame] = {}
+    for col, spec in plan.ref_specs:
+        if spec.get("mode") != "bloom" or spec.get("table") not in dims:
+            continue
+        key = _bloom_key(col, spec)
+        if key not in blooms:
+            blooms[key] = refint.bloom_build(
+                dims[key[0]], key[1], m_bits=key[2], k=key[3]
+            ).localCheckpoint(eager=True)
+    return blooms
+
+
 def _stage_violations(
     df: DataFrame,
     rules: RuleSet,
@@ -115,6 +144,7 @@ def _stage_violations(
     run_id: str,
     psnr_min: float = 40.0,
     udf_parallelism: int | None = None,
+    blooms: dict[tuple, DataFrame] | None = None,
 ) -> DataFrame:
     """Union of every check stage's violations for one input slice."""
     v = rowchecks.run_row_checks(df, rules, row_key, run_id, plan=plan)
@@ -133,14 +163,15 @@ def _stage_violations(
             # broadcast as rows, fact side too big to shuffle.
             # Reported violations are exact; misses bounded by the
             # Bloom fpp at the configured sizing (PLANS.md §26).
-            m_bits = int(spec.get("bits", 1 << 20))
-            hashes = int(spec.get("hashes", 3))
-            bloom = refint.bloom_build(
-                dims[dim_name], dim_key, m_bits=m_bits, k=hashes
-            )
+            key = _bloom_key(col, spec)
+            bloom = (blooms or {}).get(key)
+            if bloom is None:
+                bloom = refint.bloom_build(
+                    dims[dim_name], dim_key, m_bits=key[2], k=key[3]
+                )
             r = refint.bloom_ref_violations(
                 df, col, bloom, dim_key, row_key,
-                m_bits=m_bits, k=hashes, run_id=run_id,
+                m_bits=key[2], k=key[3], run_id=run_id,
             )
         else:
             r = refint.ref_violations(
@@ -325,6 +356,7 @@ def validate(
         F.lit(snapshot).alias("snapshot_id"),
     ]
     n_batches = 0
+    blooms = _prep_blooms(plan, dims) if units else {}
     for batch in units:
         if max_batches is not None and n_batches >= max_batches:
             break
@@ -339,6 +371,7 @@ def validate(
         v = _stage_violations(
             slice_df, rules, row_key, plan, dims, run_id,
             udf_parallelism=udf_parallelism,
+            blooms=blooms,
         )
         # attribute each violation to its unit for lineage + verdicts
         if unit_of is None:
