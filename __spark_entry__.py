@@ -314,6 +314,39 @@ SELECT * FROM keyed ORDER BY gumbel_key DESC, id ASC LIMIT 50
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (text.chunk_documents): 32-token chunks
+    with 8-token overlap — the pre-embedding step. Entirely row-local
+    (sequence → slice → explode), no shuffle; the oracle replays the
+    window arithmetic with generate_series + list slicing."""
+    from invalid_spark.pipeline import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return T.chunk_documents(d, chunk_tokens=32, overlap_tokens=8)
+
+
+def _sql_chunk_documents() -> str:
+    return r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+d AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0),
+e AS (
+  SELECT doc_id, t,
+         unnest(range(0, greatest(n - 8 - 1, 0) + 1, 24)) AS start
+  FROM d
+)
+SELECT doc_id AS id,
+       CAST(start / 24 AS BIGINT) AS chunk_idx,
+       CAST(len(t[start + 1 : start + 32]) AS BIGINT) AS n_tokens,
+       array_to_string(t[start + 1 : start + 32], ' ') AS chunk
+FROM e
+"""
+
+
 def q_ref_bloom_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter referential screen (refint.bloom_build /
     bloom_ref_violations) — the middle-regime scale path when the
@@ -1095,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_summary_documents": q_pack_summary_documents,
         "dsir_weights_documents": q_dsir_weights_documents,
         "dsir_sample_documents": q_dsir_sample_documents,
+        "chunk_documents": q_chunk_documents,
         "drift_ks_events": q_drift_ks_events,
         "drift_chi2_events": q_drift_chi2_events,
         "drift_psi_events": q_drift_psi_events,
@@ -4515,6 +4549,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_summary_documents": _sql_pack_summary_documents(),
         "dsir_weights_documents": _sql_dsir_weights_documents(),
         "dsir_sample_documents": _sql_dsir_sample_documents(),
+        "chunk_documents": _sql_chunk_documents(),
         "drift_ks_events": _sql_drift_ks_events(),
         "drift_chi2_events": _sql_drift_chi2_events(),
         "drift_psi_events": _sql_drift_psi_events(),

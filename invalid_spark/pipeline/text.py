@@ -532,3 +532,57 @@ def vocab_stats(
             "topk_share"
         ),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap_tokens: int = 0,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Token-window chunking: split each document into chunks of at
+    most ``chunk_tokens`` whitespace tokens, consecutive chunks
+    overlapping by ``overlap_tokens`` — the step before embedding /
+    retrieval indexing, where models have a context budget and
+    overlap preserves cross-boundary context. Returns one row per
+    chunk: ``(id, chunk_idx, n_tokens, chunk)`` with ``chunk`` the
+    space-joined token window (token-level reconstruction: original
+    whitespace runs collapse — by design, the chunk is model input,
+    not a byte-faithful substring). Documents with no tokens emit no
+    chunks.
+
+    Entirely row-local (tokens → ``sequence`` of window starts →
+    ``transform`` slices → ``explode``): no shuffle, no UDF, works on
+    streaming frames, and the arithmetic replays exactly in SQL.
+    Chunk starts are ``0, step, 2·step, …`` with ``step =
+    chunk_tokens − overlap_tokens``; the last window may be shorter,
+    and a start is emitted only while it indexes a real token, so a
+    doc of ``n`` tokens yields ``ceil(max(n − overlap, 1) / step)``
+    chunks.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens must be in [0, chunk_tokens), got "
+            f"{overlap_tokens}"
+        )
+    step = chunk_tokens - overlap_tokens
+    toks = tokens(F.col(text_col))
+    d = df.select(F.col(key_col).alias("id"), toks.alias("__t")).filter(
+        F.size("__t") > 0
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("__t") - overlap_tokens - 1, F.lit(0)),
+        F.lit(step),
+    )
+    e = d.select("id", "__t", F.explode(starts).alias("start"))
+    window = F.slice(F.col("__t"), F.col("start") + 1, chunk_tokens)
+    return e.select(
+        "id",
+        (F.col("start") / step).cast("long").alias("chunk_idx"),
+        F.size(window).cast("long").alias("n_tokens"),
+        F.array_join(window, " ").alias("chunk"),
+    )

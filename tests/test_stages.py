@@ -165,6 +165,49 @@ def test_pack_summary(spark):
     assert row.n_oversize == 0
 
 
+def test_chunk_documents_semantics(spark):
+    from invalid_spark.pipeline import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (1, "a b c"),                                # 3 < chunk
+            (2, ""),                                     # no chunks
+            (3, None),                                   # no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = T.chunk_documents(docs, chunk_tokens=4, overlap_tokens=1)
+    rows = sorted(
+        ((r.id, r.chunk_idx, r.n_tokens, r.chunk) for r in out.collect())
+    )
+    # doc 0 (n=10): starts 0,3,6 — bound n-o-1=8 excludes 9, step 3
+    assert [r for r in rows if r[0] == 0] == [
+        (0, 0, 4, "t0 t1 t2 t3"),
+        (0, 1, 4, "t3 t4 t5 t6"),
+        (0, 2, 4, "t6 t7 t8 t9"),
+    ]
+    assert [r for r in rows if r[0] == 1] == [(1, 0, 3, "a b c")]
+    assert not [r for r in rows if r[0] in (2, 3)]
+    # every token index is covered; consecutive chunks share `overlap`
+    with pytest.raises(ValueError):
+        T.chunk_documents(docs, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    import contextlib
+    import io as _io
+
+    from invalid_spark.pipeline import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        T.chunk_documents(docs, 32, 8).explain()
+    plan = buf.getvalue()
+    assert "Exchange" not in plan  # row-local: scan → project → generate
+
+
 def test_phash_neardup_vs_state_planted(spark):
     from invalid_spark.pipeline import dedup
 
