@@ -1175,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_documents": q_dedup_incremental_documents,
         "dedup_minhash_incremental_documents":
             q_dedup_minhash_incremental_documents,
+        "bucket_skew_documents": q_bucket_skew_documents,
         "chi2_expected_events": q_chi2_expected_events,
         "stats_entropy_events": q_stats_entropy_events,
         "stats_corr_lineitem": q_stats_corr_lineitem,
@@ -2585,6 +2586,59 @@ def q_dedup_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return dedup.exact_dedup_vs_state(cur, state)
+
+
+def q_bucket_skew_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pre-flight skew report (dedup.band_bucket_skew): the 10
+    largest band buckets and the candidate pairs each would
+    contribute — the cost driver of the bucket join. One aggregate +
+    TakeOrdered; fully SQL-replayable."""
+    from invalid_spark.pipeline import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.band_bucket_skew(d, top=10)
+
+
+def _sql_bucket_skew() -> str:
+    # reuses the minhash CTE chain's sig/bands construction
+    p = dedup.MINHASH_P
+    sig_cols = ", ".join(
+        f"min((h1 + {j} * h2) % {p}) AS s{j}" for j in range(16)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS bi, "
+        f"md5(CAST(s{b*4} AS VARCHAR) || ',' || CAST(s{b*4+1} AS VARCHAR)"
+        f" || ',' || CAST(s{b*4+2} AS VARCHAR) || ',' "
+        f"|| CAST(s{b*4+3} AS VARCHAR)) AS band_hash FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH {_sql_shingle_cte()},
+ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0
+),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(g), 9, 8) AS BIGINT) AS h2
+  FROM ex
+),
+sig AS (
+  SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+counts AS (
+  SELECT bi AS band, band_hash, CAST(count(*) AS BIGINT) AS n_docs
+  FROM bands GROUP BY 1, 2
+)
+SELECT band, band_hash, n_docs,
+       CAST(n_docs * (n_docs - 1) / 2 AS BIGINT) AS est_pairs
+FROM counts
+ORDER BY n_docs DESC, band ASC, band_hash ASC
+LIMIT 10
+"""
 
 
 def q_dedup_minhash_incremental_documents(
@@ -4596,6 +4650,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_report_tokens_documents": _sql_mix_report_tokens_documents(),
         "dedup_incremental_documents": _sql_dedup_incremental(),
         "dedup_minhash_incremental_documents": _sql_minhash_incremental(),
+        "bucket_skew_documents": _sql_bucket_skew(),
         "chi2_expected_events": _sql_chi2_expected_events(),
         "stats_entropy_events": _sql_stats_entropy_events(),
         "stats_corr_lineitem": _sql_stats_corr_lineitem(),

@@ -142,6 +142,37 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
         in_headline=False,
     )
 
+    timed(
+        "chunk_documents",
+        lambda: (entry.q_chunk_documents(spark, sf_dir).count(), 0)[1],
+        in_headline=False,
+    )
+
+    timed(
+        "phash_incremental",
+        lambda: (entry.q_phash_incremental(spark, sf_dir).count(), 0)[1],
+        in_headline=False,
+    )
+
+    timed(
+        "minhash_screen",
+        lambda: (entry.q_streaming_minhash_screen_documents(
+            spark, sf_dir).count(), 0)[1],
+        in_headline=False,
+    )
+
+    timed(
+        "bucket_skew",
+        lambda: (entry.q_bucket_skew_documents(spark, sf_dir).count(), 0)[1],
+        in_headline=False,
+    )
+
+    timed(
+        "ann_recall",
+        lambda: (entry.q_ann_recall_embeddings(spark, sf_dir).count(), 0)[1],
+        in_headline=False,
+    )
+
     # skew handling: salted uniqueness with a hot key on 10% of rows
     skew_n = 50_000
     skew_df = synth.images_df(spark, skew_n, partitions=CPUS * 2, skew=True)

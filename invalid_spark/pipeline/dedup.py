@@ -502,6 +502,46 @@ def minhash_dedup_vs_state(
     return out
 
 
+def band_bucket_skew(
+    df: DataFrame,
+    bands: int = 4,
+    rows: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    top: int = 10,
+) -> DataFrame:
+    """The LSH pre-flight: the ``top`` largest band buckets, with the
+    candidate-pair count each one alone would contribute
+    (``n·(n−1)/2``). The bucket join's cost driver is exactly these
+    buckets — a corpus of near-identical boilerplate puts thousands
+    of docs in one bucket and the "never all-pairs" guarantee
+    degrades to all-pairs WITHIN it. Run this before a large dedup:
+    a top bucket of 10⁵ docs says "exact-dedup the boilerplate
+    first" (or raise `rows` per band) before paying 10¹⁰ candidate
+    verifications. One aggregate + TakeOrdered (never a global
+    sort); deterministic (count desc, band, band_hash) order."""
+    b = minhash_bands(df, bands, rows, n, text_col, key_col)
+    counts = b.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        counts.orderBy(
+            F.col("n_docs").desc(), F.col("band").asc(),
+            F.col("band_hash").asc(),
+        )
+        .limit(top)
+        .select(
+            "band",
+            "band_hash",
+            "n_docs",
+            (F.col("n_docs") * (F.col("n_docs") - 1) / 2)
+            .cast("long")
+            .alias("est_pairs"),
+        )
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     threshold: float = 0.8,

@@ -165,6 +165,28 @@ def test_pack_summary(spark):
     assert row.n_oversize == 0
 
 
+def test_band_bucket_skew_flags_boilerplate(spark):
+    import contextlib
+    import io as _io
+
+    from invalid_spark.pipeline import dedup
+
+    boiler = "all rights reserved copy one two three four five " * 3
+    rows = [(i, boiler) for i in range(40)] + [
+        (100 + i, f"unique doc number {i} with words " + "x " * i)
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top = dedup.band_bucket_skew(docs, top=5).collect()
+    # the 40 identical docs dominate every band: top buckets are 40-doc
+    assert top[0].n_docs == 40
+    assert top[0].est_pairs == 40 * 39 // 2
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dedup.band_bucket_skew(docs, top=5).explain()
+    assert "TakeOrderedAndProject" in buf.getvalue()  # never a global sort
+
+
 def test_chunk_documents_semantics(spark):
     from invalid_spark.pipeline import text as T
 
