@@ -20,7 +20,8 @@ Local (this sandbox):
     python -m invalid_spark.cli validate --table /root/testdata/... \\
         --rules rules.yaml --out /tmp/audit
 
-Subcommands: ``validate`` (full resumable suite), ``profile``
+Subcommands: ``validate`` (full resumable suite), ``validate-suite``
+(several tables from one YAML config, resumable per table), ``profile``
 (column stats for every ``$stats`` directive), ``suggest`` (rule
 bootstrap), ``curate`` (curation pipeline, optional DSIR selection),
 ``pack`` (sequence packing under a token budget), ``report``
@@ -135,6 +136,17 @@ def main(argv: list[str] | None = None) -> int:
                     "instead of whitespace tokens")
     pk.add_argument("--local-cores", type=int, default=None)
 
+    pvs = sub.add_parser(
+        "validate-suite",
+        help="validate several tables under one audit root from a "
+        "YAML config (tables: {name: {path, rules, row_key, ...}}); "
+        "resumable per table, one JSON summary",
+    )
+    pvs.add_argument("--config", required=True, help="suite YAML file")
+    pvs.add_argument("--out", required=True, help="audit root dir")
+    pvs.add_argument("--unit-batch", type=int, default=16)
+    pvs.add_argument("--local-cores", type=int, default=None)
+
     pr = sub.add_parser(
         "report",
         help="render a validation out_dir as a human-readable "
@@ -170,6 +182,20 @@ def main(argv: list[str] | None = None) -> int:
                 f.write(text)
             os.replace(path + ".tmp", path)
         sys.stdout.write(text)
+        return 0
+
+    if args.cmd == "validate-suite":
+        import yaml
+
+        with open(args.config) as f:
+            suite = yaml.safe_load(f)
+        results = runner.validate_suite(
+            spark, suite, args.out, unit_batch=args.unit_batch
+        )
+        print(json.dumps(
+            runner.suite_summary(spark, results), sort_keys=True,
+            default=str,
+        ))
         return 0
 
     df = spark.read.parquet(args.table)

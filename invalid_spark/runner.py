@@ -976,6 +976,89 @@ def validate_incremental(
     return validate(spark, delta, rules, row_key, out_dir, **kwargs)
 
 
+def validate_suite(
+    spark: SparkSession,
+    suite: dict,
+    out_dir: str,
+    **common,
+) -> dict[str, RunResult]:
+    """Validate SEVERAL tables under one audit root — the
+    multi-table checkpoint (deequ ``VerificationSuite`` / Great
+    Expectations checkpoint analog). ``suite`` is the parsed config:
+
+    .. code-block:: yaml
+
+        tables:
+          documents:
+            path: /data/documents        # parquet path
+            rules: rules_documents.yaml  # or a loaded RuleSet
+            row_key: doc_id
+            partition_col: source        # optional
+            dims: {licenses: /data/licenses}   # optional
+            quarantine: true             # optional
+
+    Each table validates into ``out_dir/<name>`` with its OWN
+    manifest, so a killed suite resumes exactly where it stopped:
+    completed tables skip wholesale (their units are done), the
+    in-flight table resumes at its unit batch. Tables run in config
+    order — failures raise, so order places cheap gating tables
+    first. ``common`` kwargs (e.g. ``unit_batch``) apply to every
+    table; per-table keys win."""
+    from invalid_spark.dsl import load_rules_file
+
+    results: dict[str, RunResult] = {}
+    for name, cfg in suite["tables"].items():
+        df = spark.read.parquet(cfg["path"])
+        rules = cfg["rules"]
+        if isinstance(rules, str):
+            rules = load_rules_file(rules)
+        dims = {
+            dn: spark.read.parquet(dp)
+            for dn, dp in (cfg.get("dims") or {}).items()
+        }
+        kwargs = dict(common)
+        for k in ("partition_col", "unit_batch", "quarantine", "prev_table"):
+            if k in cfg:
+                kwargs[k] = cfg[k]
+        prev_path = kwargs.pop("prev_table", None)
+        if prev_path:
+            kwargs["prev_df"] = spark.read.parquet(prev_path)
+        results[name] = validate(
+            spark,
+            df,
+            rules,
+            cfg.get("row_key", "id"),
+            os.path.join(out_dir, name),
+            dims=dims,
+            snapshot=snapshot_id(cfg["path"]),
+            **kwargs,
+        )
+    return results
+
+
+def suite_summary(
+    spark: SparkSession, results: dict[str, RunResult]
+) -> dict:
+    """One JSON-able roll-up per suite run: per-table violation
+    counts, verdict pass/fail, and units done/skipped."""
+    out: dict = {"tables": {}, "passed": True}
+    for name, res in results.items():
+        v = res.violations(spark)
+        n = v.filter(F.col("snapshot_id") == res.snapshot).count()
+        verd = [r.asDict() for r in res.verdicts(spark).collect()]
+        passed = all(r["passed"] for r in verd) and n == 0
+        out["tables"][name] = {
+            "run_id": res.run_id,
+            "snapshot_id": res.snapshot,
+            "violations": n,
+            "units_done": res.units_done,
+            "units_skipped": res.units_skipped,
+            "passed": passed,
+        }
+        out["passed"] = out["passed"] and passed
+    return out
+
+
 def profile(
     df: DataFrame, rules: RuleSet, run_id: str = ""
 ) -> DataFrame | None:

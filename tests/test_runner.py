@@ -279,6 +279,49 @@ def test_resume_refuses_snapshot_mismatch(spark, tmp_path):
     assert res.units_done == []
 
 
+def test_validate_suite_multi_table_and_resume(spark, tmp_path):
+    """Multi-table suite: each table validates into its own subdir
+    with its own manifest; a second run skips everything; the summary
+    rolls up per-table verdicts."""
+    imgs = synth.images_df(spark, 60, partitions=2).drop("bytes")
+    p_imgs = str(tmp_path / "imgs")
+    imgs.write.parquet(p_imgs)
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "xx") for i in range(30)],
+        "doc_id long, lang string",
+    )
+    p_docs = str(tmp_path / "docs")
+    docs.write.parquet(p_docs)
+    r_imgs = str(tmp_path / "r_imgs.yaml")
+    with open(r_imgs, "w") as f:
+        f.write("fmt: {$type: $str, $of: [png, jpeg, webp]}\n")
+    r_docs = str(tmp_path / "r_docs.yaml")
+    with open(r_docs, "w") as f:
+        f.write("lang: {$type: $str, $of: [en]}\n")
+    suite = {
+        "tables": {
+            "images": {"path": p_imgs, "rules": r_imgs,
+                       "row_key": "image_id"},
+            "documents": {"path": p_docs, "rules": r_docs,
+                          "row_key": "doc_id"},
+        }
+    }
+    out = str(tmp_path / "audit")
+    res = runner.validate_suite(spark, suite, out)
+    summary = runner.suite_summary(spark, res)
+    assert set(summary["tables"]) == {"images", "documents"}
+    # planted: every doc_id % 3 == 0 has lang 'xx'
+    assert summary["tables"]["documents"]["violations"] == 10
+    assert summary["tables"]["documents"]["passed"] is False
+    assert summary["passed"] is False
+    # per-table sinks under out/<name>
+    assert res["documents"].violations(spark).count() == 10
+    # second run: everything resumes as done
+    res2 = runner.validate_suite(spark, suite, out)
+    for r in res2.values():
+        assert r.units_done == [] and r.units_skipped
+
+
 def test_resume_refuses_ruleset_mismatch(spark, tmp_path):
     """A resume under DIFFERENT rules must be refused: done-unit marks
     written under other rules would skip units this ruleset never
