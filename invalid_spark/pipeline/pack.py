@@ -65,10 +65,18 @@ def greedy_pack(t: "np.ndarray", cap: int) -> tuple["np.ndarray", "np.ndarray"]:
     off = np.zeros(n, dtype="int64")
     start, base, s = 0, 0, 0
     while start < n:
-        # first index whose inclusive cumsum overflows the budget;
-        # an oversize head document still takes one slot (alone)
+        # first index whose inclusive cumsum overflows the budget
         j = int(np.searchsorted(c, base + cap, side="right"))
-        j = max(j, start + 1)
+        if j <= start:
+            # oversize head document: the window's fill is 0, so by
+            # the rule (new seq only when fill > 0) it joins — alone
+            j = start + 1
+        elif j < n and int(c[j - 1]) == base:
+            # every doc in [start, j) has 0 tokens, so the window's
+            # fill is STILL 0 when the oversize doc at j arrives: it
+            # joins this sequence too (hypothesis-found edge: [0, 2]
+            # at cap 1 packs into ONE sequence, not two)
+            j += 1
         seq[start:j] = s
         off[start:j] = c[start:j] - t[start:j] - base
         base = int(c[j - 1])
