@@ -365,6 +365,19 @@ def mix_sample(
     )
 
 
+def _dsir_bucket(tok: Column, n_buckets: int, salt: str) -> Column:
+    """The ONE hashed-feature bucket expression (md5 of salted token
+    mod n_buckets) — shared by model building and per-doc scoring so
+    the two can never disagree on the bucketing."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "-"), tok)), 1, 8),
+            16, 10,
+        ).cast("bigint"),
+        F.lit(n_buckets),
+    )
+
+
 def _dsir_bucket_counts(
     d: DataFrame, text_col: str, n_buckets: int, salt: str
 ) -> DataFrame:
@@ -375,15 +388,7 @@ def _dsir_bucket_counts(
     occ = d.select(
         F.explode(T.tokens(T.normalize(F.col(text_col)))).alias("w")
     )
-    b = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt + "-"), F.col("w"))), 1, 8
-            ),
-            16, 10,
-        ).cast("bigint"),
-        F.lit(n_buckets),
-    )
+    b = _dsir_bucket(F.col("w"), n_buckets, salt)
     return occ.select(b.alias("b")).groupBy("b").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
@@ -442,13 +447,7 @@ def dsir_weights(
         F.col(key_col).alias("id"),
         F.explode(T.tokens(T.normalize(F.col(text_col)))).alias("w"),
     )
-    b = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt + "-"), F.col("w"))), 1, 8),
-            16, 10,
-        ).cast("bigint"),
-        F.lit(n_buckets),
-    )
+    b = _dsir_bucket(F.col("w"), n_buckets, salt)
     per_doc = (
         occ.select("id", b.alias("b"))
         .join(F.broadcast(scored_model), "b")

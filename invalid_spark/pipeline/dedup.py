@@ -288,6 +288,48 @@ def _sig_bands(
     )
 
 
+def array_sig_bands(
+    frame: DataFrame,
+    sig_col: str,
+    bands: int,
+    rows: int,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Band rows from an ``array<long>`` signature column (the
+    row-local :func:`with_minhash_signature` form) — the SAME
+    ``md5(concat_ws(',', …))`` band construction as :func:`_sig_bands`
+    over signature columns, kept in one place so the batch and
+    streaming paths cannot drift apart. ``keep`` threads extra
+    source columns through the explode."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(sig_col, b * rows + r + 1).cast(
+                                "string"
+                            )
+                            for r in range(rows)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    extra = list(keep or [])
+    return frame.select(
+        "id", sig_col, *extra, F.explode(band_structs).alias("bh")
+    ).select(
+        "id", sig_col, *extra,
+        F.col("bh.band").alias("band"),
+        F.col("bh.band_hash").alias("band_hash"),
+    )
+
+
 def with_minhash_signature(
     df: DataFrame,
     k: int = 16,
@@ -305,15 +347,16 @@ def with_minhash_signature(
     passes. ``out_col`` is NULL for documents too short to shingle —
     identical membership to the aggregate path."""
     sh = shingle_col(F.col(text_col), n)
+    # md5 once per shingle in its OWN transform: a single lambda
+    # computing both h1 and h2 from md5(g) would evaluate the digest
+    # twice (subexpression elimination skips expressions referencing
+    # lambda variables); slicing a precomputed digest is cheap
+    digests = F.transform(sh, lambda g: F.md5(g))
     hs = F.transform(
-        sh,
-        lambda g: F.struct(
-            F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
-            .cast("long")
-            .alias("h1"),
-            F.conv(F.substring(F.md5(g), 9, 8), 16, 10)
-            .cast("long")
-            .alias("h2"),
+        digests,
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
         ),
     )
     d = df.withColumn("__mh_hs", hs)
@@ -718,11 +761,19 @@ def phash_neardup_pairs(
 
 
 def _hamming_blocks(
-    sig: DataFrame, max_hamming: int, bits: int, idc: str, sigc: str
+    sig: DataFrame,
+    max_hamming: int,
+    bits: int,
+    idc: str,
+    sigc: str,
+    keep: list[str] | None = None,
 ) -> DataFrame:
-    """Pigeonhole block rows (idc, sigc, blk, val) for one side of an
-    incremental Hamming join (same block math as
-    :func:`hamming_block_pairs`)."""
+    """Pigeonhole block rows (idc, sigc, blk, val [, keep…]) for one
+    side of an incremental Hamming join (same block math as
+    :func:`hamming_block_pairs`). ``keep`` threads extra source
+    columns (e.g. an event-time column for the streaming screen)
+    through the explode — the ONE block construction shared by the
+    batch and streaming paths, so they cannot drift apart."""
     nblocks = max_hamming + 1
     width = bits // nblocks
     if width < 1:
@@ -745,9 +796,11 @@ def _hamming_blocks(
             ]
         )
     ).alias("b")
-    return sig.select("id", "sig", blocks).select(
+    extra = list(keep or [])
+    return sig.select("id", "sig", *extra, blocks).select(
         F.col("id").alias(idc),
         F.col("sig").alias(sigc),
+        *extra,
         F.col("b.blk").alias("blk"),
         F.col("b.val").alias("val"),
     )

@@ -104,6 +104,8 @@ def pack_sequences(
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     counter = (
         _text.token_count_bpe(F.col(text_col))
         if bpe

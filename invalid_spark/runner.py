@@ -1001,9 +1001,11 @@ def validate_suite(
     manifest, so a killed suite resumes exactly where it stopped:
     completed tables skip wholesale (their units are done), the
     in-flight table resumes at its unit batch. Tables run in config
-    order — failures raise, so order places cheap gating tables
-    first. ``common`` kwargs (e.g. ``unit_batch``) apply to every
-    table; per-table keys win."""
+    order; a table whose rules fail-fast (missing required column)
+    still yields a result — :func:`suite_summary` reports it
+    ``passed: false, fail_fast: true`` — while execution errors
+    (unreadable path, bad rules file) raise. ``common`` kwargs (e.g.
+    ``unit_batch``) apply to every table; per-table keys win."""
     from invalid_spark.dsl import load_rules_file
 
     results: dict[str, RunResult] = {}
@@ -1040,13 +1042,23 @@ def suite_summary(
     spark: SparkSession, results: dict[str, RunResult]
 ) -> dict:
     """One JSON-able roll-up per suite run: per-table violation
-    counts, verdict pass/fail, and units done/skipped."""
+    counts, verdict pass/fail, and units done/skipped. A table whose
+    run FAIL-FASTED (missing required column: ``validate`` returns
+    after writing only the schema violation, before any verdicts
+    sink exists) is reported ``passed: false`` with
+    ``fail_fast: true`` rather than crashing the roll-up on the
+    absent verdicts parquet."""
     out: dict = {"tables": {}, "passed": True}
     for name, res in results.items():
         v = res.violations(spark)
         n = v.filter(F.col("snapshot_id") == res.snapshot).count()
-        verd = [r.asDict() for r in res.verdicts(spark).collect()]
-        passed = all(r["passed"] for r in verd) and n == 0
+        try:
+            verd = [r.asDict() for r in res.verdicts(spark).collect()]
+            fail_fast = False
+        except Exception:
+            verd = []
+            fail_fast = True
+        passed = all(r["passed"] for r in verd) and n == 0 and not fail_fast
         out["tables"][name] = {
             "run_id": res.run_id,
             "snapshot_id": res.snapshot,
@@ -1055,6 +1067,8 @@ def suite_summary(
             "units_skipped": res.units_skipped,
             "passed": passed,
         }
+        if fail_fast:
+            out["tables"][name]["fail_fast"] = True
         out["passed"] = out["passed"] and passed
     return out
 

@@ -439,34 +439,11 @@ def minhash_screen_stream(
     d = _dedup.with_minhash_signature(df, k, n, text_col).filter(
         F.col("__sig").isNotNull()
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("__sig", b * rows + r + 1).cast(
-                                "string"
-                            )
-                            for r in range(rows)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    e = d.select(
-        F.col(key_col).alias("id"),
-        F.col(ts_col),
-        F.col("__sig"),
-        F.explode(band_structs).alias("bh"),
-    ).select(
-        "id", ts_col, "__sig",
-        F.col("bh.band").alias("band"),
-        F.col("bh.band_hash").alias("band_hash"),
+    # the band construction lives in dedup.array_sig_bands — ONE
+    # definition shared with the batch path, so they cannot drift
+    e = _dedup.array_sig_bands(
+        d.select(F.col(key_col).alias("id"), "__sig", F.col(ts_col)),
+        "__sig", bands, rows, keep=[ts_col],
     )
     stb = _dedup._sig_bands(state, bands, rows, keep_sig=True).select(
         F.col("id").alias("__sid"),
@@ -528,29 +505,10 @@ def phash_screen_stream(
         F.col(hash_col).cast("long").alias("sig"),
         F.col(ts_col),
     )
-    nblocks = max_hamming + 1
-    width = bits // nblocks
-    if width < 1:
-        raise ValueError(
-            f"max_hamming={max_hamming} needs {nblocks} blocks over "
-            f"{bits} bits — width 0 degrades to all-pairs"
-        )
-    blocks = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("blk"),
-                    F.shiftright(F.col("sig"), i * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("val"),
-                )
-                for i in range(nblocks)
-            ]
-        )
-    ).alias("bh")
-    e = b.select("id", "sig", ts_col, blocks).select(
-        "id", "sig", ts_col,
-        F.col("bh.blk").alias("blk"), F.col("bh.val").alias("val"),
+    # block math lives in dedup._hamming_blocks — ONE definition
+    # shared with the batch/incremental paths (incl. the width guard)
+    e = _dedup._hamming_blocks(
+        b, max_hamming, bits, "id", "sig", keep=[ts_col]
     )
     stb = _dedup._hamming_blocks(
         state, max_hamming, bits, "__sid", "__ssig"

@@ -322,6 +322,34 @@ def test_validate_suite_multi_table_and_resume(spark, tmp_path):
         assert r.units_done == [] and r.units_skipped
 
 
+def test_validate_suite_fail_fast_table_reported_not_crash(spark, tmp_path):
+    """A suite table whose rules fail-fast (missing required column)
+    is reported passed=false / fail_fast=true in the summary instead
+    of crashing the roll-up on the absent verdicts sink."""
+    docs = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    p = str(tmp_path / "t")
+    docs.write.parquet(p)
+    r_ok = str(tmp_path / "ok.yaml")
+    with open(r_ok, "w") as f:
+        f.write("lang: {$type: $str}\n")
+    r_bad = str(tmp_path / "bad.yaml")
+    with open(r_bad, "w") as f:
+        f.write("nonexistent_col: {$type: $str}\n")
+    suite = {
+        "tables": {
+            "good": {"path": p, "rules": r_ok, "row_key": "doc_id"},
+            "broken": {"path": p, "rules": r_bad, "row_key": "doc_id"},
+        }
+    }
+    res = runner.validate_suite(spark, suite, str(tmp_path / "audit"))
+    summary = runner.suite_summary(spark, res)
+    assert summary["tables"]["good"]["passed"] is True
+    b = summary["tables"]["broken"]
+    assert b["passed"] is False and b["fail_fast"] is True
+    assert b["violations"] == 1  # the keyMissing schema violation
+    assert summary["passed"] is False
+
+
 def test_resume_refuses_ruleset_mismatch(spark, tmp_path):
     """A resume under DIFFERENT rules must be refused: done-unit marks
     written under other rules would skip units this ruleset never
