@@ -74,9 +74,26 @@ def validate_stream(
         dim_name = spec.get("table")
         if dim_name not in dims:
             raise ValueError(f"$ref table [{dim_name}] not provided")
-        r = refint.ref_violations(
-            stream_df, col, dims[dim_name], spec.get("key", col), row_key, run_id
-        )
+        dim_key = spec.get("key", col)
+        if spec.get("mode") == "bloom":
+            # the Bloom screen is if anything MORE streaming-friendly
+            # than the left-anti: k stateless broadcast joins against
+            # a static ≤ m/32-row frame, no stream-static anti-join
+            m_bits = int(spec.get("bits", 1 << 20))
+            hashes = int(spec.get("hashes", 3))
+            bloom = refint.bloom_build(
+                dims[dim_name], dim_key, m_bits=m_bits, k=hashes
+            )
+            if not stream_df.isStreaming:
+                bloom = bloom.localCheckpoint(eager=True)
+            r = refint.bloom_ref_violations(
+                stream_df, col, bloom, dim_key, row_key,
+                m_bits=m_bits, k=hashes, run_id=run_id,
+            )
+        else:
+            r = refint.ref_violations(
+                stream_df, col, dims[dim_name], dim_key, row_key, run_id
+            )
         v = v.unionByName(r.select(*cols), allowMissingColumns=True)
     if with_pixel_checks and plan.pixel_specs:
         from invalid_spark.checks import image as image_checks

@@ -129,6 +129,38 @@ def test_windowed_metrics_watermark(spark, tmp_path):
     }
 
 
+def test_stream_ref_bloom_mode(spark, landing, tmp_path):
+    """$ref mode: bloom on a stream: k stateless broadcast joins vs
+    the static bloom frame; at generous sizing the flagged rows equal
+    the exact left-anti path's."""
+    d, schema, write_batch = landing
+    write_batch(0, 100, "b0")
+    write_batch(100, 200, "b1")
+    rules = load_rules(
+        "license_id: {$type: $str, $ref: {table: licenses, "
+        "key: license_id, mode: bloom, bits: 65536, hashes: 3}}\n"
+    )
+    dims = {"licenses": synth.licenses_df(spark)}
+    sdf = _read_stream(spark, d, schema)
+    v = streaming.validate_stream(sdf, rules, "image_id", dims=dims)
+    out = str(tmp_path / "bl_out")
+    streaming.write_stream(v, out, str(tmp_path / "bl_ck")).awaitTermination(
+        120
+    )
+    got = {r["row_key"] for r in spark.read.parquet(out).collect()}
+    batch_df = spark.read.option("recursiveFileLookup", "true").parquet(d)
+    from invalid_spark.checks import refint
+
+    exact = {
+        r["row_key"]
+        for r in refint.ref_violations(
+            batch_df, "license_id", dims["licenses"], "license_id",
+            "image_id",
+        ).collect()
+    }
+    assert got == exact and got
+
+
 def test_fail_fast_on_missing_stream_column(spark, tmp_path, landing):
     d, schema, write_batch = landing
     write_batch(0, 50, "b0")
