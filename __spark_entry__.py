@@ -1187,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_lsh_documents": q_dedup_minhash_lsh_documents,
         "dedup_decisions_documents": q_dedup_decisions_documents,
+        "cluster_weights_documents": q_cluster_weights_documents,
         "dedup_simhash_documents": q_dedup_simhash_documents,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "phash_neardup": q_phash_neardup,
@@ -3910,6 +3911,45 @@ FROM reach GROUP BY id
 """
 
 
+def q_cluster_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (dedup.cluster_weights): near-dup clusters from the
+    MinHash+LSH pairs, every member weighted 1/cluster_size so the
+    cluster contributes one document of training mass — the
+    alternative to hard dropping. Oracle replays the components via
+    recursive min-label reachability plus the size fold."""
+    from invalid_spark.pipeline import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(d, threshold=0.8)
+    return dedup.cluster_weights(pairs)
+
+
+def _sql_cluster_weights() -> str:
+    return f"""
+WITH RECURSIVE {_sql_minhash_pairs_ctes()},
+edges AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION
+  SELECT b AS u, a AS v FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+),
+labels AS (
+  SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM labels GROUP BY 1
+)
+SELECT l.id, l.cluster_id, s.cluster_size,
+       round(1.0 / s.cluster_size, 6) AS weight
+FROM labels l JOIN sizes s USING (cluster_id)
+"""
+
+
 def _sql_dedup_simhash() -> str:
     votes = ",\n    ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
@@ -4662,6 +4702,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_documents": _sql_dedup_jaccard(),
         "dedup_minhash_lsh_documents": _sql_dedup_minhash_lsh(),
         "dedup_decisions_documents": _sql_dedup_decisions(),
+        "cluster_weights_documents": _sql_cluster_weights(),
         "dedup_simhash_documents": _sql_dedup_simhash(),
         "dedup_simhash_pairs": _sql_dedup_simhash_pairs(),
         "phash_neardup": _sql_phash_neardup(),

@@ -978,6 +978,32 @@ def dedup_decisions(pairs: DataFrame) -> DataFrame:
     )
 
 
+def cluster_weights(pairs: DataFrame) -> DataFrame:
+    """SOFT dedup: instead of dropping near-duplicates, weight every
+    member of a duplicate cluster by ``1 / cluster_size`` so the
+    cluster contributes one document's worth of training mass in
+    total — the standard alternative when hard dropping loses
+    legitimate variation (boilerplate templates with distinct
+    payloads, translations). Returns ``(id, cluster_id, cluster_size,
+    weight)`` for clustered documents only; unclustered documents are
+    implicitly weight 1.0 (left-join this frame and coalesce).
+
+    Same scale shape as :func:`dedup_decisions`: pointer-jump
+    components over the sketch-sized pairs frame, one cluster-size
+    aggregate, one join back — everything downstream of the pairs is
+    cluster-count-sized."""
+    labels = dup_clusters(pairs)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        "id",
+        "cluster_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup
 

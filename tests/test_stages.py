@@ -165,6 +165,23 @@ def test_pack_summary(spark):
     assert row.n_oversize == 0
 
 
+def test_cluster_weights_soft_dedup(spark):
+    from invalid_spark.pipeline import dedup
+
+    # two clusters: {1,2,3} (chain) and {7,8}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "a long, b long"
+    )
+    w = {r.id: (r.cluster_id, r.cluster_size, r.weight)
+         for r in dedup.cluster_weights(pairs).collect()}
+    assert w[1] == (1, 3, round(1 / 3, 6))
+    assert w[2] == (1, 3, round(1 / 3, 6))
+    assert w[3] == (1, 3, round(1 / 3, 6))
+    assert w[7] == (7, 2, 0.5) and w[8] == (7, 2, 0.5)
+    # total training mass = one doc per cluster
+    assert abs(sum(x[2] for x in w.values()) - 2.0) < 1e-5
+
+
 def test_band_bucket_skew_flags_boilerplate(spark):
     import contextlib
     import io as _io
