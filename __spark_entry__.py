@@ -869,6 +869,60 @@ FROM base LEFT JOIN hits h
 """
 
 
+def q_ivf_tuning_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF acceptance curve (similarity.ivf_tuning_report): macro
+    recall@5 vs nprobe ∈ {1, 2, 4} with the md5-derived codebook —
+    assignment computed once, probe prefixes sliced from one UDF
+    call; the oracle replays every nprobe's full IVF path plus the
+    recall fold."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    cent = similarity.ivf_md5_centroids(emb, n_lists=16)
+    return similarity.ivf_tuning_report(
+        emb, q, k=5, n_lists=16, nprobes=(1, 2, 4), centroids=cent
+    )
+
+
+def _sql_ivf_tuning() -> str:
+    blocks = ",\n".join(
+        f"i{np_} AS ({_sql_ann_ivf(nprobe=np_)})" for np_ in (1, 2, 4)
+    )
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT {np_} AS nprobe, query_id, neighbor_id FROM i{np_}"
+        for np_ in (1, 2, 4)
+    )
+    return f"""
+WITH t AS ({_sql_ann_brute_topk()}),
+{blocks},
+all_m AS (
+  {unions}
+),
+hits AS (
+  SELECT m.nprobe, m.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM all_m m
+  WHERE EXISTS (SELECT 1 FROM t
+                WHERE t.query_id = m.query_id
+                  AND t.neighbor_id = m.neighbor_id)
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT p.nprobe, q.query_id
+  FROM (SELECT DISTINCT query_id FROM t) q,
+       (VALUES (1), (2), (4)) p(nprobe)
+),
+rec AS (
+  SELECT base.nprobe, base.query_id,
+         round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall
+  FROM base LEFT JOIN hits h
+    ON h.nprobe = base.nprobe AND h.query_id = base.query_id
+)
+SELECT CAST(nprobe AS BIGINT) AS nprobe,
+       round(avg(recall), 6) AS macro_recall,
+       CAST(count(*) AS BIGINT) AS n_queries
+FROM rec GROUP BY nprobe
+"""
+
+
 def q_tdigest_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "lineitem")
     qs = stats.tdigest_quantiles(df, "l_extendedprice", (0.25, 0.5, 0.75))
@@ -1199,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk_embeddings": q_ann_brute_topk_embeddings,
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
         "ann_recall_embeddings": q_ann_recall_embeddings,
+        "ivf_tuning_embeddings": q_ivf_tuning_embeddings,
         "ann_ivf_embeddings": q_ann_ivf_embeddings,
         "tdigest_quantiles_lineitem": q_tdigest_quantiles_lineitem,
         "percentiles_exact_lineitem": q_percentiles_exact_lineitem,
@@ -4417,14 +4472,14 @@ FROM ranked WHERE rnk <= 5
 """
 
 
-def _sql_ann_ivf() -> str:
+def _sql_ann_ivf(nprobe: int = 4) -> str:
     # Replays the ENTIRE IVF path: md5-ranked codebook (16 smallest
     # (md5-key, id) normalized vectors, rank = centroid id), corpus
     # assignment = argmax centroid dot (tie-break: larger centroid id,
     # matching similarity._nearest_lists' reverse(array_sort)), query
-    # multi-probe = top-4 lists by the same order, cosine ranking.
+    # multi-probe = top-nprobe lists by the same order, cosine ranking.
     # All dots are the strict left fold, so doubles are bit-identical.
-    return """
+    return f"""
 WITH nvt AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
@@ -4458,7 +4513,7 @@ WITH nvt AS (
   SELECT id, nv, cid AS list_id FROM ranked_sims WHERE rn = 1
 ), qprobe AS (
   SELECT id AS qid, nv AS qv, cid AS list_id
-  FROM ranked_sims WHERE id < 10 AND rn <= 4
+  FROM ranked_sims WHERE id < 10 AND rn <= {nprobe}
 ), cand AS (
   SELECT DISTINCT q.qid AS query_id, a.id AS neighbor_id,
          list_reduce(list_transform(range(64),
@@ -4722,6 +4777,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk_embeddings": _sql_ann_brute_topk(),
         "ann_lsh_embeddings": _sql_ann_lsh(),
         "ann_recall_embeddings": _sql_ann_recall(),
+        "ivf_tuning_embeddings": _sql_ivf_tuning(),
         "ann_ivf_embeddings": _sql_ann_ivf(),
         # ann_ivf_embeddings: sampled-k-means codebook (iterative,
         #   driver-side numpy) — rows-only

@@ -392,3 +392,78 @@ def ann_recall(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
             "recall"
         ),
     )
+
+
+def ivf_tuning_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+    seed: int = 7,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """The IVF acceptance curve: macro recall@k vs ``nprobe`` against
+    brute-force ground truth — the sweep that picks the operating
+    point before an index goes live. One row per probed width:
+    ``(nprobe, macro_recall, n_queries)``.
+
+    Cost shape: the expensive, nprobe-INDEPENDENT work happens once —
+    corpus assignment is computed with a single Arrow pass and
+    localCheckpointed; the probe lists are computed once at
+    ``max(nprobes)`` and each narrower setting takes a PREFIX (the
+    UDF returns lists nearest-first, so the prefix is exactly what
+    ``ivf_ann`` at that nprobe would probe). Only the sketch-sized
+    candidate joins and recall folds repeat per setting.
+    """
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, n_lists, seed=seed, vec_col=vec_col,
+                           key_col=key_col)
+    )
+    probe = nearest_lists_udf(corpus.sparkSession, cent, max(nprobes))
+    c = (
+        with_norm(corpus, vec_col, key_col)
+        .withColumn("list_id", probe(F.col("nv")).getItem(0))
+        .localCheckpoint(eager=True)
+    )
+    truth = brute_topk(corpus, queries, k).localCheckpoint(eager=True)
+    qn = with_norm(queries, vec_col, key_col).select(
+        F.col("id").alias("qid"),
+        F.col("nv").alias("qv"),
+        probe(F.col("nv")).alias("__probes"),
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    out = None
+    for np_ in sorted(nprobes):
+        q = qn.select(
+            "qid", "qv", F.explode(F.slice("__probes", 1, np_)).alias("list_id")
+        )
+        cand = c.join(F.broadcast(q), "list_id").filter(
+            F.col("id") != F.col("qid")
+        )
+        approx = (
+            cand.select(
+                F.col("qid").alias("query_id"),
+                F.col("id").alias("neighbor_id"),
+                dot(F.col("nv"), F.col("qv")).alias("cosine"),
+            )
+            .distinct()
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        rec = ann_recall(truth, approx, k).agg(
+            F.round(F.avg("recall"), 6).alias("macro_recall"),
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+        ).select(
+            F.lit(np_).cast("long").alias("nprobe"),
+            "macro_recall",
+            "n_queries",
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out

@@ -641,6 +641,20 @@ def test_ann_recall_operator_semantics(spark):
     assert r == {1: (2, 1.0), 2: (1, 0.5), 3: (0, 0.0)}
 
 
+def test_ivf_tuning_monotone_recall(spark):
+    from invalid_spark.pipeline import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+    rep = {r.nprobe: r.macro_recall
+           for r in similarity.ivf_tuning_report(
+               emb, q, k=5, n_lists=16, nprobes=(1, 2, 4)).collect()}
+    assert set(rep) == {1, 2, 4}
+    # probing more lists can only add candidates: recall is monotone
+    assert rep[1] <= rep[2] <= rep[4]
+    assert rep[4] >= 0.5  # sane operating point at nprobe=4
+
+
 def test_lsh_ann_recall(spark):
     from invalid_spark.pipeline import similarity
 
