@@ -976,6 +976,57 @@ def validate_incremental(
     return validate(spark, delta, rules, row_key, out_dir, **kwargs)
 
 
+def validate_appended(
+    spark: SparkSession,
+    table_path: str,
+    log,
+    rules: RuleSet,
+    row_key: str,
+    out_dir: str,
+    **kwargs,
+) -> RunResult:
+    """FILE-level incremental validation against a
+    :class:`~invalid_spark.io.TableLog`: commit the table's current
+    state to the log, read ONLY the files the new snapshot added over
+    its parent, and validate those — append detection costs zero data
+    scans (the Iceberg-manifest contract), unlike
+    :func:`validate_incremental`'s row-level anti-join, which must
+    scan both snapshots. Use this when the table grows by appending
+    files (the normal ingest shape); fall back to the row-level diff
+    when files are rewritten in place (`log.removed_files` non-empty
+    raises here — a compaction invalidates file-level reasoning).
+
+    Resumable per snapshot: the manifest namespace is
+    ``manifest-{snapshot}`` (the :func:`validate_incremental`
+    convention), so re-running after a kill resumes the delta, and
+    re-running with no new files skips the already-done delta via its
+    manifest (no recompute)."""
+    snap = log.commit(table_path)
+    prev = log.parent(snap)
+    if prev is not None and log.removed_files(prev, snap):
+        raise ValueError(
+            f"snapshot {snap} removed/rewrote files of {prev}: "
+            "file-level append validation is unsound after a "
+            "compaction — run a full validate() or the row-level "
+            "validate_incremental()"
+        )
+    added = log.added_files(prev, snap)
+    result = RunResult(run_id=kwargs.get("run_id") or uuid.uuid4().hex[:12],
+                       snapshot=snap, out_dir=out_dir)
+    if not added:
+        result.units_skipped = ["__no_new_files__"]
+        return result
+    df = spark.read.parquet(
+        *[os.path.join(table_path, p) for p in added]
+    )
+    kwargs.setdefault("manifest_dir", os.path.join(out_dir, f"manifest-{snap}"))
+    kwargs["snapshot"] = snap
+    kwargs.pop("run_id", None)
+    return validate(
+        spark, df, rules, row_key, out_dir, run_id=result.run_id, **kwargs
+    )
+
+
 def validate_suite(
     spark: SparkSession,
     suite: dict,

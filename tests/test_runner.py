@@ -279,6 +279,46 @@ def test_resume_refuses_snapshot_mismatch(spark, tmp_path):
     assert res.units_done == []
 
 
+def test_validate_appended_file_level(spark, tmp_path):
+    """TableLog + validate_appended: only the files a snapshot added
+    are read and validated; unchanged tables no-op; a rewrite is
+    refused as unsound for file-level reasoning."""
+    from invalid_spark.io import TableLog
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(t)
+    rules = load_rules("lang: {$type: $str, $of: [en]}\n")
+    log = TableLog(str(tmp_path / "log"))
+    out = str(tmp_path / "audit")
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "doc_id long, lang string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(t, name))
+
+    write_file("f0", [(i, "en") for i in range(10)])
+    r1 = runner.validate_appended(spark, t, log, rules, "doc_id", out)
+    assert r1.violations(spark).count() == 0
+
+    # append a file with 3 planted violations; only IT is validated
+    write_file("f1", [(100 + i, "xx" if i < 3 else "en") for i in range(10)])
+    r2 = runner.validate_appended(spark, t, log, rules, "doc_id", out)
+    v2 = r2.violations(spark).filter(F.col("snapshot_id") == r2.snapshot)
+    assert v2.count() == 3
+    assert {r.row_key for r in v2.collect()} == {"100", "101", "102"}
+
+    # nothing new: the same snapshot resumes as already-done (no
+    # recompute; the per-snapshot manifest marks the delta complete)
+    r3 = runner.validate_appended(spark, t, log, rules, "doc_id", out)
+    assert r3.units_done == [] and r3.units_skipped == ["__all__"]
+    assert r3.snapshot == r2.snapshot
+
+    # rewrite f0 in place (different content, same dir) → refused
+    write_file("f0", [(i, "en") for i in range(5)])
+    with pytest.raises(ValueError, match="compaction|rewrote"):
+        runner.validate_appended(spark, t, log, rules, "doc_id", out)
+
+
 def test_validate_suite_multi_table_and_resume(spark, tmp_path):
     """Multi-table suite: each table validates into its own subdir
     with its own manifest; a second run skips everything; the summary
