@@ -72,6 +72,11 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--report", action="store_true",
                     help="also render out_dir/report.md (markdown "
                     "data-docs for this run)")
+    pv.add_argument("--append-log", default=None, metavar="DIR",
+                    help="file-level snapshot log dir (io.TableLog): "
+                    "commit the table's state and validate ONLY the "
+                    "files added since the last commit — zero-scan "
+                    "append detection; refuses rewrites/compactions")
     pv.add_argument("--local-cores", type=int, default=None)
 
     pp = sub.add_parser("profile", help="column statistics ($stats rules)")
@@ -198,7 +203,13 @@ def main(argv: list[str] | None = None) -> int:
         ))
         return 0
 
-    df = spark.read.parquet(args.table)
+    if args.cmd == "validate" and args.append_log:
+        # file-level append mode reads ONLY the added files itself
+        # (a plain read of a dir of subdirectory-appends would also
+        # need recursiveFileLookup) — skip the up-front table read
+        df = None
+    else:
+        df = spark.read.parquet(args.table)
 
     if args.cmd == "suggest":
         from invalid_spark import suggest
@@ -330,17 +341,32 @@ def main(argv: list[str] | None = None) -> int:
         dims[name] = spark.read.parquet(path)
     prev_df = spark.read.parquet(args.prev_table) if args.prev_table else None
 
-    res = runner.validate(
-        spark, df, rules, args.row_key, args.out,
-        dims=dims,
-        snapshot=snapshot_id(args.table),
-        run_id=args.run_id,
-        partition_col=args.partition_col,
-        unit_batch=args.unit_batch,
-        prev_df=prev_df,
-        udf_parallelism=args.udf_parallelism,
-        quarantine=args.quarantine,
-    )
+    if args.append_log:
+        from invalid_spark.io import TableLog
+
+        res = runner.validate_appended(
+            spark, args.table, TableLog(args.append_log), rules,
+            args.row_key, args.out,
+            dims=dims,
+            run_id=args.run_id,
+            partition_col=args.partition_col,
+            unit_batch=args.unit_batch,
+            prev_df=prev_df,
+            udf_parallelism=args.udf_parallelism,
+            quarantine=args.quarantine,
+        )
+    else:
+        res = runner.validate(
+            spark, df, rules, args.row_key, args.out,
+            dims=dims,
+            snapshot=snapshot_id(args.table),
+            run_id=args.run_id,
+            partition_col=args.partition_col,
+            unit_batch=args.unit_batch,
+            prev_df=prev_df,
+            udf_parallelism=args.udf_parallelism,
+            quarantine=args.quarantine,
+        )
     if args.report:
         from invalid_spark import report as report_mod
 
