@@ -346,12 +346,26 @@ def with_minhash_signature(
     k min-hash folds are cheap integer ``transform``/``array_min``
     passes. ``out_col`` is NULL for documents too short to shingle —
     identical membership to the aggregate path."""
-    sh = shingle_col(F.col(text_col), n)
+    # tokens are materialized as their OWN column before the gram
+    # transform: word_ngrams' lambda reads the token array n times per
+    # element via F.get, and lambda-containing expressions skip
+    # subexpression elimination — an inline tokens(normalize(text))
+    # there re-runs the whole regex pipeline PER GET (measured ~9 ms/
+    # doc at sf0.1, ~100× the intended cost). An attribute reference
+    # is also exactly what the batch path (shingle_terms) reads.
+    d0 = df.withColumn("__mh_toks", T.tokens(T.normalize(F.col(text_col))))
+    # no array_distinct: min over a multiset equals min over its set
+    # (the shingle_terms(distinct=False) reasoning), and per-row
+    # distinct is O(m²)
+    grams = F.when(
+        F.size("__mh_toks") >= n, _grams(F.col("__mh_toks"), n)
+    ).otherwise(F.array().cast("array<string>"))
+    d0 = d0.withColumn("__mh_grams", grams).drop("__mh_toks")
     # md5 once per shingle in its OWN transform: a single lambda
     # computing both h1 and h2 from md5(g) would evaluate the digest
     # twice (subexpression elimination skips expressions referencing
     # lambda variables); slicing a precomputed digest is cheap
-    digests = F.transform(sh, lambda g: F.md5(g))
+    digests = F.transform(F.col("__mh_grams"), lambda g: F.md5(g))
     hs = F.transform(
         digests,
         lambda m: F.struct(
@@ -359,18 +373,28 @@ def with_minhash_signature(
             F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
         ),
     )
-    d = df.withColumn("__mh_hs", hs)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("__mh_hs"),
-                    lambda s: (s["h1"] + F.lit(j) * s["h2"]) % MINHASH_P,
+    d = d0.withColumn("__mh_hs", hs).drop("__mh_grams")
+    # ALL k minimums in ONE aggregate fold that references the digest
+    # array exactly once. The k-separate-transforms alternative
+    # (array_min per hash) reads __mh_hs k times, and CollapseProject
+    # inlines the whole tokens→grams→md5 chain into EVERY reference —
+    # measured 16× recompute (21 s for 2.5k docs at sf0.1; this shape
+    # runs in ~2 s). The fold keeps a length-k running-minimum array:
+    # one md5 chain evaluation per shingle, k cheap `least` ops each.
+    init = F.array(*[F.lit(MINHASH_P).cast("long") for _ in range(k)])
+
+    def _step(acc: Column, s: Column) -> Column:
+        return F.array(
+            *[
+                F.least(
+                    F.element_at(acc, j + 1),
+                    (s["h1"] + F.lit(j) * s["h2"]) % MINHASH_P,
                 )
-            )
-            for j in range(k)
-        ]
-    )
+                for j in range(k)
+            ]
+        )
+
+    sig = F.aggregate(F.col("__mh_hs"), init, _step)
     return d.withColumn(
         out_col,
         F.when(F.size("__mh_hs") > 0, sig),

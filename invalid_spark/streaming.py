@@ -446,6 +446,7 @@ def minhash_screen_stream(
     query runs this code on the batch path; pytest proves streaming
     execution emits the same rows."""
     from invalid_spark.pipeline import dedup as _dedup
+    from invalid_spark.pipeline import text as _text
 
     if df.isStreaming:
         # watermark BEFORE the join: non-matching arrivals (most of
@@ -453,9 +454,13 @@ def minhash_screen_stream(
         # matches stopped arriving would never close
         df = df.withWatermark(ts_col, watermark)
     k = bands * rows
-    d = _dedup.with_minhash_signature(df, k, n, text_col).filter(
-        F.col("__sig").isNotNull()
-    )
+    # drop too-short docs with a CHEAP precondition (one token pass)
+    # BEFORE the signature projection — filtering on the produced
+    # column's nullness instead would push the predicate down and
+    # inline the ENTIRE tokens→grams→md5→fold chain into it,
+    # re-evaluating the signature ~6× (measured 38 s vs 6 s at sf0.1)
+    short = F.size(_text.tokens(_text.normalize(F.col(text_col)))) >= n
+    d = _dedup.with_minhash_signature(df.filter(short), k, n, text_col)
     # the band construction lives in dedup.array_sig_bands — ONE
     # definition shared with the batch path, so they cannot drift
     e = _dedup.array_sig_bands(

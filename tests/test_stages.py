@@ -275,6 +275,23 @@ def test_phash_neardup_vs_state_planted(spark):
     assert len(out) == 4
 
 
+def test_row_local_signature_equals_aggregate_path(spark):
+    """with_minhash_signature (row-local, streaming-legal) is
+    bit-identical to minhash_signatures (explode + hash-aggregate),
+    including membership (short docs absent on both paths)."""
+    from invalid_spark.pipeline import dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(120)
+    agg = {r.id: tuple(r[f"s{j}"] for j in range(16))
+           for r in dedup.minhash_signatures(docs).collect()}
+    row = {r["doc_id"]: tuple(r["__sig"])
+           for r in dedup.with_minhash_signature(docs)
+           .filter("__sig is not null").select("doc_id", "__sig").collect()}
+    assert agg == row and len(agg) > 0
+
+
 def test_minhash_dedup_vs_state_planted(spark):
     from invalid_spark.pipeline import dedup
 
