@@ -371,17 +371,43 @@ def main(argv: list[str] | None = None) -> int:
         from invalid_spark import report as report_mod
 
         report_mod.write_markdown(spark, res)
-    n_viol = res.violations(spark).count()
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    have_sinks = _os.path.exists(_os.path.join(res.out_dir, "violations"))
+    if not have_sinks:
+        # first-ever append-log run over an empty table: nothing was
+        # validated and no sinks exist — report the no-op, don't crash
+        print(json.dumps({
+            "run_id": res.run_id,
+            "snapshot_id": res.snapshot,
+            "units_done": res.units_done,
+            "units_skipped": res.units_skipped,
+            "violations": 0,
+            "verdicts": [],
+            "passed": True,
+        }, default=str))
+        return 0
+    all_v = res.violations(spark)
+    # append-log mode accumulates snapshots in one sink: the run's
+    # verdict is about THIS snapshot's delta, with the historical
+    # total reported separately
+    n_snap = all_v.filter(F.col("snapshot_id") == res.snapshot).count()
+    n_total = all_v.count()
     verd = [r.asDict() for r in res.verdicts(spark).collect()]
-    print(json.dumps({
+    summary = {
         "run_id": res.run_id,
         "snapshot_id": res.snapshot,
         "units_done": res.units_done,
         "units_skipped": res.units_skipped,
-        "violations": n_viol,
+        "violations": n_snap,
         "verdicts": verd,
-        "passed": all(v["passed"] for v in verd) and n_viol == 0,
-    }, default=str))
+        "passed": all(v["passed"] for v in verd) and n_snap == 0,
+    }
+    if args.append_log:
+        summary["violations_total"] = n_total
+    print(json.dumps(summary, default=str))
     return 0
 
 

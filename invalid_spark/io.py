@@ -86,19 +86,24 @@ class TableLog:
     same contract from a JSON log:
 
     - :meth:`commit` records the table's current file list (relative
-      path + size) as a new snapshot whose id is the same
-      content-addressed fingerprint :func:`snapshot_id` computes —
-      committing an unchanged table is a no-op returning the
-      existing id.
-    - :meth:`added_files` diffs two snapshots' file lists — append
+      path + size) as a new snapshot in ONE directory walk — the
+      snapshot id is content-addressed FROM that same list, so the
+      recorded files and the id can never disagree (a second
+      independent walk could race a concurrent ingest). Committing an
+      unchanged table is a no-op returning the latest id; re-creating
+      a PREVIOUS state (files deleted back) gets a seq-disambiguated
+      id so the parent chain stays unambiguous and the removal is
+      visible to :meth:`removed_files`.
+    - each snapshot records its ``parent`` explicitly — lineage never
+      depends on id uniqueness or list ordering.
+    - :meth:`added_files` / :meth:`changed_files` /
+      :meth:`removed_files` diff two snapshots' file lists — append
       detection with ZERO data scans, the input to
-      ``runner.validate_appended`` (validate only the new files).
+      ``runner.validate_appended`` (which refuses changed/removed
+      files: after a rewrite or compaction, file identity no longer
+      implies row identity).
 
-    Scope: parquet tables grow by adding files; a REWRITTEN file
-    (same name, new size) is treated as added (it must be
-    revalidated), and deletions are reported by :meth:`removed_files`
-    for the caller to decide about. Single-writer (the driver), like
-    the manifest."""
+    Single-writer (the driver), like the manifest."""
 
     def __init__(self, log_dir: str):
         self.root = log_dir
@@ -114,42 +119,86 @@ class TableLog:
                 out[os.path.relpath(p, table_path)] = os.path.getsize(p)
         return out
 
+    @staticmethod
+    def _content_id(entries: dict[str, int]) -> str:
+        lines = sorted(f"{p}:{sz}" for p, sz in entries.items())
+        return hashlib.md5("\n".join(lines).encode()).hexdigest()[:16]
+
     def _snap_files(self) -> list[str]:
         return sorted(
             f for f in os.listdir(self.root)
             if f.startswith("snap-") and f.endswith(".json")
         )
 
-    def snapshots(self) -> list[str]:
-        """Snapshot ids in commit order."""
+    def _records(self) -> list[dict]:
         out = []
         for f in self._snap_files():
             with open(os.path.join(self.root, f), encoding="utf-8") as fh:
-                out.append(json.load(fh)["id"])
+                out.append(json.load(fh))
         return out
 
+    def snapshots(self) -> list[str]:
+        """Snapshot ids in commit order."""
+        return [r["id"] for r in self._records()]
+
     def _read(self, snap: str) -> dict:
-        for f in self._snap_files():
-            with open(os.path.join(self.root, f), encoding="utf-8") as fh:
-                d = json.load(fh)
-            if d["id"] == snap:
-                return d
+        for r in self._records():
+            if r["id"] == snap:
+                return r
         raise KeyError(f"snapshot [{snap}] not in log at {self.root}")
 
-    def commit(self, table_path: str) -> str:
-        """Record the table's current state; returns its snapshot id
-        (existing id when nothing changed — idempotent)."""
+    def preview(self, table_path: str) -> dict:
+        """Diff the table's CURRENT state against the latest snapshot
+        WITHOUT committing: ``{entries, parent, added, changed,
+        removed}``. The soundness guard runs on this — an unsound
+        state (changed/removed files) must be refused BEFORE it is
+        recorded, or it would become the next run's baseline and the
+        refusal would fire exactly once. Pass ``entries`` back to
+        :meth:`commit` so the guard and the commit see the same walk."""
         entries = self._entries(table_path)
-        sid = snapshot_id(table_path)
-        snaps = self.snapshots()
-        if snaps and snaps[-1] == sid:
-            return sid
-        seq = len(self._snap_files())
-        name = os.path.join(self.root, f"snap-{seq:06d}-{sid}.json")
+        records = self._records()
+        latest = records[-1] if records else None
+        if latest is None:
+            return {"entries": entries, "parent": None,
+                    "added": sorted(entries), "changed": [], "removed": []}
+        prev_f = latest["files"]
+        return {
+            "entries": entries,
+            "parent": latest["id"],
+            "added": sorted(p for p in entries if p not in prev_f),
+            "changed": sorted(
+                p for p, sz in entries.items()
+                if p in prev_f and prev_f[p] != sz
+            ),
+            "removed": sorted(p for p in prev_f if p not in entries),
+        }
+
+    def commit(self, table_path: str, entries: dict | None = None) -> str:
+        """Record the table's current state; returns its snapshot id
+        (the latest id unchanged when nothing changed — idempotent).
+        One directory walk — or zero, when ``entries`` comes from a
+        prior :meth:`preview` (the guard and the commit must not race
+        a concurrent ingest between two walks)."""
+        if entries is None:
+            entries = self._entries(table_path)
+        cid = self._content_id(entries)
+        records = self._records()
+        latest = records[-1] if records else None
+        if latest is not None and latest["id"].split("@")[0] == cid and \
+                latest["files"] == entries:
+            return latest["id"]
+        seq = len(records)
+        # a revert to an EARLIER state re-uses its content hash but
+        # must be a distinct snapshot (unique id, correct parent) —
+        # disambiguate with the sequence number
+        sid = cid if cid not in {r["id"] for r in records} else f"{cid}@{seq}"
+        name = os.path.join(self.root, f"snap-{seq:06d}-{cid}.json")
         tmp = name + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(
-                {"id": sid, "seq": seq, "table": os.path.abspath(table_path),
+                {"id": sid, "seq": seq,
+                 "parent": latest["id"] if latest else None,
+                 "table": os.path.abspath(table_path),
                  "files": entries},
                 f,
             )
@@ -161,26 +210,35 @@ class TableLog:
         return dict(self._read(snap)["files"])
 
     def added_files(self, prev: str | None, cur: str) -> list[str]:
-        """Relative paths present (or resized) in ``cur`` but not in
-        ``prev``; ``prev=None`` means everything is new."""
+        """Relative paths present in ``cur`` but absent from ``prev``;
+        ``prev=None`` means everything is new. Size-changed existing
+        paths are NOT added — they are :meth:`changed_files` (a
+        rewrite, which append-level validation must refuse)."""
         cur_f = self.files(cur)
         if prev is None:
             return sorted(cur_f)
         prev_f = self.files(prev)
+        return sorted(p for p in cur_f if p not in prev_f)
+
+    def changed_files(self, prev: str, cur: str) -> list[str]:
+        """Paths present in both snapshots with DIFFERENT sizes — an
+        in-place rewrite; file identity no longer implies row
+        identity."""
+        cur_f = self.files(cur)
+        prev_f = self.files(prev)
         return sorted(
-            p for p, sz in cur_f.items() if prev_f.get(p) != sz
+            p for p, sz in cur_f.items()
+            if p in prev_f and prev_f[p] != sz
         )
 
     def removed_files(self, prev: str, cur: str) -> list[str]:
         """Relative paths present in ``prev`` but gone in ``cur`` —
-        appends never produce these; a non-empty result means the
-        table was rewritten or compacted and a full revalidation is
-        the safe call."""
+        appends never produce these; non-empty means a rewrite or
+        compaction."""
         cur_f = self.files(cur)
         return sorted(p for p in self.files(prev) if p not in cur_f)
 
     def parent(self, snap: str) -> str | None:
-        """The snapshot committed immediately before ``snap``."""
-        snaps = self.snapshots()
-        i = snaps.index(snap)
-        return snaps[i - 1] if i > 0 else None
+        """The snapshot this one was committed on top of (recorded
+        explicitly at commit time)."""
+        return self._read(snap).get("parent")

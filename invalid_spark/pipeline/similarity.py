@@ -424,6 +424,15 @@ def ivf_tuning_report(
         else ivf_centroids(corpus, n_lists, seed=seed, vec_col=vec_col,
                            key_col=key_col)
     )
+    if max(nprobes) > len(cent):
+        # the probe list clamps at the list count, so an oversized
+        # setting would be silently MEASURED at fewer probes than its
+        # label — a mislabeled acceptance curve is worse than an error
+        raise ValueError(
+            f"nprobe {max(nprobes)} exceeds the index's {len(cent)} "
+            "lists; drop the oversized settings (their recall equals "
+            f"nprobe={len(cent)})"
+        )
     probe = nearest_lists_udf(corpus.sparkSession, cent, max(nprobes))
     c = (
         with_norm(corpus, vec_col, key_col)

@@ -992,31 +992,42 @@ def validate_appended(
     scans (the Iceberg-manifest contract), unlike
     :func:`validate_incremental`'s row-level anti-join, which must
     scan both snapshots. Use this when the table grows by appending
-    files (the normal ingest shape); fall back to the row-level diff
-    when files are rewritten in place (`log.removed_files` non-empty
-    raises here — a compaction invalidates file-level reasoning).
+    files (the normal ingest shape). Removed OR in-place-rewritten
+    files raise — BEFORE the state is committed, so the refusal keeps
+    firing until a full validate re-baselines (a recorded unsound
+    snapshot would otherwise become the next run's parent and the
+    rewritten data would silently skip validation forever).
 
     Resumable per snapshot: the manifest namespace is
     ``manifest-{snapshot}`` (the :func:`validate_incremental`
     convention), so re-running after a kill resumes the delta, and
     re-running with no new files skips the already-done delta via its
     manifest (no recompute)."""
-    snap = log.commit(table_path)
-    prev = log.parent(snap)
-    if prev is not None and log.removed_files(prev, snap):
+    pv = log.preview(table_path)
+    if pv["removed"] or pv["changed"]:
+        # refuse BEFORE committing: a recorded unsound snapshot would
+        # become the next run's baseline and the refusal would fire
+        # exactly once — an automated retry would then silently skip
+        # the rewritten data forever
         raise ValueError(
-            f"snapshot {snap} removed/rewrote files of {prev}: "
-            "file-level append validation is unsound after a "
-            "compaction — run a full validate() or the row-level "
-            "validate_incremental()"
+            f"table at {table_path} removed files {pv['removed'][:3]} / "
+            f"rewrote files {pv['changed'][:3]} since snapshot "
+            f"{pv['parent']}: file-level append validation is unsound "
+            "after a rewrite or compaction — run a full validate() or "
+            "the row-level validate_incremental(), then re-baseline "
+            "with a fresh TableLog"
         )
-    added = log.added_files(prev, snap)
+    snap = log.commit(table_path, entries=pv["entries"])
+    added = pv["added"]
     result = RunResult(run_id=kwargs.get("run_id") or uuid.uuid4().hex[:12],
                        snapshot=snap, out_dir=out_dir)
     if not added:
         result.units_skipped = ["__no_new_files__"]
         return result
-    df = spark.read.parquet(
+    # basePath keeps directory-partitioned layouts (date=.../part-*)
+    # yielding their partition columns even though only leaf files
+    # are read
+    df = spark.read.option("basePath", table_path).parquet(
         *[os.path.join(table_path, p) for p in added]
     )
     kwargs.setdefault("manifest_dir", os.path.join(out_dir, f"manifest-{snap}"))
@@ -1103,12 +1114,20 @@ def suite_summary(
     for name, res in results.items():
         v = res.violations(spark)
         n = v.filter(F.col("snapshot_id") == res.snapshot).count()
-        try:
-            verd = [r.asDict() for r in res.verdicts(spark).collect()]
-            fail_fast = False
-        except Exception:
+        # a fail-fasted run returns before the verdicts sink is
+        # (re)written: either the parquet dir is absent (first run)
+        # or its rows carry a PREVIOUS run's run_id (the sink is
+        # overwrite-mode, so a completed run always stamps its own)
+        if os.path.exists(os.path.join(res.out_dir, "verdicts")):
+            verd = [
+                r.asDict()
+                for r in res.verdicts(spark)
+                .filter(F.col("run_id") == res.run_id)
+                .collect()
+            ]
+        else:
             verd = []
-            fail_fast = True
+        fail_fast = not verd
         passed = all(r["passed"] for r in verd) and n == 0 and not fail_fast
         out["tables"][name] = {
             "run_id": res.run_id,

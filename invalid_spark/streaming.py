@@ -81,11 +81,12 @@ def validate_stream(
             # a static ≤ m/32-row frame, no stream-static anti-join
             m_bits = int(spec.get("bits", 1 << 20))
             hashes = int(spec.get("hashes", 3))
+            # materialize ONCE regardless of mode: without it, each
+            # of the k broadcast joins re-runs the dimension fold —
+            # and on a stream, on EVERY micro-batch
             bloom = refint.bloom_build(
                 dims[dim_name], dim_key, m_bits=m_bits, k=hashes
-            )
-            if not stream_df.isStreaming:
-                bloom = bloom.localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True)
             r = refint.bloom_ref_violations(
                 stream_df, col, bloom, dim_key, row_key,
                 m_bits=m_bits, k=hashes, run_id=run_id,

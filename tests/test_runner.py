@@ -307,16 +307,55 @@ def test_validate_appended_file_level(spark, tmp_path):
     assert v2.count() == 3
     assert {r.row_key for r in v2.collect()} == {"100", "101", "102"}
 
-    # nothing new: the same snapshot resumes as already-done (no
-    # recompute; the per-snapshot manifest marks the delta complete)
+    # nothing new: preview sees an unchanged table → pure no-op
+    # (zero Spark jobs; a KILLED delta re-run instead resumes via its
+    # per-snapshot manifest)
     r3 = runner.validate_appended(spark, t, log, rules, "doc_id", out)
-    assert r3.units_done == [] and r3.units_skipped == ["__all__"]
+    assert r3.units_done == [] and r3.units_skipped == ["__no_new_files__"]
     assert r3.snapshot == r2.snapshot
 
-    # rewrite f0 in place (different content, same dir) → refused
+    # rewrite f0 in place (different content, same dir) → refused,
+    # and the refusal happens BEFORE commit: the log's latest is
+    # still the good snapshot, so a retry refuses AGAIN instead of
+    # baselining on the unsound state and skipping it forever
+    snaps_before = log.snapshots()
     write_file("f0", [(i, "en") for i in range(5)])
-    with pytest.raises(ValueError, match="compaction|rewrote"):
-        runner.validate_appended(spark, t, log, rules, "doc_id", out)
+    for _ in range(2):
+        with pytest.raises(ValueError, match="rewrote|removed"):
+            runner.validate_appended(spark, t, log, rules, "doc_id", out)
+    assert log.snapshots() == snaps_before
+
+
+def test_validate_appended_partitioned_layout(spark, tmp_path):
+    """Hive-style date=... appends keep their partition column (the
+    basePath read) and can drive partition_col work units."""
+    from invalid_spark.io import TableLog
+
+    t = str(tmp_path / "ptbl")
+    rules = load_rules("lang: {$type: $str, $of: [en]}\n")
+    log = TableLog(str(tmp_path / "plog"))
+    out = str(tmp_path / "paudit")
+    d1 = spark.createDataFrame(
+        [(i, "en") for i in range(8)], "doc_id long, lang string"
+    )
+    d1.coalesce(1).write.parquet(os.path.join(t, "day=2024-01-01"))
+    r1 = runner.validate_appended(
+        spark, t, log, rules, "doc_id", out, partition_col="day"
+    )
+    assert r1.units_done and r1.violations(spark).count() == 0
+    d2 = spark.createDataFrame(
+        [(100 + i, "xx" if i < 2 else "en") for i in range(8)],
+        "doc_id long, lang string",
+    )
+    d2.coalesce(1).write.parquet(os.path.join(t, "day=2024-01-02"))
+    r2 = runner.validate_appended(
+        spark, t, log, rules, "doc_id", out, partition_col="day"
+    )
+    v = r2.violations(spark).filter(F.col("snapshot_id") == r2.snapshot)
+    assert v.count() == 2
+    # the partition column survived the leaf-file read: the unit is
+    # the day value, not __all__
+    assert {r.unit for r in v.collect()} == {"2024-01-02"}
 
 
 def test_validate_suite_multi_table_and_resume(spark, tmp_path):
