@@ -93,6 +93,7 @@ def pack_sequences(
     n_buckets: int = 64,
     salt: str = PACK_SALT,
     bpe: bool = False,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Assign every document to a (bucket, seq_id, seq_offset).
 
@@ -101,6 +102,12 @@ def pack_sequences(
     bucket from 0; ``seq_offset`` is the token offset of the
     document inside its sequence. Deterministic for a given corpus
     regardless of partitioning.
+
+    ``order_col`` packs documents in (order_col, key) order within
+    each bucket instead of plain key order — curriculum packing: a
+    difficulty / quality score column groups similar documents into
+    the same sequences while the key tie-break keeps the assignment
+    fully deterministic.
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
@@ -120,10 +127,12 @@ def pack_sequences(
         ).cast("bigint"),
         F.lit(n_buckets),
     )
+    extra = [F.col(order_col)] if order_col else []
     meta = df.select(
         F.col(key_col),
         bucket.alias("bucket"),
         F.coalesce(counter.cast("long"), F.lit(0)).alias("n_tokens"),
+        *extra,
     )
     ktype = df.schema[key_col].dataType.simpleString()
     out_schema = (
@@ -131,9 +140,10 @@ def pack_sequences(
         "seq_id bigint, seq_offset bigint"
     )
     cap = int(max_tokens)
+    sort_cols = [order_col, key_col] if order_col else [key_col]
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(key_col, kind="mergesort").reset_index(
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(
             drop=True
         )
         seq, off = greedy_pack(pdf["n_tokens"].to_numpy(dtype="int64"), cap)

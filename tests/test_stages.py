@@ -151,6 +151,27 @@ def test_pack_sequences_partitioning_invariant(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_pack_sequences_order_col_curriculum(spark):
+    from invalid_spark.pipeline import pack
+
+    # one bucket; score reverses the key order, so curriculum packing
+    # must yield the reverse assignment of key-ordered packing
+    docs = spark.range(10).selectExpr(
+        "id AS doc_id",
+        "repeat('w ', 4) AS text",
+        "CAST(-id AS double) AS score",
+    )
+    by_key = {r.doc_id: r.seq_id
+              for r in pack.pack_sequences(docs, 8, n_buckets=1).collect()}
+    by_score = {r.doc_id: r.seq_id
+                for r in pack.pack_sequences(
+                    docs, 8, n_buckets=1, order_col="score").collect()}
+    # 4-token docs, 8-token cap → pairs; key order pairs (0,1)(2,3)…
+    assert by_key[0] == by_key[1] and by_key[0] != by_key[2]
+    # score order is reversed: pairs (9,8)(7,6)…
+    assert by_score[9] == by_score[8] and by_score[9] != by_score[7]
+
+
 def test_pack_summary(spark):
     from invalid_spark.pipeline import pack
 
