@@ -857,13 +857,17 @@ hits AS (
   GROUP BY 1, 2
 ),
 base AS (
-  SELECT m.method, q.query_id
-  FROM (SELECT DISTINCT query_id FROM truth) q,
+  -- denominator = min(k, |truth|): a query with < k true neighbors
+  -- must read recall 1.0 from a perfect index, not n/k
+  SELECT m.method, q.query_id, q.n_truth
+  FROM (SELECT query_id, least(CAST(count(*) AS BIGINT), 5) AS n_truth
+        FROM truth GROUP BY 1) q,
        (VALUES ('lsh'), ('ivf')) m(method)
 )
 SELECT base.method, base.query_id,
        CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-       round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall
+       round(COALESCE(h.n_hits, 0) / CAST(base.n_truth AS DOUBLE), 6)
+         AS recall
 FROM base LEFT JOIN hits h
   ON h.method = base.method AND h.query_id = base.query_id
 """
@@ -906,13 +910,16 @@ hits AS (
   GROUP BY 1, 2
 ),
 base AS (
-  SELECT p.nprobe, q.query_id
-  FROM (SELECT DISTINCT query_id FROM t) q,
+  -- denominator = min(k, |truth|), matching ann_recall
+  SELECT p.nprobe, q.query_id, q.n_truth
+  FROM (SELECT query_id, least(CAST(count(*) AS BIGINT), 5) AS n_truth
+        FROM t GROUP BY 1) q,
        (VALUES (1), (2), (4)) p(nprobe)
 ),
 rec AS (
   SELECT base.nprobe, base.query_id,
-         round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall
+         round(COALESCE(h.n_hits, 0) / CAST(base.n_truth AS DOUBLE), 6)
+           AS recall
   FROM base LEFT JOIN hits h
     ON h.nprobe = base.nprobe AND h.query_id = base.query_id
 )
@@ -2299,8 +2306,8 @@ WITH d AS (
   FROM events
 ), w AS (
   SELECT event_type, count(*) AS n,
-         sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
-         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value
+         CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value
   FROM d GROUP BY event_type
 )
 SELECT event_type, 'props' AS column_name, n, null_props AS n_null,

@@ -29,6 +29,11 @@ def snapshot_id(path: str) -> str:
     entries = []
     if os.path.isdir(path):
         for root, _dirs, files in os.walk(path):
+            # prune hidden/metadata DIRECTORIES too (_spark_metadata/,
+            # _delta_log/, .crc dirs): their leaf files are often not
+            # '_'-prefixed themselves (e.g. _delta_log/000…json) and are
+            # never table data
+            _dirs[:] = [d for d in _dirs if not d.startswith(("_", "."))]
             for f in sorted(files):
                 if f.startswith(("_", ".")):
                     continue
@@ -109,19 +114,63 @@ class TableLog:
         self.root = log_dir
         os.makedirs(log_dir, exist_ok=True)
 
-    def _entries(self, table_path: str) -> dict[str, int]:
-        out: dict[str, int] = {}
+    def _entries(self, table_path: str) -> dict[str, list]:
+        """{relative path: [size, mtime_ns]}. Size alone cannot detect a
+        size-preserving in-place rewrite (same byte count, different
+        rows) — exactly the unsound state the preview guard exists to
+        refuse — so the mtime rides along as the cheap content witness
+        (a content hash would be exact but costs a full data read,
+        defeating the zero-scan contract). Logs written by earlier
+        versions store a bare int size; :meth:`_sig` normalizes."""
+        out: dict[str, list] = {}
         for root, _dirs, files in os.walk(table_path):
+            # prune hidden/metadata directories (see snapshot_id): files
+            # under _spark_metadata/ or _delta_log/ are not table data
+            # and must never be handed to spark.read.parquet as such
+            _dirs[:] = [d for d in _dirs if not d.startswith(("_", "."))]
             for f in sorted(files):
                 if f.startswith(("_", ".")):
                     continue
                 p = os.path.join(root, f)
-                out[os.path.relpath(p, table_path)] = os.path.getsize(p)
+                st = os.stat(p)
+                out[os.path.relpath(p, table_path)] = [
+                    st.st_size, st.st_mtime_ns
+                ]
         return out
 
     @staticmethod
-    def _content_id(entries: dict[str, int]) -> str:
-        lines = sorted(f"{p}:{sz}" for p, sz in entries.items())
+    def _sig(v) -> tuple[int, int | None]:
+        """Normalize an entry value: legacy bare size, or
+        [size, mtime_ns]."""
+        if isinstance(v, (list, tuple)):
+            return int(v[0]), (
+                int(v[1]) if len(v) > 1 and v[1] is not None else None
+            )
+        return int(v), None
+
+    @classmethod
+    def _differs(cls, a, b) -> bool:
+        """True when two entry values witness different file content:
+        size mismatch always; mtime mismatch when BOTH sides recorded
+        one (a legacy size-only snapshot cannot retro-claim rewrites)."""
+        sa, ma = cls._sig(a)
+        sb, mb = cls._sig(b)
+        if sa != sb:
+            return True
+        return ma is not None and mb is not None and ma != mb
+
+    @classmethod
+    def _same_state(cls, prev_files: dict, entries: dict) -> bool:
+        return set(prev_files) == set(entries) and not any(
+            cls._differs(entries[p], prev_files[p]) for p in entries
+        )
+
+    @classmethod
+    def _content_id(cls, entries: dict) -> str:
+        lines = sorted(
+            f"{p}:{cls._sig(v)[0]}:{cls._sig(v)[1]}"
+            for p, v in entries.items()
+        )
         return hashlib.md5("\n".join(lines).encode()).hexdigest()[:16]
 
     def _snap_files(self) -> list[str]:
@@ -167,11 +216,29 @@ class TableLog:
             "parent": latest["id"],
             "added": sorted(p for p in entries if p not in prev_f),
             "changed": sorted(
-                p for p, sz in entries.items()
-                if p in prev_f and prev_f[p] != sz
+                p for p, v in entries.items()
+                if p in prev_f and self._differs(v, prev_f[p])
             ),
             "removed": sorted(p for p in prev_f if p not in entries),
         }
+
+    def pending_id(self, entries: dict) -> str:
+        """The snapshot id :meth:`commit` WILL return for ``entries``,
+        without writing anything. Lets ``validate_appended`` namespace
+        its checkpoint manifest by the snapshot it is validating while
+        deferring the commit until validation succeeds — committing
+        first would make a killed delta-run invisible (the retry's
+        preview would diff against the already-committed state and
+        no-op, silently never validating the appended files).
+        Single-writer, like the rest of the log: the records cannot
+        change between this call and the later commit."""
+        records = self._records()
+        latest = records[-1] if records else None
+        if latest is not None and self._same_state(latest["files"], entries):
+            return latest["id"]
+        cid = self._content_id(entries)
+        seq = len(records)
+        return cid if cid not in {r["id"] for r in records} else f"{cid}@{seq}"
 
     def commit(self, table_path: str, entries: dict | None = None) -> str:
         """Record the table's current state; returns its snapshot id
@@ -181,12 +248,11 @@ class TableLog:
         a concurrent ingest between two walks)."""
         if entries is None:
             entries = self._entries(table_path)
-        cid = self._content_id(entries)
         records = self._records()
         latest = records[-1] if records else None
-        if latest is not None and latest["id"].split("@")[0] == cid and \
-                latest["files"] == entries:
+        if latest is not None and self._same_state(latest["files"], entries):
             return latest["id"]
+        cid = self._content_id(entries)
         seq = len(records)
         # a revert to an EARLIER state re-uses its content hash but
         # must be a distinct snapshot (unique id, correct parent) —
@@ -205,8 +271,9 @@ class TableLog:
         os.replace(tmp, name)
         return sid
 
-    def files(self, snap: str) -> dict[str, int]:
-        """{relative path: size} of one snapshot."""
+    def files(self, snap: str) -> dict:
+        """{relative path: [size, mtime_ns]} of one snapshot (bare
+        int size in logs written by earlier versions)."""
         return dict(self._read(snap)["files"])
 
     def added_files(self, prev: str | None, cur: str) -> list[str]:
@@ -221,14 +288,15 @@ class TableLog:
         return sorted(p for p in cur_f if p not in prev_f)
 
     def changed_files(self, prev: str, cur: str) -> list[str]:
-        """Paths present in both snapshots with DIFFERENT sizes — an
-        in-place rewrite; file identity no longer implies row
-        identity."""
+        """Paths present in both snapshots with different size OR
+        mtime — an in-place rewrite; file identity no longer implies
+        row identity. (mtime catches the size-preserving rewrite that
+        a size-only compare would wave through.)"""
         cur_f = self.files(cur)
         prev_f = self.files(prev)
         return sorted(
-            p for p, sz in cur_f.items()
-            if p in prev_f and prev_f[p] != sz
+            p for p, v in cur_f.items()
+            if p in prev_f and self._differs(v, prev_f[p])
         )
 
     def removed_files(self, prev: str, cur: str) -> list[str]:

@@ -375,22 +375,29 @@ def ann_recall(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     k·n_queries rows, sketch-sized by construction — so the semi-join
     and per-query aggregate are trivial at any corpus scale; the cost
     lives in producing the inputs. Queries the approximate method
-    returned nothing for still appear (recall 0).
+    returned nothing for still appear (recall 0). The denominator is
+    ``min(k, |truth rows for the query|)``: when the corpus holds
+    fewer than k true neighbors (small corpus, truncated truth), a
+    perfect index must read recall 1.0, not n/k.
     """
     t = truth.select("query_id", "neighbor_id")
+    base = t.groupBy("query_id").agg(
+        F.least(F.count(F.lit(1)), F.lit(k)).cast("long").alias("n_truth")
+    )
     hits = (
         approx.select("query_id", "neighbor_id")
         .join(t, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
-    base = t.select("query_id").distinct()
     return base.join(hits, "query_id", "left").select(
         "query_id",
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-        F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6).alias(
-            "recall"
-        ),
+        F.round(
+            F.coalesce("n_hits", F.lit(0))
+            / F.col("n_truth").cast("double"),
+            6,
+        ).alias("recall"),
     )
 
 

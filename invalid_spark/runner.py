@@ -32,6 +32,7 @@ and the unit value.
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 from dataclasses import dataclass, field
@@ -68,6 +69,19 @@ class RunResult:
     out_dir: str
     units_done: list[str] = field(default_factory=list)
     units_skipped: list[str] = field(default_factory=list)
+    # True when the run aborted on a schema-level keyMissing (reference
+    # context-cancel): only the schema violation was written, no
+    # verdicts — consumers must not infer this from sink emptiness (a
+    # legitimately empty table also yields zero verdict rows)
+    fail_fast: bool = False
+    # True when EVERY expected unit (partition batches + the global
+    # uniqueness/fd/monotonic/... stages) is marked done — the signal
+    # validate_appended gates its TableLog commit on (a max_batches-
+    # bounded partial run must leave the snapshot pending)
+    complete: bool = False
+    # "" for a normal run; "row_diff_fallback" when validate_appended
+    # degraded from file-level to row-level delta after a rewrite
+    mode: str = ""
 
     def violations(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.out_dir, "violations"))
@@ -323,6 +337,7 @@ def validate(
         # a missing REQUIRED column aborts the whole run (reference
         # keyMissing context-cancel, rule.go:159-165): no batch marked
         # done, so a rerun against a fixed schema starts clean
+        result.fail_fast = True
         return result
     plan.schema_violations = []  # batches emit row-level checks only
 
@@ -571,19 +586,22 @@ def validate(
         met = report.rule_metrics(all_v, run_id)
         met.write.mode("overwrite").parquet(os.path.join(out_dir, "metrics"))
 
+    # ---- run completeness (drives quarantine + the appended-commit) ----
+    expected = (
+        ({"__all__"} if unit_of is None else set(vals))
+        | {f"__unique__{c}" for c in plan.unique_cols}
+        | {"__unique__" + "~".join([c] + list(e))
+           for c, e in plan.unique_composite}
+        | {f"__fd__{c}->{s.get('dep')}" for c, s in plan.fd_specs}
+        | {f"__monotonic__{c}" for c, _ in plan.monotonic_specs}
+        | {f"__dupspan__{c}" for c, _ in plan.dupspan_specs}
+        | {f"__reconcile__{c}~{s['value']}" for c, s in plan.reconcile_specs}
+    )
+    result.complete = expected <= manifest.done_units()
+
     # ---- quarantine split (opt-in), only under FULL coverage -----------
     if quarantine and all_v is not None and not plan.fail_fast:
-        expected = (
-            ({"__all__"} if unit_of is None else set(vals))
-            | {f"__unique__{c}" for c in plan.unique_cols}
-            | {"__unique__" + "~".join([c] + list(e))
-               for c, e in plan.unique_composite}
-            | {f"__fd__{c}->{s.get('dep')}" for c, s in plan.fd_specs}
-            | {f"__monotonic__{c}" for c, _ in plan.monotonic_specs}
-            | {f"__dupspan__{c}" for c, _ in plan.dupspan_specs}
-            | {f"__reconcile__{c}~{s['value']}" for c, s in plan.reconcile_specs}
-        )
-        if expected <= manifest.done_units():
+        if result.complete:
             from invalid_spark.model import ErrorType as _ET
 
             # $reconcile violations are KEY-level (row_key is the
@@ -983,20 +1001,42 @@ def validate_appended(
     rules: RuleSet,
     row_key: str,
     out_dir: str,
+    prev_snapshot_df: DataFrame | None = None,
     **kwargs,
 ) -> RunResult:
     """FILE-level incremental validation against a
-    :class:`~invalid_spark.io.TableLog`: commit the table's current
-    state to the log, read ONLY the files the new snapshot added over
-    its parent, and validate those — append detection costs zero data
-    scans (the Iceberg-manifest contract), unlike
-    :func:`validate_incremental`'s row-level anti-join, which must
-    scan both snapshots. Use this when the table grows by appending
-    files (the normal ingest shape). Removed OR in-place-rewritten
-    files raise — BEFORE the state is committed, so the refusal keeps
-    firing until a full validate re-baselines (a recorded unsound
-    snapshot would otherwise become the next run's parent and the
-    rewritten data would silently skip validation forever).
+    :class:`~invalid_spark.io.TableLog`: read ONLY the files the
+    table added since the latest logged snapshot, validate those, and
+    commit the new state to the log AFTER validation completes —
+    append detection costs zero data scans (the Iceberg-manifest
+    contract), unlike :func:`validate_incremental`'s row-level
+    anti-join, which must scan both snapshots. Use this when the
+    table grows by appending files (the normal ingest shape).
+
+    Kill-safety ordering: the snapshot id is content-addressed from
+    the previewed file list (:meth:`TableLog.pending_id`), so the
+    checkpoint manifest can be namespaced ``manifest-{snapshot}``
+    up front while the commit waits until :func:`validate` returns.
+    A run killed mid-delta therefore leaves the log untouched; the
+    retry previews the SAME pending state, resumes the delta through
+    its manifest, and only then commits. (Committing first — the
+    pre-round-5 behavior — made the retry's preview diff against the
+    already-committed state and no-op, silently never validating the
+    appended files.) A fail-fasted run (missing required column) also
+    leaves the log uncommitted, so the delta stays pending until the
+    schema or rules are fixed.
+
+    Removed or in-place-rewritten files mean file identity no longer
+    implies row identity, so the file-level contract is unsound. With
+    ``prev_snapshot_df`` (the previous snapshot's rows — in
+    production an Iceberg time-travel read of the parent snapshot;
+    in the parquet stand-in a caller-retained copy, e.g. the clean
+    sink) the run degrades to a ROW-level diff fallback: it validates
+    exactly the added+changed row set from :func:`snapshot_diff`,
+    stamps ``RunResult.mode = "row_diff_fallback"``, records the mode
+    next to the manifest, and re-baselines the log on success.
+    Without it, the refusal raises — and keeps raising on retry,
+    because nothing was committed.
 
     Resumable per snapshot: the manifest namespace is
     ``manifest-{snapshot}`` (the :func:`validate_incremental`
@@ -1004,24 +1044,55 @@ def validate_appended(
     re-running with no new files skips the already-done delta via its
     manifest (no recompute)."""
     pv = log.preview(table_path)
+    snap = log.pending_id(pv["entries"])
+    run_id = kwargs.pop("run_id", None) or uuid.uuid4().hex[:12]
+
     if pv["removed"] or pv["changed"]:
-        # refuse BEFORE committing: a recorded unsound snapshot would
-        # become the next run's baseline and the refusal would fire
-        # exactly once — an automated retry would then silently skip
-        # the rewritten data forever
-        raise ValueError(
-            f"table at {table_path} removed files {pv['removed'][:3]} / "
-            f"rewrote files {pv['changed'][:3]} since snapshot "
-            f"{pv['parent']}: file-level append validation is unsound "
-            "after a rewrite or compaction — run a full validate() or "
-            "the row-level validate_incremental(), then re-baseline "
-            "with a fresh TableLog"
+        if prev_snapshot_df is None:
+            # refuse WITHOUT committing: a recorded unsound snapshot
+            # would become the next run's baseline and the refusal
+            # would fire exactly once — an automated retry would then
+            # silently skip the rewritten data forever
+            raise ValueError(
+                f"table at {table_path} removed files {pv['removed'][:3]} "
+                f"/ rewrote files {pv['changed'][:3]} since snapshot "
+                f"{pv['parent']}: file-level append validation is unsound "
+                "after a rewrite or compaction — pass prev_snapshot_df= "
+                "(the previous snapshot's rows) for the row-level diff "
+                "fallback, or run a full validate() / "
+                "validate_incremental(), then re-baseline with a fresh "
+                "TableLog"
+            )
+        # row-level fallback: validate exactly the rows the rewrite
+        # added or changed (snapshot_diff's delta-sized full-outer
+        # hash join), then re-baseline the log
+        cur = spark.read.parquet(table_path)
+        delta_keys = (
+            snapshot_diff(cur, prev_snapshot_df, row_key)
+            .filter(F.col("change").isin("added", "changed"))
+            .select("row_key")
         )
-    snap = log.commit(table_path, entries=pv["entries"])
+        delta = cur.join(
+            delta_keys,
+            F.col(row_key).cast("string") == delta_keys["row_key"],
+            "left_semi",
+        )
+        kwargs.setdefault(
+            "manifest_dir", os.path.join(out_dir, f"manifest-{snap}")
+        )
+        kwargs["snapshot"] = snap
+        res = validate(
+            spark, delta, rules, row_key, out_dir, run_id=run_id, **kwargs
+        )
+        res.mode = "row_diff_fallback"
+        if res.complete and not res.fail_fast:
+            _record_mode(kwargs["manifest_dir"], res.mode, run_id, snap)
+            log.commit(table_path, entries=pv["entries"])
+        return res
+
     added = pv["added"]
-    result = RunResult(run_id=kwargs.get("run_id") or uuid.uuid4().hex[:12],
-                       snapshot=snap, out_dir=out_dir)
     if not added:
+        result = RunResult(run_id=run_id, snapshot=snap, out_dir=out_dir)
         result.units_skipped = ["__no_new_files__"]
         return result
     # basePath keeps directory-partitioned layouts (date=.../part-*)
@@ -1032,10 +1103,28 @@ def validate_appended(
     )
     kwargs.setdefault("manifest_dir", os.path.join(out_dir, f"manifest-{snap}"))
     kwargs["snapshot"] = snap
-    kwargs.pop("run_id", None)
-    return validate(
-        spark, df, rules, row_key, out_dir, run_id=result.run_id, **kwargs
+    res = validate(
+        spark, df, rules, row_key, out_dir, run_id=run_id, **kwargs
     )
+    # commit ONLY a fully validated snapshot: a fail-fast or a
+    # max_batches-bounded partial run leaves the log untouched, so the
+    # retry previews the same pending state and resumes via its
+    # manifest instead of no-opping on an already-committed baseline
+    if res.complete and not res.fail_fast:
+        log.commit(table_path, entries=pv["entries"])
+    return res
+
+
+def _record_mode(manifest_dir: str, mode: str, run_id: str, snap: str) -> None:
+    """Persist a degraded-mode marker next to the checkpoint manifest
+    so the audit trail shows WHICH contract validated this snapshot
+    (file-level runs write nothing — normal mode is the default)."""
+    os.makedirs(manifest_dir, exist_ok=True)
+    path = os.path.join(manifest_dir, "mode.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"mode": mode, "run_id": run_id, "snapshot_id": snap}, f)
+    os.replace(tmp, path)
 
 
 def validate_suite(
@@ -1112,12 +1201,15 @@ def suite_summary(
     absent verdicts parquet."""
     out: dict = {"tables": {}, "passed": True}
     for name, res in results.items():
-        v = res.violations(spark)
-        n = v.filter(F.col("snapshot_id") == res.snapshot).count()
-        # a fail-fasted run returns before the verdicts sink is
-        # (re)written: either the parquet dir is absent (first run)
-        # or its rows carry a PREVIOUS run's run_id (the sink is
-        # overwrite-mode, so a completed run always stamps its own)
+        # a fail-fasted run returns before most sinks exist; a
+        # completed run over an empty table can also leave zero
+        # verdict rows — so fail-fast is the run's EXPLICIT flag, and
+        # every sink read is existence-guarded rather than inferred
+        if os.path.exists(os.path.join(res.out_dir, "violations")):
+            v = res.violations(spark)
+            n = v.filter(F.col("snapshot_id") == res.snapshot).count()
+        else:
+            n = 0
         if os.path.exists(os.path.join(res.out_dir, "verdicts")):
             verd = [
                 r.asDict()
@@ -1127,7 +1219,7 @@ def suite_summary(
             ]
         else:
             verd = []
-        fail_fast = not verd
+        fail_fast = res.fail_fast
         passed = all(r["passed"] for r in verd) and n == 0 and not fail_fast
         out["tables"][name] = {
             "run_id": res.run_id,

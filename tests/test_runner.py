@@ -358,6 +358,206 @@ def test_validate_appended_partitioned_layout(spark, tmp_path):
     assert {r.unit for r in v.collect()} == {"2024-01-02"}
 
 
+def test_validate_appended_kill_resume_commits_late(spark, tmp_path):
+    """The commit-ordering contract: a delta run killed (here: bounded
+    by max_batches) before completing leaves the TableLog UNCOMMITTED,
+    so the retry previews the same pending state and RESUMES the delta
+    through its per-snapshot manifest — instead of no-opping on an
+    already-committed baseline and silently never validating the
+    appended files (the pre-round-5 bug)."""
+    from invalid_spark.io import TableLog
+
+    t = str(tmp_path / "tbl")
+    rules = load_rules("lang: {$type: $str, $of: [en]}\n")
+    log = TableLog(str(tmp_path / "log"))
+    out = str(tmp_path / "audit")
+
+    def write_day(day, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, lang string"
+        ).coalesce(1).write.parquet(os.path.join(t, f"day={day}"))
+
+    write_day("d1", [(i, "en") for i in range(6)])
+    r1 = runner.validate_appended(
+        spark, t, log, rules, "doc_id", out, partition_col="day"
+    )
+    assert r1.complete and log.snapshots()  # baseline committed
+    snaps_after_r1 = log.snapshots()
+
+    # append TWO partitions, then run a delta bounded to ONE batch
+    # (unit_batch=1, max_batches=1) — the "killed mid-delta" shape
+    write_day("d2", [(100 + i, "xx" if i < 2 else "en") for i in range(6)])
+    write_day("d3", [(200 + i, "xx" if i < 1 else "en") for i in range(6)])
+    r2 = runner.validate_appended(
+        spark, t, log, rules, "doc_id", out,
+        partition_col="day", unit_batch=1, max_batches=1,
+    )
+    assert not r2.complete
+    # the log did NOT advance: the delta is still pending
+    assert log.snapshots() == snaps_after_r1
+
+    # retry sees the same pending snapshot, resumes (done unit skips),
+    # finishes, and only now commits
+    r3 = runner.validate_appended(
+        spark, t, log, rules, "doc_id", out,
+        partition_col="day", unit_batch=1,
+    )
+    assert r3.snapshot == r2.snapshot and r3.complete
+    assert r3.units_skipped  # the batch r2 finished was not redone
+    assert len(log.snapshots()) == len(snaps_after_r1) + 1
+    v = r3.violations(spark).filter(F.col("snapshot_id") == r3.snapshot)
+    assert {r.row_key for r in v.collect()} == {"100", "101", "200"}
+
+    # and the table is now fully baselined: nothing new → pure no-op
+    r4 = runner.validate_appended(
+        spark, t, log, rules, "doc_id", out, partition_col="day"
+    )
+    assert r4.units_skipped == ["__no_new_files__"]
+
+
+def test_tablelog_detects_size_preserving_rewrite(tmp_path):
+    """A rewrite that keeps the byte count identical must still be
+    flagged as changed (mtime witness) — size-only comparison waved
+    exactly this unsound state through."""
+    from invalid_spark.io import TableLog
+
+    t = tmp_path / "tbl"
+    t.mkdir()
+    f = t / "part-0.bin"
+    f.write_bytes(b"aaaa")
+    os.utime(f, ns=(1_000_000_000, 1_000_000_000))
+    log = TableLog(str(tmp_path / "log"))
+    s1 = log.commit(str(t))
+    f.write_bytes(b"bbbb")  # same 4 bytes, different content
+    os.utime(f, ns=(2_000_000_000, 2_000_000_000))
+    pv = log.preview(str(t))
+    assert pv["changed"] == ["part-0.bin"] and not pv["added"]
+    s2 = log.commit(str(t), entries=pv["entries"])
+    assert s2 != s1
+    assert log.changed_files(s1, s2) == ["part-0.bin"]
+
+
+def test_tablelog_legacy_size_only_entries(tmp_path):
+    """A log written by the size-only format (bare int values) keeps
+    working: no spurious 'changed' from the missing mtime, and an
+    unchanged table stays a no-op."""
+    import json as _json
+
+    from invalid_spark.io import TableLog
+
+    t = tmp_path / "tbl"
+    t.mkdir()
+    (t / "f0").write_bytes(b"xxxx")
+    log = TableLog(str(tmp_path / "log"))
+    # hand-write a legacy snapshot record (files: {path: size})
+    rec = {"id": "legacy0", "seq": 0, "parent": None,
+           "table": str(t), "files": {"f0": 4}}
+    with open(os.path.join(log.root, "snap-000000-legacy0.json"), "w") as fh:
+        _json.dump(rec, fh)
+    pv = log.preview(str(t))
+    assert pv["added"] == [] and pv["changed"] == [] and pv["removed"] == []
+    assert log.pending_id(pv["entries"]) == "legacy0"
+    assert log.commit(str(t), entries=pv["entries"]) == "legacy0"
+    # a real append on top of the legacy baseline is detected
+    (t / "f1").write_bytes(b"yy")
+    assert log.preview(str(t))["added"] == ["f1"]
+
+
+def test_tablelog_prunes_hidden_metadata_dirs(tmp_path):
+    """Files under _spark_metadata/ / _delta_log/ etc. are never
+    recorded as table files (they would crash or mis-baseline
+    validate_appended's parquet read of 'added' files)."""
+    from invalid_spark.io import TableLog
+
+    t = tmp_path / "tbl"
+    (t / "_spark_metadata").mkdir(parents=True)
+    (t / "_spark_metadata" / "0").write_text("{}")
+    (t / ".hidden").mkdir()
+    (t / ".hidden" / "junk").write_text("x")
+    (t / "part-0.parquet").write_bytes(b"pq")
+    log = TableLog(str(tmp_path / "log"))
+    assert set(log._entries(str(t))) == {"part-0.parquet"}
+    assert snapshot_id(str(t)) == snapshot_id(str(t))
+
+
+def test_validate_appended_row_diff_fallback(spark, tmp_path):
+    """After a compaction/rewrite the file-level contract refuses —
+    but with prev_snapshot_df the run degrades to the row-level diff:
+    exactly the added+changed rows are validated, the degraded mode is
+    recorded, and the log re-baselines so the NEXT append is file-level
+    again."""
+    from invalid_spark.io import TableLog
+
+    t = str(tmp_path / "tbl")
+    rules = load_rules("lang: {$type: $str, $of: [en]}\n")
+    log = TableLog(str(tmp_path / "log"))
+    out = str(tmp_path / "audit")
+    d1 = spark.createDataFrame(
+        [(i, "en") for i in range(10)], "doc_id long, lang string"
+    )
+    d1.coalesce(1).write.mode("overwrite").parquet(t)
+    r1 = runner.validate_appended(spark, t, log, rules, "doc_id", out)
+    assert r1.complete and r1.mode == ""
+    prev_rows = spark.createDataFrame(d1.collect(), d1.schema)
+
+    # compact: rewrite the whole dir (2 files), keeping rows 0-9,
+    # CHANGING row 3's lang, and adding rows 100-101 (one violating)
+    d2 = spark.createDataFrame(
+        [(i, "en") for i in range(10) if i != 3]
+        + [(3, "zz"), (100, "xx"), (101, "en")],
+        "doc_id long, lang string",
+    )
+    d2.repartition(2).write.mode("overwrite").parquet(t)
+
+    # without prev rows: refused (and keeps refusing — nothing committed)
+    with pytest.raises(ValueError, match="rewrote|removed"):
+        runner.validate_appended(spark, t, log, rules, "doc_id", out)
+
+    r2 = runner.validate_appended(
+        spark, t, log, rules, "doc_id", out, prev_snapshot_df=prev_rows
+    )
+    assert r2.mode == "row_diff_fallback" and r2.complete
+    v = r2.violations(spark).filter(F.col("snapshot_id") == r2.snapshot)
+    # only the DELTA was validated: row 3 (changed → zz) and row 100
+    # (added → xx) flag; the unchanged en rows were not re-read
+    assert {r.row_key for r in v.collect()} == {"3", "100"}
+    # degraded mode recorded next to the manifest
+    mode_path = os.path.join(out, f"manifest-{r2.snapshot}", "mode.json")
+    assert os.path.exists(mode_path)
+    # the log re-baselined: a fresh append validates file-level again
+    d3 = spark.createDataFrame([(200, "xx")], "doc_id long, lang string")
+    d3.coalesce(1).write.mode("append").parquet(t)
+    r3 = runner.validate_appended(spark, t, log, rules, "doc_id", out)
+    assert r3.mode == "" and r3.complete
+    v3 = r3.violations(spark).filter(F.col("snapshot_id") == r3.snapshot)
+    assert {r.row_key for r in v3.collect()} == {"200"}
+
+
+def test_suite_summary_empty_table_not_fail_fast(spark, tmp_path):
+    """A completed run over an EMPTY table produces zero verdict rows;
+    the summary must report it passed (explicit fail_fast flag), not
+    misinfer fail-fast from sink emptiness (pre-round-5 bug)."""
+    empty = spark.createDataFrame([], "doc_id long, lang string, day string")
+    p = str(tmp_path / "t")
+    empty.write.parquet(p)
+    r_ok = str(tmp_path / "ok.yaml")
+    with open(r_ok, "w") as f:
+        f.write("lang: {$type: $str}\n")
+    suite = {
+        "tables": {
+            "empty": {
+                "path": p, "rules": r_ok, "row_key": "doc_id",
+                "partition_col": "day",
+            }
+        }
+    }
+    res = runner.validate_suite(spark, suite, str(tmp_path / "audit"))
+    summary = runner.suite_summary(spark, res)
+    tbl = summary["tables"]["empty"]
+    assert tbl["passed"] is True and "fail_fast" not in tbl
+    assert summary["passed"] is True
+
+
 def test_validate_suite_multi_table_and_resume(spark, tmp_path):
     """Multi-table suite: each table validates into its own subdir
     with its own manifest; a second run skips everything; the summary

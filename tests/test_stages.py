@@ -679,6 +679,25 @@ def test_ann_recall_operator_semantics(spark):
     assert r == {1: (2, 1.0), 2: (1, 0.5), 3: (0, 0.0)}
 
 
+def test_ann_recall_truncated_truth_denominator(spark):
+    """When ground truth holds fewer than k neighbors for a query
+    (corpus smaller than k+1, truncated truth), a perfect index must
+    read recall 1.0 — the denominator is min(k, |truth|), not k."""
+    from invalid_spark.pipeline import similarity
+
+    truth = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 21)],  # q1 has only ONE true neighbor
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (1, 98), (2, 20), (2, 21), (2, 97)],
+        "query_id long, neighbor_id long",
+    )
+    r = {x.query_id: x.recall
+         for x in similarity.ann_recall(truth, approx, 3).collect()}
+    assert r == {1: 1.0, 2: 1.0}
+
+
 def test_ivf_tuning_monotone_recall(spark):
     from invalid_spark.pipeline import similarity
 
