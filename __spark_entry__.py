@@ -171,16 +171,77 @@ def q_pack_summary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack.pack_summary(pack.pack_sequences(d, 256, n_buckets=8), 256)
 
 
-_SQL_PACK_CTE = """
+def _with_exact_counts(d: DataFrame) -> DataFrame:
+    """Deterministic stand-in for upstream exact-tokenizer counts
+    (mirrors _SQL_PACK_T_SUPPLIED)."""
+    return d.withColumn(
+        "n_tok_exact", ((F.col("doc_id") % 97) + 1).cast("long")
+    )
+
+
+def q_pack_supplied_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplied-counts packing (pack.pack_sequences n_tokens_col=):
+    a precomputed exact token-count column drives the budget instead
+    of the whitespace estimator — the real-pipeline shape, where the
+    tokenizer's counts are materialized upstream and an estimate
+    would make every sequence length systematically off."""
+    from invalid_spark.pipeline import pack
+
+    d = _with_exact_counts(_t(spark, sf_dir, "documents"))
+    return pack.pack_sequences(
+        d, max_tokens=256, n_buckets=8, n_tokens_col="n_tok_exact"
+    )
+
+
+def q_pack_materialize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training artifact (pack.materialize): ONE row per
+    packed sequence — ordered doc keys, offsets, token total, and the
+    space-concatenated text — produced by replaying the deterministic
+    greedy assignment inside one applyInPandas group per bucket, so
+    the only shuffle is (key, text) keyed by the md5 bucket (no join
+    back to the corpus). Supplied-counts variant; arrays render as
+    csv so the DuckDB oracle (string_agg ... ORDER BY) can replay the
+    whole sequence composition."""
+    from invalid_spark.pipeline import pack
+
+    d = _with_exact_counts(_t(spark, sf_dir, "documents"))
+    m = pack.materialize(
+        d, 256, n_buckets=8, n_tokens_col="n_tok_exact", include_text=True
+    )
+    as_csv = lambda c: F.array_join(  # noqa: E731
+        F.transform(c, lambda x: x.cast("string")), ","
+    )
+    return m.select(
+        "bucket",
+        "seq_id",
+        "n_docs",
+        "total_tokens",
+        as_csv("doc_keys").alias("doc_keys_csv"),
+        as_csv("offsets").alias("offsets_csv"),
+        "text",
+    )
+
+
+_SQL_PACK_T_ESTIMATOR = """CAST(coalesce(len(list_filter(
+              regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')), 0)
+              AS BIGINT)"""
+# the supplied-counts variant: a deterministic stand-in for the exact
+# tokenizer counts a real pipeline materializes upstream
+_SQL_PACK_T_SUPPLIED = "CAST((doc_id % 97) + 1 AS BIGINT)"
+
+
+def _sql_pack_cte(t_expr: str) -> str:
+    return f"""
 WITH RECURSIVE meta AS (
   SELECT doc_id,
          CAST('0x' || substr(md5('pack-v1-' || CAST(doc_id AS VARCHAR)),
               1, 8) AS BIGINT) % 8 AS bucket,
-         CAST(coalesce(len(list_filter(
-              regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')), 0)
-              AS BIGINT) AS t
+         {t_expr} AS t
   FROM documents
-),
+),"""
+
+
+_SQL_PACK_TAIL = """
 ordered AS (
   SELECT doc_id, bucket, t,
          row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
@@ -202,11 +263,40 @@ pk AS (
 )
 """
 
+_SQL_PACK_CTE = _sql_pack_cte(_SQL_PACK_T_ESTIMATOR) + _SQL_PACK_TAIL
+_SQL_PACK_CTE_SUPPLIED = _sql_pack_cte(_SQL_PACK_T_SUPPLIED) + _SQL_PACK_TAIL
+
 
 def _sql_pack_documents() -> str:
     return (
         _SQL_PACK_CTE
         + "SELECT doc_id, bucket, t AS n_tokens, seq_id, seq_offset FROM pk"
+    )
+
+
+def _sql_pack_supplied_documents() -> str:
+    return (
+        _SQL_PACK_CTE_SUPPLIED
+        + "SELECT doc_id, bucket, t AS n_tokens, seq_id, seq_offset FROM pk"
+    )
+
+
+def _sql_pack_materialize_documents() -> str:
+    return (
+        _SQL_PACK_CTE_SUPPLIED
+        + """
+SELECT pk.bucket,
+       pk.seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(pk.t) AS BIGINT) AS total_tokens,
+       string_agg(CAST(pk.doc_id AS VARCHAR), ',' ORDER BY pk.doc_id)
+         AS doc_keys_csv,
+       string_agg(CAST(pk.seq_offset AS VARCHAR), ',' ORDER BY pk.doc_id)
+         AS offsets_csv,
+       string_agg(coalesce(d.text, ''), ' ' ORDER BY pk.doc_id) AS text
+FROM pk JOIN documents d ON d.doc_id = pk.doc_id
+GROUP BY 1, 2
+"""
     )
 
 
@@ -1187,6 +1277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_bloom_lineitem": q_ref_bloom_lineitem,
         "pack_documents": q_pack_documents,
         "pack_summary_documents": q_pack_summary_documents,
+        "pack_supplied_documents": q_pack_supplied_documents,
+        "pack_materialize_documents": q_pack_materialize_documents,
         "dsir_weights_documents": q_dsir_weights_documents,
         "dsir_sample_documents": q_dsir_sample_documents,
         "chunk_documents": q_chunk_documents,
@@ -3026,9 +3118,12 @@ def q_anomaly_history_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         F.round("baseline", 6).alias("baseline"),
         F.round("rel_change", 6).alias("rel_change"),
+        F.round("stddev", 6).alias("stddev"),
+        F.round("z", 6).alias("z"),
         F.coalesce(
             F.abs(F.col("rel_change")) > 0.5, F.lit(False)
         ).alias("flagged"),
+        F.coalesce(F.abs(F.col("z")) > 3.0, F.lit(False)).alias("z_flagged"),
     )
 
 
@@ -3044,7 +3139,9 @@ WITH hist AS (
 ), f AS (
   SELECT seq, value,
          AVG(value) OVER (ORDER BY seq
-           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS baseline
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS baseline,
+         STDDEV_SAMP(value) OVER (ORDER BY seq
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS sd
   FROM hist
 )
 SELECT CAST(seq AS BIGINT) AS seq,
@@ -3052,9 +3149,15 @@ SELECT CAST(seq AS BIGINT) AS seq,
        round(baseline, 6) AS baseline,
        round(CASE WHEN baseline IS NOT NULL AND baseline <> 0
                   THEN (value - baseline) / baseline END, 6) AS rel_change,
+       round(sd, 6) AS stddev,
+       round(CASE WHEN sd IS NOT NULL AND sd > 0
+                  THEN (value - baseline) / sd END, 6) AS z,
        coalesce(abs(CASE WHEN baseline IS NOT NULL AND baseline <> 0
                          THEN (value - baseline) / baseline END) > 0.5,
-                FALSE) AS flagged
+                FALSE) AS flagged,
+       coalesce(abs(CASE WHEN sd IS NOT NULL AND sd > 0
+                         THEN (value - baseline) / sd END) > 3.0,
+                FALSE) AS z_flagged
 FROM f
 """
 
@@ -4703,6 +4806,8 @@ def oracle_sql() -> dict[str, str]:
         "ref_bloom_lineitem": _sql_ref_bloom_lineitem(),
         "pack_documents": _sql_pack_documents(),
         "pack_summary_documents": _sql_pack_summary_documents(),
+        "pack_supplied_documents": _sql_pack_supplied_documents(),
+        "pack_materialize_documents": _sql_pack_materialize_documents(),
         "dsir_weights_documents": _sql_dsir_weights_documents(),
         "dsir_sample_documents": _sql_dsir_sample_documents(),
         "chunk_documents": _sql_chunk_documents(),

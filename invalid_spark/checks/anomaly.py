@@ -11,7 +11,12 @@ evaluate the CURRENT run's value against that history:
 - absolute bounds (``min`` / ``max``) on the current value;
 - relative change vs the mean of the previous ``last_k`` runs
   (``max_rel_change``) — the "violation rate tripled since
-  yesterday" alert that absolute bounds can't express.
+  yesterday" alert that absolute bounds can't express;
+- z-score band vs the previous ``last_k`` runs (``z_max``) — the
+  deequ ``OnlineNormalStrategy`` shape: flag when the current value
+  sits more than ``z_max`` sample standard deviations from the
+  window mean. Needs ≥ 2 prior points (one value has no spread);
+  a zero-spread window (constant history) fails on ANY departure.
 
 Like the drift stage, evaluation is driver-side math over a few
 dozen collected numbers; the only cluster work is ONE aggregation
@@ -40,7 +45,7 @@ HISTORY_SCHEMA = (
 
 ANOMALY_SCHEMA = (
     "col_name string, metric string, value double, baseline double, "
-    "rel_change double, n_history int, passed boolean, "
+    "rel_change double, z_score double, n_history int, passed boolean, "
     "run_id string, snapshot_id string"
 )
 
@@ -52,6 +57,7 @@ class AnomalyResult:
     value: float | None
     baseline: float | None
     rel_change: float | None
+    z: float | None
     n_history: int
     passed: bool
 
@@ -141,6 +147,7 @@ def evaluate(
             sum(r["value"] for r in prior) / len(prior) if prior else None
         )
         rel = None
+        z = None
         passed = v is not None
         if passed and "min" in spec:
             passed = v >= float(spec["min"])
@@ -153,8 +160,21 @@ def evaluate(
             )
             if passed and "max_rel_change" in spec:
                 passed = abs(rel) <= float(spec["max_rel_change"])
+        if v is not None and len(prior) >= 2:
+            # sample stddev (n-1), matching stddev_samp in the SQL
+            # replay of the windowed variant
+            var = sum((r["value"] - baseline) ** 2 for r in prior) / (
+                len(prior) - 1
+            )
+            std = var ** 0.5
+            z = (
+                (v - baseline) / std if std > 0
+                else (0.0 if v == baseline else float("inf"))
+            )
+            if passed and "z_max" in spec:
+                passed = abs(z) <= float(spec["z_max"])
         out.append(
-            AnomalyResult(col, m, v, baseline, rel, len(prior), passed)
+            AnomalyResult(col, m, v, baseline, rel, z, len(prior), passed)
         )
     return out
 
@@ -164,21 +184,27 @@ def rel_change_over_history(
 ) -> DataFrame:
     """The same fold as a DataFrame window — for EVERY point in the
     history, its relative change vs the mean of the previous
-    ``last_k`` values of the same (col_name, metric) series. One
+    ``last_k`` values of the same (col_name, metric) series, plus the
+    z-score band (``stddev``/``z``) over the same window — NULL until
+    the window holds ≥ 2 points (one value has no spread). One
     window over the (tiny) history; replayable as SQL
-    ``AVG(value) OVER (PARTITION BY ... ORDER BY seq ROWS BETWEEN k
-    PRECEDING AND 1 PRECEDING)``, which is what the correctness
-    oracle checks. Rows with no prior history get NULL baseline /
-    rel_change (a first run is not an anomaly)."""
+    ``AVG/STDDEV_SAMP(value) OVER (PARTITION BY ... ORDER BY seq ROWS
+    BETWEEN k PRECEDING AND 1 PRECEDING)``, which is what the
+    correctness oracle checks. Rows with no prior history get NULL
+    baseline / rel_change (a first run is not an anomaly)."""
     w = (
         Window.partitionBy("col_name", "metric")
         .orderBy("seq")
         .rowsBetween(-last_k, -1)
     )
     baseline = F.avg("value").over(w)
+    std = F.stddev_samp("value").over(w)
     rel = F.when(
         baseline.isNotNull() & (baseline != 0),
         (F.col("value") - baseline) / baseline,
+    )
+    z = F.when(
+        std.isNotNull() & (std > 0), (F.col("value") - baseline) / std
     )
     return history.select(
         "col_name",
@@ -187,4 +213,6 @@ def rel_change_over_history(
         "value",
         baseline.alias("baseline"),
         rel.alias("rel_change"),
+        std.alias("stddev"),
+        z.alias("z"),
     )

@@ -719,6 +719,15 @@ class _Compiler:
                         f"requires a numeric column, got "
                         f"{dt.simpleString()}"
                     )
+                zm = child.anomaly.get("z_max")
+                if zm is not None and (
+                    not isinstance(zm, (int, float))
+                    or isinstance(zm, bool) or zm <= 0
+                ):
+                    raise ValueError(
+                        f"$anomaly z_max on column [{path}] must be a "
+                        f"positive number, got {zm!r}"
+                    )
                 self.plan.anomaly_specs.append((path, child.anomaly))
             if child.expr_ is not None and dt is not None:
                 # $expr: cross-column row predicate (deequ `satisfies`

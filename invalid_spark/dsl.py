@@ -73,10 +73,12 @@ Engine extensions (all optional, ignored by reference-parity tests):
   other row check (zero extra scans), validated against the table
   schema at compile time
 - ``$anomaly: {metric: violation_rate|null_rate|mean|row_count,
-  min: lo, max: hi, max_rel_change: r, last_k: k}`` — the current
-  run's metric vs the ``metrics_history`` sink (absolute bounds +
-  relative change vs the mean of the last k runs); verdicts land in
-  the ``anomalies`` sink (:mod:`invalid_spark.checks.anomaly`)
+  min: lo, max: hi, max_rel_change: r, z_max: z, last_k: k}`` — the
+  current run's metric vs the ``metrics_history`` sink (absolute
+  bounds, relative change vs the mean of the last k runs, and/or a
+  z-score band of ``z_max`` sample standard deviations over that
+  window); verdicts land in the ``anomalies`` sink
+  (:mod:`invalid_spark.checks.anomaly`)
 - ``$dist: {expected: {cat: weight, ...}, alpha: a}`` — chi² goodness-
   of-fit of the column against a DECLARED distribution (class-balance
   gate; weights normalized, unexpected categories fail on their own);

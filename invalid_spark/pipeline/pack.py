@@ -85,6 +85,35 @@ def greedy_pack(t: "np.ndarray", cap: int) -> tuple["np.ndarray", "np.ndarray"]:
     return seq, off
 
 
+def _token_counter(
+    text_col: str, bpe: bool, n_tokens_col: str | None
+) -> "F.Column":
+    """The per-document token-count expression: the caller's exact
+    tokenizer counts when ``n_tokens_col`` names a column (real
+    pipelines materialize these upstream — an estimator would make
+    the packing budget systematically off vs the true sequence
+    length), else the whitespace / BPE-regex estimator."""
+    if n_tokens_col is not None:
+        return F.col(n_tokens_col)
+    return (
+        _text.token_count_bpe(F.col(text_col))
+        if bpe
+        else _text.token_count(F.col(text_col))
+    )
+
+
+def _bucket_expr(key_col: str, n_buckets: int, salt: str) -> "F.Column":
+    key_s = F.col(key_col).cast("string")
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "-"), key_s)), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(n_buckets),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,
@@ -94,6 +123,7 @@ def pack_sequences(
     salt: str = PACK_SALT,
     bpe: bool = False,
     order_col: str | None = None,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign every document to a (bucket, seq_id, seq_offset).
 
@@ -108,29 +138,21 @@ def pack_sequences(
     difficulty / quality score column groups similar documents into
     the same sequences while the key tie-break keeps the assignment
     fully deterministic.
+
+    ``n_tokens_col`` names a precomputed EXACT token-count column
+    (the real tokenizer's counts, materialized upstream); without it
+    the whitespace (or ``bpe=True`` BPE-regex) estimator rides the
+    scan projection. Null counts in either path pack as 0 tokens.
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
-    counter = (
-        _text.token_count_bpe(F.col(text_col))
-        if bpe
-        else _text.token_count(F.col(text_col))
-    )
-    key_s = F.col(key_col).cast("string")
-    bucket = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt + "-"), key_s)), 1, 8),
-            16,
-            10,
-        ).cast("bigint"),
-        F.lit(n_buckets),
-    )
+    counter = _token_counter(text_col, bpe, n_tokens_col)
     extra = [F.col(order_col)] if order_col else []
     meta = df.select(
         F.col(key_col),
-        bucket.alias("bucket"),
+        _bucket_expr(key_col, n_buckets, salt).alias("bucket"),
         F.coalesce(counter.cast("long"), F.lit(0)).alias("n_tokens"),
         *extra,
     )
@@ -174,3 +196,93 @@ def pack_summary(packed: DataFrame, max_tokens: int) -> DataFrame:
         .cast("long")
         .alias("n_oversize"),
     )
+
+
+def materialize(
+    df: DataFrame,
+    max_tokens: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_buckets: int = 64,
+    salt: str = PACK_SALT,
+    bpe: bool = False,
+    order_col: str | None = None,
+    n_tokens_col: str | None = None,
+    include_text: bool = True,
+    sep: str = " ",
+) -> DataFrame:
+    """Emit the training artifact: ONE row per packed sequence —
+    ``(bucket, seq_id, n_docs, total_tokens, doc_keys, offsets[,
+    text])`` with ``doc_keys``/``offsets`` in pack order and ``text``
+    the documents concatenated with ``sep``.
+
+    :func:`pack_sequences` assigns but nothing moves the text; this
+    replays the SAME deterministic greedy assignment (same salt, same
+    rule — equality is pytest-asserted) inside one ``applyInPandas``
+    group per bucket, so the ONLY shuffle is ``(key, text)`` keyed by
+    the md5 bucket: no join back to the corpus, the assignment is
+    recomputed from sequence-free metadata math inside the group.
+
+    Scale note: unlike :func:`pack_sequences` (whose groups hold
+    ~24 B/doc metadata), a materialize group holds its bucket's TEXT
+    — size ``n_buckets`` for ``corpus_bytes / n_buckets`` per
+    executor, not for metadata. The default ``sep=" "`` keeps the
+    whitespace token count of the concatenation equal to the sum of
+    the parts.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    counter = _token_counter(text_col, bpe, n_tokens_col)
+    extra = [F.col(order_col)] if order_col else []
+    text_sel = (
+        [F.coalesce(F.col(text_col), F.lit("")).alias("__text")]
+        if include_text
+        else []
+    )
+    meta = df.select(
+        F.col(key_col),
+        _bucket_expr(key_col, n_buckets, salt).alias("bucket"),
+        F.coalesce(counter.cast("long"), F.lit(0)).alias("n_tokens"),
+        *extra,
+        *text_sel,
+    )
+    ktype = df.schema[key_col].dataType.simpleString()
+    out_cols = [
+        "bucket", "seq_id", "n_docs", "total_tokens", "doc_keys", "offsets",
+    ] + (["text"] if include_text else [])
+    out_schema = (
+        f"bucket bigint, seq_id bigint, n_docs bigint, total_tokens bigint, "
+        f"doc_keys array<{ktype}>, offsets array<bigint>"
+        + (", text string" if include_text else "")
+    )
+    cap = int(max_tokens)
+    sort_cols = [order_col, key_col] if order_col else [key_col]
+
+    def _mat(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        seq, _off = greedy_pack(pdf["n_tokens"].to_numpy(dtype="int64"), cap)
+        pdf["seq_id"] = seq
+        bucket = int(pdf["bucket"].iloc[0])
+        rows = []
+        for sid, g in pdf.groupby("seq_id", sort=True):
+            t = g["n_tokens"].to_numpy(dtype="int64")
+            row = {
+                "bucket": bucket,
+                "seq_id": int(sid),
+                "n_docs": int(len(g)),
+                "total_tokens": int(t.sum()),
+                "doc_keys": g[key_col].tolist(),
+                # offsets restate within the sequence: cumsum shifted
+                # right — identical to pack_sequences' seq_offset
+                "offsets": (np.cumsum(t) - t).tolist(),
+            }
+            if include_text:
+                row["text"] = sep.join(g["__text"].tolist())
+            rows.append(row)
+        return pd.DataFrame(rows, columns=out_cols)
+
+    return meta.groupBy("bucket").applyInPandas(_mat, out_schema)

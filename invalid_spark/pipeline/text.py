@@ -540,6 +540,7 @@ def chunk_documents(
     overlap_tokens: int = 0,
     text_col: str = "text",
     key_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Token-window chunking: split each document into chunks of at
     most ``chunk_tokens`` whitespace tokens, consecutive chunks
@@ -560,6 +561,12 @@ def chunk_documents(
     and a start is emitted only while it indexes a real token, so a
     doc of ``n`` tokens yields ``ceil(max(n − overlap, 1) / step)``
     chunks.
+
+    ``tokens_col`` names a PRE-TOKENIZED array column (the real
+    tokenizer's output, materialized upstream — string or int token
+    ids both work; ids render via cast in the joined ``chunk``);
+    without it the whitespace tokenizer runs over ``text_col``. The
+    windowing arithmetic is identical either way.
     """
     if chunk_tokens <= 0:
         raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
@@ -569,7 +576,10 @@ def chunk_documents(
             f"{overlap_tokens}"
         )
     step = chunk_tokens - overlap_tokens
-    toks = tokens(F.col(text_col))
+    toks = (
+        F.col(tokens_col) if tokens_col is not None
+        else tokens(F.col(text_col))
+    )
     d = df.select(F.col(key_col).alias("id"), toks.alias("__t")).filter(
         F.size("__t") > 0
     )
@@ -580,9 +590,14 @@ def chunk_documents(
     )
     e = d.select("id", "__t", F.explode(starts).alias("start"))
     window = F.slice(F.col("__t"), F.col("start") + 1, chunk_tokens)
+    chunk = (
+        F.array_join(F.transform(window, lambda x: x.cast("string")), " ")
+        if tokens_col is not None
+        else F.array_join(window, " ")
+    )
     return e.select(
         "id",
         (F.col("start") / step).cast("long").alias("chunk_idx"),
         F.size(window).cast("long").alias("n_tokens"),
-        F.array_join(window, " ").alias("chunk"),
+        chunk.alias("chunk"),
     )

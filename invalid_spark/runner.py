@@ -713,7 +713,7 @@ def validate(
         spark.createDataFrame(
             [
                 (r.col, r.metric, r.value, r.baseline, r.rel_change,
-                 r.n_history, r.passed, run_id, snapshot)
+                 r.z, r.n_history, r.passed, run_id, snapshot)
                 for r in results
             ],
             anomaly_checks.ANOMALY_SCHEMA,

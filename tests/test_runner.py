@@ -932,6 +932,50 @@ def test_anomaly_detection_three_snapshots(spark, tmp_path):
     assert not a3b["passed"] and a3b["n_history"] == 2
 
 
+def test_anomaly_z_band_flags_sigma_jump(spark, tmp_path):
+    """$anomaly z_max (mean/stddev band over the last-k window, the
+    deequ OnlineNormalStrategy shape): a history whose mean values
+    wiggle mildly builds a small stddev; a value far outside the band
+    is flagged even though its RELATIVE change is modest — the case
+    max_rel_change alone cannot express."""
+    rules = load_rules(
+        "v: {$type: $float, "
+        "$anomaly: {metric: mean, z_max: 3.0, last_k: 4}}\n"
+    )
+    out = str(tmp_path / "zanom")
+
+    def run(vals, snap):
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)],
+            "doc_id long, v double",
+        )
+        return runner.validate(
+            spark, df, rules, "doc_id", out, snapshot=snap,
+            manifest_dir=os.path.join(out, f"m{snap}"),
+        )
+
+    # four runs with means 10.0, 10.2, 9.8, 10.0 (window std ≈ 0.163)
+    for i, mean in enumerate((10.0, 10.2, 9.8, 10.0)):
+        r = run([mean - 0.5, mean + 0.5], f"s{i}")
+        a = r.anomalies(spark).collect()[0]
+        assert a["passed"]
+    # fifth run: mean 11.0 — only +10% relative, but z ≈ 6.1σ
+    r5 = run([10.5, 11.5], "s4")
+    a5 = r5.anomalies(spark).collect()[0]
+    assert not a5["passed"]
+    assert a5["z_score"] > 3.0 and abs(a5["rel_change"]) < 0.5
+    # compile-time validation of the new key
+    with pytest.raises(ValueError, match="z_max"):
+        rules_bad = load_rules(
+            "v: {$type: $float, $anomaly: {metric: mean, z_max: -1}}\n"
+        )
+        runner.validate(
+            spark,
+            spark.createDataFrame([(0, 1.0)], "doc_id long, v double"),
+            rules_bad, "doc_id", str(tmp_path / "bad"),
+        )
+
+
 def test_continuous_snapshots_verdicts_current_only(spark, tmp_path):
     """The violations sink is append-mode across snapshots (ONE
     out_dir is the continuous workflow), but verdicts / metrics /

@@ -151,6 +151,92 @@ def test_pack_sequences_partitioning_invariant(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_pack_sequences_supplied_counts_identity(spark):
+    """n_tokens_col= with a column equal to the estimator yields the
+    IDENTICAL assignment; with different counts it drives the budget
+    (the estimator is ignored)."""
+    from invalid_spark.pipeline import pack, text as T
+    from pyspark.sql import functions as F
+
+    docs = spark.range(120).selectExpr(
+        "id AS doc_id", "repeat('tok ', CAST(id % 30 + 1 AS INT)) AS text"
+    )
+    pre = docs.withColumn("n_tok", T.token_count(F.col("text")).cast("long"))
+    a = pack.pack_sequences(pre, 128, n_buckets=4)
+    b = pack.pack_sequences(pre, 128, n_buckets=4, n_tokens_col="n_tok")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # different supplied counts: every doc costs 128 → one doc/sequence
+    solo = pre.withColumn("n_tok", F.lit(128).cast("long"))
+    c = pack.pack_sequences(solo, 128, n_buckets=4, n_tokens_col="n_tok")
+    per_seq = {}
+    for r in c.collect():
+        per_seq.setdefault((r.bucket, r.seq_id), 0)
+        per_seq[(r.bucket, r.seq_id)] += 1
+        assert r.n_tokens == 128
+    assert all(v == 1 for v in per_seq.values())
+
+
+def test_pack_materialize_replays_assignment(spark):
+    """materialize's per-sequence composition equals pack_sequences'
+    assignment exactly (same deterministic greedy rule), text
+    concatenation preserves pack order, and the plan carries exactly
+    ONE Exchange (the bucket shuffle — no join back to the corpus)."""
+    import contextlib
+    import io as _io
+
+    from invalid_spark.pipeline import pack
+
+    docs = spark.range(150).selectExpr(
+        "id AS doc_id", "repeat('w ', CAST(id % 20 + 1 AS INT)) AS text"
+    )
+    assigned = pack.pack_sequences(docs, 64, n_buckets=4)
+    mat = pack.materialize(docs, 64, n_buckets=4)
+    want: dict = {}
+    for r in assigned.collect():
+        want.setdefault((r.bucket, r.seq_id), []).append(
+            (r.doc_id, r.seq_offset, r.n_tokens)
+        )
+    got = {(r.bucket, r.seq_id): r for r in mat.collect()}
+    assert set(got) == set(want)
+    for key, members in want.items():
+        members.sort()
+        m = got[key]
+        assert list(m.doc_keys) == [x[0] for x in members]
+        assert list(m.offsets) == [x[1] for x in members]
+        assert m.total_tokens == sum(x[2] for x in members)
+        assert m.n_docs == len(members)
+        # sep=" " keeps whitespace token count = sum of parts
+        assert len(m.text.split()) == m.total_tokens
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        # a fresh (un-executed) frame: an AQE-finalized plan prints
+        # final + initial sections, double-counting the Exchange
+        pack.materialize(docs, 64, n_buckets=4).explain()
+    assert buf.getvalue().count("Exchange") == 1
+
+
+def test_chunk_documents_tokens_col(spark):
+    """Pre-tokenized array input (string or int ids) drives the same
+    windowing arithmetic as the whitespace path."""
+    from invalid_spark.pipeline import text as T
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10)))],
+        "doc_id long, text string",
+    )
+    base = T.chunk_documents(docs, 4, 1).collect()
+    pre = docs.withColumn("toks", F.split(F.trim("text"), r"\s+"))
+    via_col = T.chunk_documents(pre, 4, 1, tokens_col="toks").collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, via_col))
+    ids = spark.createDataFrame(
+        [(7, list(range(10)))], "doc_id long, toks array<int>"
+    )
+    out = {r.chunk_idx: r.chunk
+           for r in T.chunk_documents(ids, 4, 1, tokens_col="toks").collect()}
+    assert out == {0: "0 1 2 3", 1: "3 4 5 6", 2: "6 7 8 9"}
+
+
 def test_pack_sequences_order_col_curriculum(spark):
     from invalid_spark.pipeline import pack
 
