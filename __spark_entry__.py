@@ -1317,6 +1317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_chi2_partitioned_events": q_drift_chi2_partitioned_events,
         "outliers_lineitem": q_outliers_lineitem,
         "benford_lineitem": q_benford_lineitem,
+        "histogram_lineitem": q_histogram_lineitem,
+        "vector_norm_embeddings": q_vector_norm_embeddings,
         "null_rates_by_group_events": q_null_rates_by_group_events,
         "unique_composite_lineitem": q_unique_composite_lineitem,
         "rowcheck_format_documents": q_rowcheck_format_documents,
@@ -2362,6 +2364,135 @@ SELECT 'l_extendedprice' AS column_name,
                          (a, b) -> a + b), 6) AS statistic,
        8 AS dof, CAST(any_value(n) AS BIGINT) AS n
 FROM terms
+"""
+
+
+def q_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram profile (stats.histogram): 16 bins over
+    l_extendedprice with computed bounds, EMPTY BINS INCLUDED (a
+    drift UI / declared-shape comparison needs the zeros so the grid
+    never re-indexes between snapshots). One partial-combine count
+    aggregation (≤ bins rows shuffle per partition) after the min/max
+    pass; DuckDB replays the identical double arithmetic (same width,
+    same closed-upper-edge rule for the max value)."""
+    df = _t(spark, sf_dir, "lineitem")
+    h = stats.histogram(df, "l_extendedprice", bins=16)
+    return h.select(
+        "bin",
+        F.round("lo_edge", 6).alias("lo_edge"),
+        F.round("hi_edge", 6).alias("hi_edge"),
+        "n",
+    )
+
+
+def _sql_histogram_lineitem() -> str:
+    return """
+WITH b AS (
+  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+         CAST(max(l_extendedprice) AS DOUBLE) AS hi
+  FROM lineitem
+), g AS (
+  SELECT CAST(range AS BIGINT) AS bin FROM range(16)
+), d AS (
+  SELECT CASE WHEN CAST(l_extendedprice AS DOUBLE) = b.hi THEN 15
+              ELSE CAST(floor((CAST(l_extendedprice AS DOUBLE) - b.lo)
+                              / ((b.hi - b.lo) / 16)) AS BIGINT)
+         END AS bin
+  FROM lineitem, b
+  WHERE l_extendedprice IS NOT NULL
+    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+    AND CAST(l_extendedprice AS DOUBLE) >= b.lo
+    AND CAST(l_extendedprice AS DOUBLE) <= b.hi
+), c AS (
+  SELECT bin, count(*) AS n FROM d GROUP BY bin
+)
+SELECT g.bin,
+       round(b.lo + g.bin * ((b.hi - b.lo) / 16), 6) AS lo_edge,
+       round(b.lo + (g.bin + 1) * ((b.hi - b.lo) / 16), 6) AS hi_edge,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM g CROSS JOIN b LEFT JOIN c ON c.bin = g.bin
+"""
+
+
+def q_vector_norm_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$vector L2-norm band + ±Inf finiteness (vector.py norm_min/
+    norm_max): vectors are unit-normalized first (norm exactly
+    computable both engines — left fold over doubles), then planted:
+    ×3 scale (norm 3 > max), ×0.1 scale (norm 0.1 < min), and a +Inf
+    first element (finiteness violation AND an Inf norm breaching the
+    band). Deterministic when-chain on vec_id strides; observed is
+    dropped from the projection because Spark renders Inf as
+    'Infinity' vs DuckDB 'inf' — the verdict columns are the
+    contract."""
+    from invalid_spark.checks import vector as vector_checks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx, v = F.col("vec_id"), F.col("embedding")
+    norm = F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    unit = F.transform(v, lambda x: x.cast("double") / (norm + F.lit(1e-12)))
+    planted = (
+        F.when(idx % 13 == 0, F.transform(unit, lambda x: x * 3.0))
+        .when(idx % 29 == 0, F.transform(unit, lambda x: x * 0.1))
+        .when(
+            idx % 31 == 0,
+            F.concat(F.array(F.lit(float("inf"))), F.slice(unit, 2, 63)),
+        )
+        .otherwise(unit)
+    )
+    d = emb.select("vec_id", planted.alias("embedding"))
+    out = vector_checks.vector_violations(
+        d, "embedding", "vec_id", dim=64, norm_min=0.5, norm_max=2.0
+    )
+    return out.select("row_key", "error_type", "message")
+
+
+def _sql_vector_norm_embeddings() -> str:
+    return """
+WITH unit AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      (sqrt(list_reduce(
+          list_prepend(0.0, list_transform(
+              embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+          (a, b) -> a + b)) + 1e-12)) AS u
+  FROM embeddings
+), planted AS (
+  SELECT vec_id,
+    CASE WHEN vec_id % 13 = 0 THEN list_transform(u, x -> x * 3.0)
+         WHEN vec_id % 29 = 0 THEN list_transform(u, x -> x * 0.1)
+         WHEN vec_id % 31 = 0 THEN
+              list_concat(['Infinity'::DOUBLE], u[2:64])
+         ELSE u END AS v
+  FROM unit
+), norms AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0,
+              list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+  FROM planted
+)
+SELECT CAST(vec_id AS VARCHAR) AS row_key,
+       'vectorMismatch' AS error_type,
+       'vector [embedding] must have dim 64' AS message
+FROM norms WHERE v IS NOT NULL AND len(v) <> 64
+UNION ALL
+SELECT CAST(vec_id AS VARCHAR), 'vectorMismatch',
+       'vector [embedding] must not contain NaN/null/Inf'
+FROM norms WHERE v IS NOT NULL
+  AND len(list_filter(v, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0
+UNION ALL
+SELECT CAST(vec_id AS VARCHAR), 'vectorMismatch',
+       'vector [embedding] L2 norm must be in [0.5, 2.0]'
+FROM norms WHERE v IS NOT NULL AND (nrm < 0.5 OR nrm > 2.0)
+UNION ALL
+SELECT CAST(vec_id AS VARCHAR), 'vectorMismatch',
+       'vector [embedding] must not be all zeros'
+FROM norms WHERE v IS NOT NULL AND len(v) > 0
+  AND len(list_filter(v, x -> x <> 0)) = 0
 """
 
 
@@ -4721,9 +4852,10 @@ SELECT CAST(vec_id AS VARCHAR) AS row_key, 'embedding' AS col_name,
 FROM corrupted WHERE v IS NOT NULL AND len(v) <> 64
 UNION ALL
 SELECT CAST(vec_id AS VARCHAR), 'embedding', 'embedding', 'vectorMismatch',
-       'vector [embedding] must not contain NaN/null', NULL
+       'vector [embedding] must not contain NaN/null/Inf', NULL
 FROM corrupted WHERE v IS NOT NULL
-  AND len(list_filter(v, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) > 0
+  AND len(list_filter(v, x -> x IS NULL OR isnan(CAST(x AS DOUBLE))
+                              OR isinf(CAST(x AS DOUBLE)))) > 0
 UNION ALL
 SELECT CAST(vec_id AS VARCHAR), 'embedding', 'embedding', 'vectorMismatch',
        'vector [embedding] must not be all zeros', NULL
@@ -4847,6 +4979,8 @@ def oracle_sql() -> dict[str, str]:
         "drift_chi2_partitioned_events": _sql_drift_chi2_partitioned_events(),
         "outliers_lineitem": _sql_outliers_lineitem(),
         "benford_lineitem": _sql_benford_lineitem(),
+        "histogram_lineitem": _sql_histogram_lineitem(),
+        "vector_norm_embeddings": _sql_vector_norm_embeddings(),
         "null_rates_by_group_events": _sql_null_rates_by_group_events(),
         "unique_composite_lineitem": _sql_unique_composite_lineitem(),
         "rowcheck_format_documents": _sql_rowcheck_format_documents(),

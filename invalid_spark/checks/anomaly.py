@@ -36,7 +36,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-ANOMALY_METRICS = ("violation_rate", "null_rate", "mean", "row_count")
+ANOMALY_METRICS = (
+    "violation_rate", "null_rate", "mean", "row_count",
+    "stddev", "min", "max", "distinct",
+)
+# metrics that aggregate the column's numeric values (vs counts)
+NUMERIC_METRICS = ("mean", "stddev", "min", "max")
 
 HISTORY_SCHEMA = (
     "col_name string, metric string, value double, seq long, "
@@ -91,6 +96,19 @@ def current_metric_values(
                 (F.sum(c.cast("double")) / F.count(c).cast("double"))
                 .alias(f"v_{i}")
             )
+        elif m == "stddev":
+            aggs.append(F.stddev_samp(c.cast("double")).alias(f"v_{i}"))
+        elif m == "min":
+            aggs.append(F.min(c.cast("double")).alias(f"v_{i}"))
+        elif m == "max":
+            aggs.append(F.max(c.cast("double")).alias(f"v_{i}"))
+        elif m == "distinct":
+            # exact (countDistinct partial-combines on the grouping
+            # hash): the history series must be reproducible run-over-
+            # run — an approximate sketch would jitter the baseline
+            aggs.append(
+                F.count_distinct(c).cast("double").alias(f"v_{i}")
+            )
     row = df.agg(*aggs).collect()[0]
     n = row["__n"]
     vcounts: dict[str, int] = {}
@@ -113,7 +131,7 @@ def current_metric_values(
             out[(col, m)] = float(vcounts.get(col, 0)) / n if n else None
         elif m == "null_rate":
             out[(col, m)] = float(row[f"v_{i}"]) / n if n else None
-        else:  # mean
+        else:  # mean / stddev / min / max / distinct
             v = row[f"v_{i}"]
             out[(col, m)] = float(v) if v is not None else None
     return out

@@ -629,6 +629,33 @@ class _Compiler:
             if child.caption_eq is not None:
                 self.plan.caption_specs.append((path, child.caption_eq))
             if child.vector is not None:
+                vnorm = child.vector.get("norm")
+                if vnorm is not None:
+                    if not isinstance(vnorm, dict) or not (
+                        "min" in vnorm or "max" in vnorm
+                    ):
+                        raise ValueError(
+                            f"$vector norm on [{path}] needs a map with "
+                            f"min and/or max, got {vnorm!r}"
+                        )
+                    for b in ("min", "max"):
+                        bv = vnorm.get(b)
+                        if bv is not None and (
+                            not isinstance(bv, (int, float))
+                            or isinstance(bv, bool)
+                        ):
+                            raise ValueError(
+                                f"$vector norm {b} on [{path}] must be "
+                                f"a number, got {bv!r}"
+                            )
+                    if (
+                        vnorm.get("min") is not None
+                        and vnorm.get("max") is not None
+                        and vnorm["min"] > vnorm["max"]
+                    ):
+                        raise ValueError(
+                            f"$vector norm on [{path}]: min > max"
+                        )
                 self.plan.vector_specs.append((path, child.vector))
             if child.assert_ is not None and dt is not None:
                 # a $assert on a column absent from the schema is
@@ -713,10 +740,12 @@ class _Compiler:
                         f"column [{path}] (choose from "
                         f"{_anomaly.ANOMALY_METRICS})"
                     )
-                if a_metric == "mean" and not isinstance(dt, T.NumericType):
+                if a_metric in _anomaly.NUMERIC_METRICS and not isinstance(
+                    dt, T.NumericType
+                ):
                     raise ValueError(
-                        f"$anomaly metric [mean] on column [{path}] "
-                        f"requires a numeric column, got "
+                        f"$anomaly metric [{a_metric}] on column "
+                        f"[{path}] requires a numeric column, got "
                         f"{dt.simpleString()}"
                     )
                 zm = child.anomaly.get("z_max")

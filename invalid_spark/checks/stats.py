@@ -627,3 +627,58 @@ def freshness(
         ((F.lit(now_us) - max_us)
          <= F.lit(int(max_age_seconds * 1_000_000))).alias("fresh"),
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: one row per bin —
+    ``(bin, lo_edge, hi_edge, n)`` — EMPTY BINS INCLUDED (a drift UI
+    or declared-shape comparison needs the zeros; returning only
+    occupied bins silently re-indexes the grid between snapshots).
+
+    With explicit ``lo``/``hi`` the histogram is ONE partial-combine
+    aggregation over the scan (the shuffle carries at most ``bins``
+    rows per partition); omitted bounds cost one extra min/max pass
+    first — at repeated-snapshot scale pass the bounds (or quantile
+    clips) so the grid is also STABLE across runs, which is what
+    makes two snapshots' histograms comparable at all. Values outside
+    [lo, hi] are excluded (clip upstream to keep them); ``hi`` itself
+    lands in the last bin (closed upper edge, half-open elsewhere —
+    numpy.histogram semantics). NULL/NaN excluded.
+    """
+    if bins <= 0:
+        raise ValueError(f"bins must be positive, got {bins}")
+    c = F.col(col).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+        lo = float(row["lo"]) if lo is None else float(lo)
+        hi = float(row["hi"]) if hi is None else float(hi)
+    lo, hi = float(lo), float(hi)
+    if not hi > lo:
+        raise ValueError(f"histogram needs hi > lo, got [{lo}, {hi}]")
+    w = (hi - lo) / bins
+    b = (
+        F.when(c == F.lit(hi), F.lit(bins - 1))
+        .otherwise(F.floor((c - F.lit(lo)) / F.lit(w)))
+        .cast("long")
+    )
+    counts = (
+        df.filter(c.isNotNull() & ~F.isnan(c) & (c >= lo) & (c <= hi))
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = df.sparkSession.range(bins).select(F.col("id").alias("bin"))
+    return (
+        grid.join(counts, "bin", "left")
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(w)).alias("lo_edge"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("hi_edge"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )

@@ -1,4 +1,4 @@
-"""Embedding/vector column checks: dimension, NaN/null elements,
+"""Embedding/vector column checks: dimension, NaN/null/±Inf elements,
 zero vectors — the schema invariants an embedding table breaks in
 practice (truncated writes, failed encoders emitting zeros, fp
 overflow producing NaN).
@@ -26,9 +26,20 @@ def vector_violations(
     dim: int | None = None,
     no_nan: bool = True,
     no_zero: bool = True,
+    norm_min: float | None = None,
+    norm_max: float | None = None,
     run_id: str = "",
 ) -> DataFrame:
-    """Violation rows for every vector invariant breach."""
+    """Violation rows for every vector invariant breach.
+
+    ``norm_min``/``norm_max`` bound the L2 norm — the invariant a
+    "normalized embeddings" contract actually means (an encoder that
+    silently stopped normalizing passes dim/NaN checks forever). The
+    norm is a Catalyst left-fold (``aggregate``), same projection
+    pass as the other invariants; a vector containing NaN/±Inf folds
+    to a NaN/Inf norm, which fails BOTH bounds (comparisons with NaN
+    are false → flagged here only via the finiteness check, which is
+    why ``no_nan`` also refuses ±Inf)."""
     c = F.col(col)
     checks = []
     if dim is not None:
@@ -43,14 +54,48 @@ def vector_violations(
             )
         )
     if no_nan:
-        bad = F.exists(c, lambda x: x.isNull() | F.isnan(x.cast("double")))
+        inf = F.lit(float("inf"))
+        bad = F.exists(
+            c,
+            lambda x: x.isNull()
+            | F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == inf),
+        )
         checks.append(
             F.when(
                 c.isNotNull() & bad,
                 F.struct(
                     F.lit(ErrorType.VECTOR_MISMATCH).alias("error_type"),
-                    F.lit(f"vector [{col}] must not contain NaN/null").alias("message"),
+                    F.lit(
+                        f"vector [{col}] must not contain NaN/null/Inf"
+                    ).alias("message"),
                     F.lit(None).cast("string").alias("observed"),
+                ),
+            )
+        )
+    if norm_min is not None or norm_max is not None:
+        norm = F.sqrt(
+            F.aggregate(
+                c,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        out_of_band = F.lit(False)
+        if norm_min is not None:
+            out_of_band = out_of_band | (norm < F.lit(float(norm_min)))
+        if norm_max is not None:
+            out_of_band = out_of_band | (norm > F.lit(float(norm_max)))
+        checks.append(
+            F.when(
+                c.isNotNull() & F.coalesce(out_of_band, F.lit(False)),
+                F.struct(
+                    F.lit(ErrorType.VECTOR_MISMATCH).alias("error_type"),
+                    F.lit(
+                        f"vector [{col}] L2 norm must be in "
+                        f"[{norm_min}, {norm_max}]"
+                    ).alias("message"),
+                    F.round(norm, 6).cast("string").alias("observed"),
                 ),
             )
         )

@@ -64,6 +64,12 @@ Engine extensions (all optional, ignored by reference-parity tests):
   header dims for PNG-family containers) must match the declared
   format / width / height columns; pure Catalyst hex ops, zero decode
 - ``$pixel: {psnr_min: 40.0}``     — decoded-pixel invariant (binary col)
+- ``$vector: {dim: d, no_nan: true, no_zero: true,
+  norm: {min: lo, max: hi}}`` — embedding-column invariants:
+  dimension, NaN/null/±Inf elements, all-zero vectors, and an L2-norm
+  band (the "normalized embeddings" contract); own projection stage
+  over the pruned (key, vector) scan
+  (:func:`invalid_spark.checks.vector.vector_violations`)
 - ``$pii: {kinds: [email, ipv4, ssn, phone], max: 0}`` — PII scrub
   gate (violation when total matches exceed ``max``; kinds default to
   every pattern in ``pipeline.text.PII_PATTERNS``)
@@ -72,7 +78,8 @@ Engine extensions (all optional, ignored by reference-parity tests):
   FALSE or NULL; compiles into the same codegen projection as every
   other row check (zero extra scans), validated against the table
   schema at compile time
-- ``$anomaly: {metric: violation_rate|null_rate|mean|row_count,
+- ``$anomaly: {metric: violation_rate|null_rate|mean|row_count|
+  stddev|min|max|distinct,
   min: lo, max: hi, max_rel_change: r, z_max: z, last_k: k}`` — the
   current run's metric vs the ``metrics_history`` sink (absolute
   bounds, relative change vs the mean of the last k runs, and/or a
@@ -173,7 +180,7 @@ class Rule:
     drift: Optional[dict] = None
     pixel: Optional[dict] = None
     caption_eq: Optional[dict] = None
-    vector: Optional[dict] = None  # $arr: {dim, no_nan, no_zero}
+    vector: Optional[dict] = None  # $vector: {dim, no_nan, no_zero, norm}
     pii: Optional[dict] = None  # $str: {kinds: [...], max: n}
     assert_: Optional[dict] = None  # $assert: {stat, min, max}
     # $anomaly: {metric, min, max, max_rel_change, last_k} — current

@@ -205,11 +205,14 @@ def _stage_violations(
     for col, spec in plan.vector_specs:
         from invalid_spark.checks import vector as vector_checks
 
+        norm = spec.get("norm") or {}
         vv = vector_checks.vector_violations(
             df, col, row_key,
             dim=spec.get("dim"),
             no_nan=bool(spec.get("no_nan", True)),
             no_zero=bool(spec.get("no_zero", True)),
+            norm_min=norm.get("min"),
+            norm_max=norm.get("max"),
             run_id=run_id,
         )
         v = v.unionByName(vv.select(*cols))

@@ -976,6 +976,42 @@ def test_anomaly_z_band_flags_sigma_jump(spark, tmp_path):
         )
 
 
+def test_anomaly_metric_extensions(spark, tmp_path):
+    """$anomaly metrics stddev / min / max / distinct: one shared
+    aggregation computes them all; absolute bounds verdict on the
+    current run (no history needed); non-numeric column + stddev is
+    a compile-time rule error."""
+    rules = load_rules(
+        "v: {$type: $float, $anomaly: {metric: stddev, max: 10.0}}\n"
+        "k: {$type: $str, $anomaly: {metric: distinct, min: 3}}\n"
+    )
+    df = spark.createDataFrame(
+        [(i, float(i % 5), f"k{i % 4}") for i in range(20)],
+        "doc_id long, v double, k string",
+    )
+    out = str(tmp_path / "anom_ext")
+    r = runner.validate(spark, df, rules, "doc_id", out)
+    a = {(x["col_name"], x["metric"]): x for x in r.anomalies(spark).collect()}
+    assert a[("v", "stddev")]["passed"]
+    assert abs(a[("v", "stddev")]["value"] - 1.4509525002200232) < 1e-9
+    assert a[("k", "distinct")]["passed"]
+    assert a[("k", "distinct")]["value"] == 4.0
+    # bound breach: distinct min above the true cardinality
+    rules2 = load_rules(
+        "k: {$type: $str, $anomaly: {metric: distinct, min: 9}}\n"
+    )
+    r2 = runner.validate(
+        spark, df, rules2, "doc_id", str(tmp_path / "anom_ext2")
+    )
+    assert not r2.anomalies(spark).collect()[0]["passed"]
+    with pytest.raises(ValueError, match="requires a numeric column"):
+        runner.validate(
+            spark, df,
+            load_rules("k: {$type: $str, $anomaly: {metric: stddev}}\n"),
+            "doc_id", str(tmp_path / "anom_bad"),
+        )
+
+
 def test_continuous_snapshots_verdicts_current_only(spark, tmp_path):
     """The violations sink is append-mode across snapshots (ONE
     out_dir is the continuous workflow), but verdicts / metrics /

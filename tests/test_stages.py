@@ -924,8 +924,88 @@ def test_vector_violations_planted(spark):
     exp_nan = len([i for i in range(n) if i % 19 == 0 and i % 17 != 0])
     exp_zero = len([i for i in range(n) if i % 23 == 0 and i % 17 != 0 and i % 19 != 0])
     assert by["vector [embedding] must have dim 64"] == exp_dim
-    assert by["vector [embedding] must not contain NaN/null"] == exp_nan
+    assert by["vector [embedding] must not contain NaN/null/Inf"] == exp_nan
     assert by["vector [embedding] must not be all zeros"] == exp_zero
+
+
+def test_vector_norm_band_and_inf(spark):
+    """$vector norm band: unit vectors pass [0.5, 2.0]; ×3 / ×0.1
+    scales breach it; a +Inf element fails the finiteness check AND
+    the band (Inf norm > max); exact planted counts."""
+    from invalid_spark.checks import vector as vc
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, [3.0, 0.0, 0.0, 4.0]),     # norm 5 → scaled below to unit
+        (1, [1.0, 0.0, 0.0, 0.0]),     # unit
+        (2, [0.06, 0.0, 0.08, 0.0]),   # norm 0.1 → below min
+        (3, [3.0, 0.0, 0.0, 0.0]),     # norm 3 → above max
+        (4, [float("inf"), 0.0, 0.0, 0.0]),  # Inf: finiteness + band
+        (5, [0.6, 0.8, 0.0, 0.0]),     # unit
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = df.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 0,
+            F.transform(F.col("embedding"), lambda x: x / 5.0),
+        ).otherwise(F.col("embedding")),
+    )
+    out = vc.vector_violations(
+        df, "embedding", "vec_id", dim=4, norm_min=0.5, norm_max=2.0
+    )
+    got = {(r["row_key"], r["message"]) for r in out.collect()}
+    band = "vector [embedding] L2 norm must be in [0.5, 2.0]"
+    finite = "vector [embedding] must not contain NaN/null/Inf"
+    assert got == {("2", band), ("3", band), ("4", band), ("4", finite)}
+    # runner wiring: the $vector rule's norm spec reaches the stage
+    from invalid_spark.checks.rows import compile_row_checks
+    from invalid_spark.dsl import load_rules
+
+    plan = compile_row_checks(
+        df,
+        load_rules(
+            "embedding: {$type: $arr, $constraint: $float, "
+            "$vector: {dim: 4, norm: {min: 0.5, max: 2.0}}}\n"
+        ),
+    )
+    assert plan.vector_specs[0][1]["norm"] == {"min": 0.5, "max": 2.0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min > max"):
+        compile_row_checks(
+            df,
+            load_rules(
+                "embedding: {$type: $arr, $constraint: $float, "
+                "$vector: {norm: {min: 3, max: 1}}}\n"
+            ),
+        )
+
+
+def test_histogram_empty_bins_and_edges(spark):
+    """stats.histogram: empty bins included with n=0, hi lands in the
+    last bin (closed upper edge), NULL/out-of-range excluded, and the
+    counts-side plan is ONE aggregate over the scan."""
+    from invalid_spark.checks import stats as st
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(float(x),) for x in (0.0, 0.5, 1.0, 9.0, 10.0, 10.0)]
+        + [(None,), (-5.0,), (25.0,)],
+        "x double",
+    )
+    h = {r["bin"]: r for r in st.histogram(
+        df, "x", bins=5, lo=0.0, hi=10.0).collect()}
+    assert len(h) == 5
+    # width 2: {0.0, 0.5, 1.0} → bin 0; 9.0 → bin 4; both 10.0 (== hi)
+    # → bin 4 via the closed-upper-edge rule
+    assert [h[i]["n"] for i in range(5)] == [3, 0, 0, 0, 3]
+    assert h[0]["lo_edge"] == 0.0 and h[4]["hi_edge"] == 10.0
+    # hi itself (10.0 twice) in the last bin; -5/25/NULL excluded
+    total = sum(h[i]["n"] for i in range(5))
+    assert total == 6
+    with __import__("pytest").raises(ValueError, match="hi > lo"):
+        st.histogram(df, "x", bins=5, lo=1.0, hi=1.0)
 
 
 def test_split_valid_quarantine(spark):
