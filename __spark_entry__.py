@@ -1350,6 +1350,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_phash_screen_documents": q_streaming_phash_screen_documents,
         "rowcheck_dynamic_events": q_rowcheck_dynamic_events,
         "emb_neardup_cosine": q_emb_neardup_cosine,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+        "semantic_incremental_embeddings": q_semantic_incremental_embeddings,
+        "alignment_embeddings": q_alignment_embeddings,
+        "top_fraction_documents": q_top_fraction_documents,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "ann_brute_topk_embeddings": q_ann_brute_topk_embeddings,
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
@@ -5017,6 +5021,10 @@ def oracle_sql() -> dict[str, str]:
         "violation_samples_orders": _sql_violation_samples_orders(),
         "vector_check_embeddings": _sql_vector_check_embeddings(),
         "emb_neardup_cosine": _sql_emb_neardup(),
+        "semantic_dedup_embeddings": _sql_semantic_dedup(),
+        "semantic_incremental_embeddings": _sql_semantic_incremental(),
+        "alignment_embeddings": _sql_alignment_embeddings(),
+        "top_fraction_documents": _sql_top_fraction_documents(),
         "emb_neardup_lsh": _sql_emb_neardup_lsh(),
         "caption_eq_documents": _sql_caption_eq_documents(),
         "unique_phash_skew": _sql_unique_phash_skew(),
@@ -5031,3 +5039,326 @@ def oracle_sql() -> dict[str, str]:
         # image_validate_synth: Arrow-UDF image decode — rows-only
         # streaming lifecycle oracle above replays the checks in SQL
     }
+
+
+# ---------------------------------------------------------------------------
+# round 5: semantic dedup (SemDeDup), paired-embedding alignment gate,
+# top-fraction quality selection
+
+
+def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (dedup.semantic_dedup, Abbas et al. 2023): cluster
+    the embedding space with the md5-derived coarse codebook (8
+    lists), compare cosines only WITHIN clusters, and keep — per the
+    paper — the duplicate-component member with the LOWEST cosine to
+    its cluster centroid. Twins are planted by duplicating every 20th
+    vector under id+100000: identical vectors share a cluster and a
+    cosine of ~1.0, so every planted pair lands in a component. The
+    oracle replays codebook ranking, assignment tie-break (sim DESC,
+    cid DESC), in-cluster pairs, recursive-reachability components,
+    and the centroid-sim keeper window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    spiked = emb.unionByName(
+        emb.filter(F.col("vec_id") % 20 == 0).withColumn(
+            "vec_id", F.col("vec_id") + 100000
+        )
+    )
+    out = dedup.semantic_dedup(spiked, threshold=0.9, n_lists=8)
+    return out.select(
+        "id",
+        "cluster_id",
+        F.round("centroid_sim", 6).alias("centroid_sim"),
+        "keep",
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    return """
+WITH RECURSIVE src AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 20 = 0
+), nvt AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM src
+), un AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_reduce(
+           list_transform(v, y -> y * y), (a, b) -> a + b))) AS nv
+  FROM nvt
+  WHERE sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b)) > 0
+), cent AS (
+  SELECT row_number() OVER (
+           ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                         AS BIGINT), vec_id
+         ) - 1 AS cid,
+         nv AS cv
+  FROM un
+  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT),
+           vec_id
+  LIMIT 8
+), sims AS (
+  SELECT u.vec_id AS id, u.nv, ct.cid,
+         list_reduce(list_transform(range(64),
+           i -> u.nv[i+1] * ct.cv[i+1]), (a, b) -> a + b) AS sim
+  FROM un u CROSS JOIN cent ct
+), rs AS (
+  SELECT id, nv, cid, sim,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY sim DESC, cid DESC) AS rn
+  FROM sims
+), assign AS (
+  SELECT id, nv, cid AS cluster, sim AS centroid_sim FROM rs WHERE rn = 1
+), pairs AS (
+  SELECT x.id AS a, y.id AS b
+  FROM assign x JOIN assign y ON x.cluster = y.cluster AND x.id < y.id
+  WHERE list_reduce(list_transform(range(64),
+          i -> x.nv[i+1] * y.nv[i+1]), (p, q) -> p + q) >= 0.9
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION
+  SELECT b AS u, a AS v FROM pairs
+), reach(id, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+), comp AS (
+  SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+)
+SELECT c.id, c.cluster_id, round(a.centroid_sim, 6) AS centroid_sim,
+       row_number() OVER (PARTITION BY c.cluster_id
+                          ORDER BY a.centroid_sim ASC, c.id ASC) = 1 AS keep
+FROM comp c JOIN assign a ON a.id = c.id
+"""
+
+
+def q_alignment_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired-embedding alignment gate (vector.alignment_violations —
+    the CLIP-score filter of a multimodal curation pipeline): pair
+    even-id vectors (stand-in image embeddings) with their odd-id
+    successors (stand-in caption embeddings); plant unscorable pairs
+    (caption side NULLed, pair_id % 13 == 5) and perfectly aligned
+    pairs (caption := image, pair_id % 7 == 0, checked FIRST only
+    when not nulled). Random 64-dim pairs mostly violate min_cos=0.1
+    (cos ~ N(0, 1/64)); observed is returned as a double so the
+    engines' float-to-string renderings never enter the hash."""
+    from invalid_spark.checks import vector as vector_checks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.floor(F.col("vec_id") / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("img_emb"),
+    )
+    b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.floor(F.col("vec_id") / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("cap_emb"),
+    )
+    paired = a.join(b, "pair_id").select(
+        "pair_id",
+        "img_emb",
+        F.when(F.col("pair_id") % 13 == 5, F.lit(None).cast("array<float>"))
+        .when(F.col("pair_id") % 7 == 0, F.col("img_emb"))
+        .otherwise(F.col("cap_emb"))
+        .alias("cap_emb"),
+    )
+    v = vector_checks.alignment_violations(
+        paired, "img_emb", "cap_emb", "pair_id", min_cos=0.1
+    )
+    return v.select(
+        "row_key",
+        "rule_id",
+        "error_type",
+        "message",
+        F.col("observed").cast("double").alias("observed"),
+    )
+
+
+def _sql_alignment_embeddings() -> str:
+    return """
+WITH a AS (
+  SELECT CAST(floor(vec_id / 2.0) AS BIGINT) AS pair_id,
+         embedding AS img FROM embeddings WHERE vec_id % 2 = 0
+), b0 AS (
+  SELECT CAST(floor(vec_id / 2.0) AS BIGINT) AS pair_id,
+         embedding AS cap FROM embeddings WHERE vec_id % 2 = 1
+), p AS (
+  SELECT a.pair_id,
+         list_transform(a.img, x -> CAST(x AS DOUBLE)) AS va,
+         CASE WHEN a.pair_id % 13 = 5 THEN NULL
+              WHEN a.pair_id % 7 = 0
+                THEN list_transform(a.img, x -> CAST(x AS DOUBLE))
+              ELSE list_transform(b0.cap, x -> CAST(x AS DOUBLE)) END AS vb
+  FROM a JOIN b0 ON a.pair_id = b0.pair_id
+), n AS (
+  SELECT pair_id, va, vb,
+         sqrt(list_reduce(list_transform(va, y -> y * y),
+                          (s, t) -> s + t)) AS na,
+         CASE WHEN vb IS NULL THEN NULL
+              ELSE sqrt(list_reduce(list_transform(vb, y -> y * y),
+                                    (s, t) -> s + t)) END AS nb
+  FROM p
+), scored AS (
+  SELECT pair_id,
+         coalesce(va IS NULL OR vb IS NULL OR len(va) <> len(vb)
+                  OR na = 0 OR nb = 0, TRUE) AS unscorable,
+         CASE WHEN NOT coalesce(va IS NULL OR vb IS NULL
+                                OR len(va) <> len(vb)
+                                OR na = 0 OR nb = 0, TRUE)
+              THEN list_reduce(list_transform(range(64),
+                     i -> (va[i+1] / na) * (vb[i+1] / nb)),
+                     (s, t) -> s + t) END AS cos
+  FROM n
+)
+SELECT CAST(pair_id AS VARCHAR) AS row_key,
+       'img_emb~cap_emb' AS rule_id,
+       'alignmentMismatch' AS error_type,
+       CASE WHEN unscorable THEN
+         'pair [img_emb, cap_emb] must be scorable (non-null, same dim, nonzero norm)'
+       ELSE 'cosine([img_emb], [cap_emb]) must be >= 0.1' END AS message,
+       CASE WHEN unscorable THEN NULL ELSE round(cos, 6) END AS observed
+FROM scored WHERE unscorable OR cos < 0.1
+"""
+
+
+def q_top_fraction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-fraction quality selection (curate.top_fraction):
+    keep the top 20% of documents by score (n_chars as the stand-in
+    quality score) via ONE quantile aggregate + a broadcast threshold
+    — no global sort. Exact-percentile mode is the oracle anchor
+    (Spark percentile == DuckDB quantile_cont interpolation, the
+    percentiles_exact_lineitem parity); percentile_approx is the
+    documented 100 TB path."""
+    from invalid_spark.pipeline import curate
+
+    d = _t(spark, sf_dir, "documents")
+    return curate.top_fraction(d, "n_chars", 0.2, key_col="doc_id")
+
+
+def _sql_top_fraction_documents() -> str:
+    return """
+WITH t AS (
+  SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.8) AS thr FROM documents
+)
+SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+       CAST(n_chars AS DOUBLE) >= t.thr AS keep
+FROM documents, t
+"""
+
+
+def q_semantic_incremental_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental SemDeDup (dedup.semantic_dedup_vs_state): corpus
+    state = even-id vectors assigned against the md5 codebook derived
+    from THEM (the codebook is part of the state contract); batch =
+    odd-id vectors (mostly new) + exact copies of every 20th even
+    vector under id+200000 (dup_of_corpus at cosine ~1.0) + exact
+    copies of every 30th odd vector under id+300000 (dup_in_batch —
+    the original odd twin has the smaller key). Decisions and max
+    cosines replayed exactly by the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    cent = similarity.ivf_md5_centroids(corpus, n_lists=8)
+    state = dedup.semantic_state(corpus, cent)
+    batch = (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .unionByName(
+            emb.filter(F.col("vec_id") % 20 == 0).withColumn(
+                "vec_id", F.col("vec_id") + 200000
+            )
+        )
+        .unionByName(
+            emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 30 == 1))
+            .withColumn("vec_id", F.col("vec_id") + 300000)
+        )
+    )
+    out = dedup.semantic_dedup_vs_state(batch, state, cent, threshold=0.9)
+    return out.select(
+        "id",
+        "decision",
+        F.round("cos_corpus", 6).alias("cos_corpus"),
+        F.round("cos_batch", 6).alias("cos_batch"),
+    )
+
+
+def _sql_semantic_incremental() -> str:
+    return """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+), batch AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+  UNION ALL
+  SELECT vec_id + 200000, embedding FROM embeddings WHERE vec_id % 20 = 0
+  UNION ALL
+  SELECT vec_id + 300000, embedding FROM embeddings
+  WHERE vec_id % 2 = 1 AND vec_id % 30 = 1
+), cun AS (
+  SELECT vec_id, list_transform(list_transform(embedding,
+           x -> CAST(x AS DOUBLE)), x -> x / sqrt(list_reduce(
+           list_transform(list_transform(embedding, e -> CAST(e AS DOUBLE)),
+                          y -> y * y), (a, b) -> a + b))) AS nv
+  FROM corpus
+  WHERE sqrt(list_reduce(list_transform(list_transform(embedding,
+          e -> CAST(e AS DOUBLE)), y -> y * y), (a, b) -> a + b)) > 0
+), bun AS (
+  SELECT vec_id, list_transform(list_transform(embedding,
+           x -> CAST(x AS DOUBLE)), x -> x / sqrt(list_reduce(
+           list_transform(list_transform(embedding, e -> CAST(e AS DOUBLE)),
+                          y -> y * y), (a, b) -> a + b))) AS nv
+  FROM batch
+  WHERE sqrt(list_reduce(list_transform(list_transform(embedding,
+          e -> CAST(e AS DOUBLE)), y -> y * y), (a, b) -> a + b)) > 0
+), cent AS (
+  SELECT row_number() OVER (
+           ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                         AS BIGINT), vec_id
+         ) - 1 AS cid,
+         nv AS cv
+  FROM cun
+  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT),
+           vec_id
+  LIMIT 8
+), cassign AS (
+  SELECT id, nv, cid AS cluster FROM (
+    SELECT u.vec_id AS id, u.nv, ct.cid,
+           row_number() OVER (PARTITION BY u.vec_id ORDER BY
+             list_reduce(list_transform(range(64),
+               i -> u.nv[i+1] * ct.cv[i+1]), (a, b) -> a + b) DESC,
+             ct.cid DESC) AS rn
+    FROM cun u CROSS JOIN cent ct
+  ) WHERE rn = 1
+), bassign AS (
+  SELECT id, nv, cid AS cluster FROM (
+    SELECT u.vec_id AS id, u.nv, ct.cid,
+           row_number() OVER (PARTITION BY u.vec_id ORDER BY
+             list_reduce(list_transform(range(64),
+               i -> u.nv[i+1] * ct.cv[i+1]), (a, b) -> a + b) DESC,
+             ct.cid DESC) AS rn
+    FROM bun u CROSS JOIN cent ct
+  ) WHERE rn = 1
+), cor AS (
+  SELECT b.id, max(list_reduce(list_transform(range(64),
+           i -> b.nv[i+1] * c.nv[i+1]), (p, q) -> p + q)) AS cos_corpus
+  FROM bassign b JOIN cassign c ON b.cluster = c.cluster
+  WHERE list_reduce(list_transform(range(64),
+          i -> b.nv[i+1] * c.nv[i+1]), (p, q) -> p + q) >= 0.9
+  GROUP BY b.id
+), bat AS (
+  SELECT b.id, max(list_reduce(list_transform(range(64),
+           i -> b.nv[i+1] * o.nv[i+1]), (p, q) -> p + q)) AS cos_batch
+  FROM bassign b JOIN bassign o ON b.cluster = o.cluster AND o.id < b.id
+  WHERE list_reduce(list_transform(range(64),
+          i -> b.nv[i+1] * o.nv[i+1]), (p, q) -> p + q) >= 0.9
+  GROUP BY b.id
+)
+SELECT b.id,
+       CASE WHEN cor.cos_corpus IS NOT NULL THEN 'dup_of_corpus'
+            WHEN bat.cos_batch IS NOT NULL THEN 'dup_in_batch'
+            ELSE 'new' END AS decision,
+       round(cor.cos_corpus, 6) AS cos_corpus,
+       round(bat.cos_batch, 6) AS cos_batch
+FROM bassign b
+LEFT JOIN cor ON cor.id = b.id
+LEFT JOIN bat ON bat.id = b.id
+"""

@@ -183,6 +183,31 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
         in_headline=False,
     )
 
+    timed(
+        "semantic_dedup",
+        lambda: (entry.q_semantic_dedup_embeddings(spark, sf_dir).count(), 0)[1],
+        in_headline=False,
+    )
+
+    timed(
+        "semantic_incremental",
+        lambda: (entry.q_semantic_incremental_embeddings(
+            spark, sf_dir).count(), 0)[1],
+        in_headline=False,
+    )
+
+    timed(
+        "alignment_gate",
+        lambda: (entry.q_alignment_embeddings(spark, sf_dir).count(), 0)[1],
+        in_headline=False,
+    )
+
+    timed(
+        "top_fraction",
+        lambda: (entry.q_top_fraction_documents(spark, sf_dir).count(), 0)[1],
+        in_headline=False,
+    )
+
     # skew handling: salted uniqueness with a hot key on 10% of rows
     skew_n = 50_000
     skew_df = synth.images_df(spark, skew_n, partitions=CPUS * 2, skew=True)

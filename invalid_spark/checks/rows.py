@@ -144,6 +144,7 @@ class RowCheckPlan:
     pixel_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     caption_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     vector_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
+    align_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     fd_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     monotonic_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
     reconcile_specs: list[tuple[str, dict]] = dc_field(default_factory=list)
@@ -657,6 +658,25 @@ class _Compiler:
                             f"$vector norm on [{path}]: min > max"
                         )
                 self.plan.vector_specs.append((path, child.vector))
+            if child.align is not None:
+                partner = child.align.get("with")
+                if not partner or not isinstance(partner, str):
+                    raise ValueError(
+                        f"$align on [{path}] needs with: <other vector "
+                        f"column>, got {child.align!r}"
+                    )
+                if _field_type(self.schema, partner) is None:
+                    raise ValueError(
+                        f"$align on [{path}]: column [{partner}] absent "
+                        "from table schema"
+                    )
+                mc = child.align.get("min_cos")
+                if not isinstance(mc, (int, float)) or isinstance(mc, bool):
+                    raise ValueError(
+                        f"$align on [{path}] needs a numeric min_cos, "
+                        f"got {mc!r}"
+                    )
+                self.plan.align_specs.append((path, child.align))
             if child.assert_ is not None and dt is not None:
                 # a $assert on a column absent from the schema is
                 # skipped (optional-absent parity with the row checks

@@ -129,3 +129,88 @@ def vector_violations(
         "partition_id",
         F.lit(run_id).alias("run_id"),
     )
+
+
+def alignment_violations(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    row_key: str,
+    min_cos: float,
+    run_id: str = "",
+) -> DataFrame:
+    """Paired-embedding alignment gate — the CLIP-score-style filter a
+    multimodal (image, caption) pipeline runs before training (LAION's
+    curation keeps pairs whose image/text embedding cosine clears a
+    threshold; Schuhmann et al. 2021 used 0.28 for CLIP ViT-B/32).
+    The encoders live upstream; this operator validates their OUTPUT
+    contract: for every row, ``cosine(col_a, col_b) >= min_cos``.
+
+    Two violation kinds, one codegen-free projection pass (HOF folds,
+    same isolation rationale as :func:`vector_violations`):
+
+    - ``alignment unscorable`` — either side null, dimension mismatch,
+      or zero norm: the pair cannot be scored at all, which is its own
+      data bug (a silently failed encoder), never a pass.
+    - ``alignment below threshold`` — observed = the cosine (6dp).
+
+    The cosine is the strict left-fold dot of the unit-normalized
+    double vectors — bit-identical to the DuckDB oracle's
+    ``list_reduce`` replay, so the gate's decisions are
+    engine-reproducible. Scale shape: a pure row-local projection over
+    the pruned (key, a, b) scan; zero shuffles, zero joins.
+    """
+    from invalid_spark.pipeline.similarity import as_double, dot
+
+    a = as_double(F.col(col_a))
+    b = as_double(F.col(col_b))
+    na = F.sqrt(dot(a, a))
+    nb = F.sqrt(dot(b, b))
+    unscorable = (
+        F.col(col_a).isNull()
+        | F.col(col_b).isNull()
+        | (F.size(F.col(col_a)) != F.size(F.col(col_b)))
+        | (na == 0)
+        | (nb == 0)
+    )
+    cos = dot(
+        F.transform(a, lambda x: x / na), F.transform(b, lambda x: x / nb)
+    )
+    checks = [
+        F.when(
+            unscorable,
+            F.struct(
+                F.lit(ErrorType.ALIGNMENT_MISMATCH).alias("error_type"),
+                F.lit(
+                    f"pair [{col_a}, {col_b}] must be scorable "
+                    "(non-null, same dim, nonzero norm)"
+                ).alias("message"),
+                F.lit(None).cast("string").alias("observed"),
+            ),
+        ),
+        F.when(
+            ~unscorable & (cos < F.lit(float(min_cos))),
+            F.struct(
+                F.lit(ErrorType.ALIGNMENT_MISMATCH).alias("error_type"),
+                F.lit(
+                    f"cosine([{col_a}], [{col_b}]) must be >= {min_cos}"
+                ).alias("message"),
+                F.round(cos, 6).cast("string").alias("observed"),
+            ),
+        ),
+    ]
+    out = df.select(
+        F.col(row_key).cast("string").alias("row_key"),
+        F.spark_partition_id().alias("partition_id"),
+        F.explode(F.array(*checks)).alias("v"),
+    ).filter(F.col("v").isNotNull())
+    return out.select(
+        "row_key",
+        F.lit(col_a).alias("column"),
+        F.lit(f"{col_a}~{col_b}").alias("rule_id"),
+        F.col("v.error_type").alias("error_type"),
+        F.col("v.message").alias("message"),
+        F.col("v.observed").alias("observed"),
+        "partition_id",
+        F.lit(run_id).alias("run_id"),
+    )

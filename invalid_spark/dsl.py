@@ -70,6 +70,11 @@ Engine extensions (all optional, ignored by reference-parity tests):
   band (the "normalized embeddings" contract); own projection stage
   over the pruned (key, vector) scan
   (:func:`invalid_spark.checks.vector.vector_violations`)
+- ``$align: {with: other_vec_col, min_cos: x}`` — paired-embedding
+  alignment gate (the CLIP-score filter): cosine between this vector
+  column and ``with`` must clear ``min_cos``; null / dim-mismatch /
+  zero-norm pairs flag as unscorable
+  (:func:`invalid_spark.checks.vector.alignment_violations`)
 - ``$pii: {kinds: [email, ipv4, ssn, phone], max: 0}`` — PII scrub
   gate (violation when total matches exceed ``max``; kinds default to
   every pattern in ``pipeline.text.PII_PATTERNS``)
@@ -131,7 +136,7 @@ _DIRECTIVES = {
     "$unique", "$ref", "$range", "$stats", "$drift", "$pixel",
     "$caption-eq", "$dynamic", "$vector", "$pii", "$assert",
     "$anomaly", "$expr", "$fd", "$monotonic", "$reconcile", "$magic",
-    "$when", "$format", "$dist", "$dupspan",
+    "$when", "$format", "$dist", "$dupspan", "$align",
 }
 
 # $format named whole-value patterns (anchored — a format check is
@@ -181,6 +186,9 @@ class Rule:
     pixel: Optional[dict] = None
     caption_eq: Optional[dict] = None
     vector: Optional[dict] = None  # $vector: {dim, no_nan, no_zero, norm}
+    # $align: {with: other_vec_col, min_cos: x} — paired-embedding
+    # cosine gate (CLIP-score filter; checks/vector.alignment_violations)
+    align: Optional[dict] = None
     pii: Optional[dict] = None  # $str: {kinds: [...], max: n}
     assert_: Optional[dict] = None  # $assert: {stat, min, max}
     # $anomaly: {metric, min, max, max_rel_change, last_k} — current
@@ -459,6 +467,7 @@ def _parse_rule(key: str, value: yaml.Node, document: bool = False) -> Rule:
         ("$pixel", "pixel"),
         ("$caption-eq", "caption_eq"),
         ("$vector", "vector"),
+        ("$align", "align"),
     ):
         dn = _mapping_get(value, dname)
         if dn is not None and _is_rule_node(dn):

@@ -43,6 +43,7 @@ class ErrorType:
     FD_MISMATCH = "fdMismatch"  # $fd: functional dependency det -> dep
     SEQ_MISMATCH = "seqMismatch"  # $monotonic: per-key sequence order
     RECONCILE_MISMATCH = "reconcileMismatch"  # $reconcile: fact-vs-dim totals
+    ALIGNMENT_MISMATCH = "alignmentMismatch"  # $align: paired-embedding cosine
     MAGIC_MISMATCH = "magicMismatch"  # $magic: container magic vs declared fmt
     HEADER_MISMATCH = "headerDimsMismatch"  # $magic: header dims vs w/h cols
     FORMAT_MISMATCH = "formatMismatch"  # $format: named whole-value format

@@ -499,3 +499,48 @@ def dsir_sample(
         F.round(F.col("log_ratio") + gumbel, 6).alias("gumbel_key"),
     )
     return keyed.orderBy(F.col("gumbel_key").desc(), F.col("id").asc()).limit(k)
+
+
+def top_fraction(
+    df: DataFrame,
+    score_col: str,
+    frac: float,
+    key_col: str = "doc_id",
+    exact: bool = True,
+) -> DataFrame:
+    """Quality pruning by global score rank — keep (approximately) the
+    top ``frac`` of the corpus by ``score_col`` (the DCLM /
+    FineWeb-Edu "keep the top p% by classifier score" selection) —
+    WITHOUT a global sort: one aggregation computes the (1 - frac)
+    quantile threshold, one broadcast of that single row applies it.
+    Returns (key, score, keep).
+
+    ``exact=True`` uses Spark's exact ``percentile`` (one
+    memory-unbounded agg — the oracle-replayable mode, same
+    interpolation as DuckDB's ``quantile_cont``; fine to corpus sizes
+    whose score column fits one executor's agg buffer).
+    ``exact=False`` is the 100 TB path: ``percentile_approx``
+    (Greenwald-Khanna sketch, bounded memory, partial-combine) with a
+    documented rank error — the selection boundary moves by at most
+    the sketch accuracy, interior decisions are identical.
+
+    Ties AT the threshold are all kept (``>=``), so the realized
+    fraction can exceed ``frac`` on heavily tied scores — determinism
+    over exactness-of-count, the same trade
+    :func:`deterministic_split` makes."""
+    s = F.col(score_col).cast("double")
+    q = 1.0 - float(frac)
+    thr_expr = (
+        F.expr(f"percentile(CAST({score_col} AS DOUBLE), {q!r})")
+        if exact
+        else F.percentile_approx(s, F.lit(q), F.lit(10000))
+    )
+    thr = df.agg(thr_expr.alias("__thr"))
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .select(
+            F.col(key_col),
+            s.alias("score"),
+            (s >= F.col("__thr")).alias("keep"),
+        )
+    )

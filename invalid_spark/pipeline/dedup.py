@@ -1287,3 +1287,255 @@ def dup_span_violations(
             F.lit(run_id).alias("run_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+
+
+def _semantic_assigned(
+    df: DataFrame,
+    centroids,
+    vec_col: str,
+    key_col: str,
+) -> DataFrame:
+    """(id, nv, cluster): every vector unit-normalized and assigned to
+    its nearest coarse centroid — ONE Arrow-batched matmul pass
+    against the ``sc.broadcast`` numpy codebook
+    (:func:`similarity.nearest_lists_udf` with nprobe=1), lazily
+    localCheckpoint-ed so the self-join downstream reuses the
+    materialized assignment instead of running the UDF once per join
+    side."""
+    from invalid_spark.pipeline import similarity
+
+    spark = df.sparkSession
+    nearest = similarity.nearest_lists_udf(spark, centroids, 1)
+    v = similarity.with_norm(df, vec_col, key_col)
+    return v.select(
+        "id", "nv", nearest(F.col("nv")).getItem(0).alias("cluster")
+    ).localCheckpoint(eager=False)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    centroids=None,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
+    semantic duplicates are pairs whose EMBEDDING cosine clears
+    ``threshold``, found by clustering the embedding space first and
+    comparing only within clusters — the published recipe for
+    semantic dedup at LAION/web scale, and the semantic sibling of
+    the lexical MinHash path.
+
+    Plan shape (the 100 TB route): one Arrow-batched assignment pass
+    against a broadcast codebook (exactly the IVF coarse quantizer),
+    then an EQUI-join on the cluster id with ``a < b`` and the exact
+    cosine verify — never an all-pairs cartesian. Per-cluster cost is
+    quadratic in the cluster size, so size ``n_lists`` ~ sqrt(corpus)
+    like IVF (expected cluster ~ sqrt(N)); a boilerplate-heavy hot
+    cluster is the same failure mode :func:`band_bucket_skew`
+    pre-flights for LSH — one ``groupBy(cluster).count()`` over the
+    assignment frame predicts it before any pairs are generated, and
+    AQE skew-join splits what remains.
+
+    With the default md5-derived codebook
+    (:func:`similarity.ivf_md5_centroids`) the whole pipeline —
+    codebook, assignment ties, cosine — is bit-replayable in the
+    DuckDB oracle via the same strict-left-fold dot products; pass a
+    k-means codebook (:func:`similarity.ivf_centroids`) for recall.
+    Recall < 1 by construction: a duplicate pair split across two
+    clusters is missed (the paper accepts the same miss).
+    """
+    from invalid_spark.pipeline import similarity
+
+    if centroids is None:
+        centroids = similarity.ivf_md5_centroids(
+            df, n_lists=n_lists, vec_col=vec_col, key_col=key_col
+        )
+    assigned = _semantic_assigned(df, centroids, vec_col, key_col)
+    a = assigned.select(
+        F.col("id").alias("a"), F.col("nv").alias("va"), "cluster"
+    )
+    b = assigned.select(
+        F.col("id").alias("b"), F.col("nv").alias("vb"), "cluster"
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            "cluster",
+            similarity.dot(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    centroids=None,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup decisions: (id, cluster_id, centroid_sim, keep) for
+    every member of a semantic-duplicate component (singletons are
+    implicitly kept, the :func:`dedup_decisions` convention).
+
+    Keeper choice follows the paper: within each duplicate component
+    KEEP the member with the LOWEST cosine to its cluster centroid —
+    the example farthest from the cluster's center of mass preserves
+    the most diversity — ties broken toward the smaller id. Contrast
+    :func:`dedup_decisions`' min-id keeper (lexical dedup, where
+    members are near-identical and the choice is arbitrary).
+
+    Everything after the pairs join is edge-frame-sized: components
+    via the O(log diameter) pointer-jumping labels, centroid
+    similarities via ONE broadcast join against the n_lists-row
+    codebook frame (a Catalyst left-fold dot, the same IEEE op order
+    as the assignment UDF, so the oracle replays it bit-exactly), and
+    the keeper rank is a per-component window over component-sized
+    groups."""
+    from pyspark.sql import Window
+
+    from invalid_spark.pipeline import similarity
+
+    spark = df.sparkSession
+    if centroids is None:
+        centroids = similarity.ivf_md5_centroids(
+            df, n_lists=n_lists, vec_col=vec_col, key_col=key_col
+        )
+    assigned = _semantic_assigned(df, centroids, vec_col, key_col)
+    a = assigned.select(
+        F.col("id").alias("a"), F.col("nv").alias("va"), "cluster"
+    )
+    b = assigned.select(
+        F.col("id").alias("b"), F.col("nv").alias("vb"), "cluster"
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", similarity.dot(F.col("va"), F.col("vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    comp = dup_clusters(pairs.select("a", "b"))
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, cvec array<double>",
+    )
+    sims = assigned.join(F.broadcast(cent_df), "cluster").select(
+        "id",
+        similarity.dot(F.col("nv"), F.col("cvec")).alias("centroid_sim"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("centroid_sim").asc(), F.col("id").asc()
+    )
+    return (
+        comp.join(sims, "id")
+        .select(
+            "id",
+            "cluster_id",
+            "centroid_sim",
+            (F.row_number().over(w) == 1).alias("keep"),
+        )
+    )
+
+
+def semantic_state(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """The persistable SEMANTIC-dedup corpus state: one (id, cluster,
+    nv) row per document — cluster assignment plus the unit-normalized
+    vector, dim·8+4 bytes/doc regardless of the source payload (for an
+    image+caption corpus the state never rereads image bytes). The
+    codebook is part of the state contract: persist ``centroids``
+    alongside it and pass the SAME array to every
+    :func:`semantic_dedup_vs_state` batch — re-deriving it from a
+    batch would silently re-cluster the space and orphan the state.
+    Zero-norm vectors are excluded (unscorable; ``$vector no_zero``
+    flags them upstream)."""
+    return _semantic_assigned(df, centroids, vec_col, key_col).select(
+        "id", "cluster", "nv"
+    )
+
+
+def semantic_dedup_vs_state(
+    cur: DataFrame,
+    state: DataFrame,
+    centroids,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental SemDeDup: classify each batch document against the
+    persisted semantic state without touching the prior corpus — the
+    continuous sibling of :func:`semantic_dedup`, completing the
+    incremental family (:func:`exact_dedup_vs_state` /
+    :func:`minhash_dedup_vs_state` / :func:`phash_neardup_vs_state`).
+    Per batch row: ``(id, decision, cos_corpus, cos_batch)``
+
+    - ``dup_of_corpus`` — cosine ≥ ``threshold`` vs some state doc in
+      the same cluster (EXACT, not estimated: the state carries the
+      normalized vectors, unlike MinHash signatures)
+    - ``dup_in_batch``  — not a corpus dup, but ≥ threshold vs a
+      SMALLER-keyed batch doc in the same cluster (first-kept rule)
+    - ``new``           — first sighting; exactly the rows whose
+      :func:`semantic_state` rows get appended to the state
+
+    ``cos_corpus`` / ``cos_batch`` are the max cosine over each side's
+    candidates (NULL when none cleared the threshold). Both candidate
+    joins are cluster-id equi-joins — batch assignment (one Arrow pass
+    against the broadcast codebook) vs corpus state, and the batch
+    self-join — so per-batch cost is |batch|·(cluster occupancy), never
+    corpus-quadratic. Recall bound: a duplicate assigned to a different
+    cluster than its twin is missed (the SemDeDup trade, same as the
+    batch variant)."""
+    from invalid_spark.pipeline.similarity import dot
+
+    b = _semantic_assigned(cur, centroids, vec_col, key_col)
+    sb = state.select(
+        F.col("id").alias("__sid"), "cluster", F.col("nv").alias("__snv")
+    )
+    cor = (
+        b.join(sb, "cluster")
+        .select("id", dot(F.col("nv"), F.col("__snv")).alias("c"))
+        .filter(F.col("c") >= threshold)
+        .groupBy("id")
+        .agg(F.max("c").alias("cos_corpus"))
+    )
+    b2 = b.select(
+        F.col("id").alias("__bid"), "cluster", F.col("nv").alias("__bnv")
+    )
+    bat = (
+        b.join(b2, "cluster")
+        .filter(F.col("__bid") < F.col("id"))
+        .select("id", dot(F.col("nv"), F.col("__bnv")).alias("c"))
+        .filter(F.col("c") >= threshold)
+        .groupBy("id")
+        .agg(F.max("c").alias("cos_batch"))
+    )
+    return (
+        b.select("id")
+        .join(cor, "id", "left")
+        .join(bat, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("cos_corpus").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("cos_batch").isNotNull(), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("decision"),
+            "cos_corpus",
+            "cos_batch",
+        )
+    )

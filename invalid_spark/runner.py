@@ -216,6 +216,15 @@ def _stage_violations(
             run_id=run_id,
         )
         v = v.unionByName(vv.select(*cols))
+    for col, spec in plan.align_specs:
+        from invalid_spark.checks import vector as vector_checks
+
+        av = vector_checks.alignment_violations(
+            df, col, spec["with"], row_key,
+            min_cos=float(spec["min_cos"]),
+            run_id=run_id,
+        )
+        v = v.unionByName(av.select(*cols))
     for col, spec in plan.caption_specs:
         ref_name = spec.get("table")
         if ref_name not in dims:

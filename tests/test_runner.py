@@ -1320,3 +1320,41 @@ def test_dupspan_rule_through_runner(spark, tmp_path):
     plan = crc(df, load_rules(
         "nope: {$type: $str, $optional: true, $dupspan: {n: 3}}"))
     assert plan.dupspan_specs == []
+
+
+def test_align_rule_through_runner(spark, tmp_path):
+    """$align: {with, min_cos}: the paired-embedding cosine gate runs
+    as a vector-stage projection inside validate(); below-threshold
+    and unscorable pairs emit alignmentMismatch violations; compile
+    errors for a missing partner column / non-numeric min_cos."""
+    rows = [
+        (1, [1.0, 0.0], [1.0, 0.0]),    # aligned -> pass
+        (2, [1.0, 0.0], [0.0, 1.0]),    # cos 0 -> below 0.5
+        (3, [1.0, 0.0], None),          # unscorable
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id long, img_emb array<double>, cap_emb array<double>"
+    )
+    rules = load_rules(
+        "img_emb: {$type: $arr, $constraint: $float, "
+        "$align: {with: cap_emb, min_cos: 0.5}}\n"
+        "cap_emb: {$type: $arr, $optional: true, $constraint: $float}\n"
+    )
+    out = str(tmp_path / "align_audit")
+    res = runner.validate(spark, df, rules, "pair_id", out, snapshot="s1")
+    v = res.violations(spark).filter("error_type = 'alignmentMismatch'")
+    got = {r["row_key"]: r for r in v.collect()}
+    assert set(got) == {"2", "3"}
+    assert got["2"]["observed"] == "0.0"
+    assert got["3"]["observed"] is None
+    assert got["2"]["rule_id"] == "img_emb~cap_emb"
+
+    from invalid_spark.checks.rows import compile_row_checks as crc
+    with pytest.raises(ValueError, match="absent from table schema"):
+        crc(df, load_rules(
+            "img_emb: {$type: $arr, $constraint: $float, "
+            "$align: {with: nope, min_cos: 0.5}}"))
+    with pytest.raises(ValueError, match="numeric min_cos"):
+        crc(df, load_rules(
+            "img_emb: {$type: $arr, $constraint: $float, "
+            "$align: {with: cap_emb}}"))

@@ -2385,3 +2385,136 @@ def test_vocab_stats_planted(spark):
     assert r["hapax_frac"] == pytest.approx(1 / 3, abs=1e-6)
     # top-2 by (c desc, w asc) = a(2), b(2) → 4/5
     assert r["topk_share"] == pytest.approx(0.8)
+
+
+# ---------------------------------------------------------------------------
+# round 5: SemDeDup, alignment gate, top-fraction selection
+
+
+def test_semantic_dedup_planted_twins(spark):
+    """SemDeDup over the real embeddings table: exact twins planted
+    under new ids land in the same cluster (identical vector -> same
+    assignment) and every planted pair is recovered; keeper = LOWEST
+    centroid cosine per component (ties -> smaller id, so an exact
+    twin keeps the original); the in-cluster join is an equi-join,
+    never a cartesian."""
+    from invalid_spark.pipeline import dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    spiked = emb.unionByName(
+        emb.filter(F.col("vec_id") % 20 == 0).withColumn(
+            "vec_id", F.col("vec_id") + 100000
+        )
+    )
+    pairs = dedup.semantic_dedup_pairs(spiked, threshold=0.9, n_lists=8)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    planted = {
+        (r["vec_id"], r["vec_id"] + 100000)
+        for r in emb.filter(F.col("vec_id") % 20 == 0).collect()
+    }
+    assert planted <= got
+
+    decisions = dedup.semantic_dedup(spiked, threshold=0.9, n_lists=8)
+    rows = decisions.collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert by_cluster, "planted twins must produce components"
+    for members in by_cluster.values():
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1
+        lo = min((m["centroid_sim"], m["id"]) for m in members)
+        assert (keepers[0]["centroid_sim"], keepers[0]["id"]) == lo
+    # an exact twin ties on centroid_sim -> the smaller (original) id keeps
+    twin_clusters = [
+        m for m in by_cluster.values()
+        if len(m) == 2 and {x["id"] % 100000 for x in m} == {m[0]["id"] % 100000}
+    ]
+    for members in twin_clusters:
+        assert min(members, key=lambda m: m["id"])["keep"]
+
+
+def test_alignment_violations_planted(spark):
+    """The CLIP-score-style gate: aligned pair passes, anti-aligned
+    pair flags with the cosine observed, null / zero-norm / dim
+    mismatch flag as unscorable; one row-local projection (no
+    exchange in the plan)."""
+    from invalid_spark.checks import vector as vector_checks
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], [2.0, 0.0, 0.0]),   # cos 1.0 -> pass
+        (2, [1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]),  # cos -1 -> low
+        (3, [1.0, 0.0, 0.0], None),               # unscorable
+        (4, [1.0, 0.0, 0.0], [0.0, 0.0, 0.0]),    # zero norm -> unscorable
+        (5, [1.0, 0.0, 0.0], [1.0, 0.0]),         # dim mismatch -> unscorable
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id long, img array<double>, cap array<double>"
+    )
+    v = vector_checks.alignment_violations(df, "img", "cap", "pair_id", 0.5)
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r["row_key"]: r for r in v.collect()}
+    assert set(got) == {"2", "3", "4", "5"}
+    assert got["2"]["observed"] == "-1.0"
+    assert "must be >= 0.5" in got["2"]["message"]
+    for k in ("3", "4", "5"):
+        assert got[k]["observed"] is None
+        assert "scorable" in got[k]["message"]
+
+
+def test_top_fraction_threshold_selection(spark):
+    """Top-fraction selection: exact mode keeps precisely the top
+    frac on a tie-free score (0..99, frac 0.1 -> scores >= 90.1
+    kept = 10 rows... threshold = 90.1, so 91..99 plus interpolation
+    boundary); approx mode agrees away from the boundary; no global
+    sort in the plan."""
+    from invalid_spark.pipeline import curate
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("double").alias("s")
+    )
+    out = curate.top_fraction(df, "s", 0.1, key_col="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Sort " not in plan and "rangepartitioning" not in plan.lower()
+    kept = {r["doc_id"] for r in out.collect() if r["keep"]}
+    # exact percentile(0.9) over 0..99 = 89.1 -> keep 90..99
+    assert kept == set(range(90, 100))
+    approx = curate.top_fraction(df, "s", 0.1, key_col="doc_id", exact=False)
+    kept_a = {r["doc_id"] for r in approx.collect() if r["keep"]}
+    assert abs(len(kept_a) - 10) <= 1
+
+
+def test_semantic_incremental_decisions(spark):
+    """Incremental SemDeDup: an exact copy of a state vector decides
+    dup_of_corpus (cosine ~1.0, EXACT not estimated); a batch-internal
+    copy pair decides (new, dup_in_batch) by the first-kept rule; an
+    unrelated vector is new; cluster equi-joins only."""
+    from invalid_spark.pipeline import dedup, similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    cent = similarity.ivf_md5_centroids(corpus, n_lists=8)
+    state = dedup.semantic_state(corpus, cent)
+    # batch: copy of corpus vec 0 under 9001; vec 1 (odd, new) and its
+    # copy under 9003; vec 3 alone
+    batch = (
+        emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(9001))
+        .unionByName(emb.filter(F.col("vec_id") == 1))
+        .unionByName(
+            emb.filter(F.col("vec_id") == 1).withColumn("vec_id", F.lit(9003))
+        )
+        .unionByName(emb.filter(F.col("vec_id") == 3))
+    )
+    out = dedup.semantic_dedup_vs_state(batch, state, cent, threshold=0.99)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    got = {r["id"]: r for r in out.collect()}
+    assert got[9001]["decision"] == "dup_of_corpus"
+    assert got[9001]["cos_corpus"] > 0.99
+    assert got[1]["decision"] == "new"
+    assert got[9003]["decision"] == "dup_in_batch"
+    assert got[9003]["cos_batch"] > 0.99
+    assert got[3]["decision"] == "new"
