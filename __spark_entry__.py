@@ -1352,6 +1352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_cosine": q_emb_neardup_cosine,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "semantic_incremental_embeddings": q_semantic_incremental_embeddings,
+        "semantic_contamination_embeddings": q_semantic_contamination_embeddings,
+        "semantic_skew_embeddings": q_semantic_skew_embeddings,
+        "streaming_alignment_windows": q_streaming_alignment_windows,
         "alignment_embeddings": q_alignment_embeddings,
         "top_fraction_documents": q_top_fraction_documents,
         "emb_neardup_lsh": q_emb_neardup_lsh,
@@ -5023,6 +5026,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup_cosine": _sql_emb_neardup(),
         "semantic_dedup_embeddings": _sql_semantic_dedup(),
         "semantic_incremental_embeddings": _sql_semantic_incremental(),
+        "semantic_contamination_embeddings": _sql_semantic_contamination(),
+        "semantic_skew_embeddings": _sql_semantic_skew(),
+        "streaming_alignment_windows": _sql_streaming_alignment_windows(),
         "alignment_embeddings": _sql_alignment_embeddings(),
         "top_fraction_documents": _sql_top_fraction_documents(),
         "emb_neardup_lsh": _sql_emb_neardup_lsh(),
@@ -5361,4 +5367,288 @@ SELECT b.id,
 FROM bassign b
 LEFT JOIN cor ON cor.id = b.id
 LEFT JOIN bat ON bat.id = b.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# round 5b: semantic contamination, cluster-skew pre-flight, streaming
+# alignment monitor
+
+
+def q_semantic_contamination_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space train/eval contamination
+    (dedup.semantic_contamination): eval set = even-id vectors; train
+    = odd-id vectors + exact copies of every 10th even vector planted
+    under id+400000 (cosine 1.0 leaks). The codebook derives from the
+    EVAL set (the fixed side of the screen); the huge train side is
+    assigned to ONE cluster per doc while the small eval side probes
+    nprobe=2 clusters and broadcasts — recall rides on replicating
+    the small side only. The oracle replays codebook, both
+    assignments (train rn=1, eval rn<=2), the cluster equi-join, and
+    the max-cosine/hit-count fold."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 2 == 0)
+    train = emb.filter(F.col("vec_id") % 2 == 1).unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+            "vec_id", F.col("vec_id") + 400000
+        )
+    )
+    cents = similarity.ivf_md5_centroids(ev, n_lists=8)
+    out = dedup.semantic_contamination(
+        train, ev, cents, threshold=0.9, nprobe=2
+    )
+    return out.select(
+        "id",
+        "contaminated",
+        F.round("max_cos_eval", 6).alias("max_cos_eval"),
+        "n_eval_hits",
+    )
+
+
+def _sql_semantic_contamination() -> str:
+    return """
+WITH ev AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+), tr AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+  UNION ALL
+  SELECT vec_id + 400000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+), eun AS (
+  SELECT vec_id, list_transform(
+           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           x -> x / sqrt(list_reduce(
+             list_transform(list_transform(embedding,
+               y0 -> CAST(y0 AS DOUBLE)), y -> y * y), (a, b) -> a + b))
+         ) AS nv
+  FROM ev
+  WHERE sqrt(list_reduce(list_transform(list_transform(embedding,
+          y0 -> CAST(y0 AS DOUBLE)), y -> y * y), (a, b) -> a + b)) > 0
+), tun AS (
+  SELECT vec_id, list_transform(
+           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           x -> x / sqrt(list_reduce(
+             list_transform(list_transform(embedding,
+               y0 -> CAST(y0 AS DOUBLE)), y -> y * y), (a, b) -> a + b))
+         ) AS nv
+  FROM tr
+  WHERE sqrt(list_reduce(list_transform(list_transform(embedding,
+          y0 -> CAST(y0 AS DOUBLE)), y -> y * y), (a, b) -> a + b)) > 0
+), cent AS (
+  SELECT row_number() OVER (
+           ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                         AS BIGINT), vec_id
+         ) - 1 AS cid,
+         nv AS cv
+  FROM eun
+  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT),
+           vec_id
+  LIMIT 8
+), tassign AS (
+  SELECT id, nv, cluster FROM (
+    SELECT u.vec_id AS id, u.nv, ct.cid AS cluster,
+           row_number() OVER (PARTITION BY u.vec_id ORDER BY
+             list_reduce(list_transform(range(64),
+               i -> u.nv[i+1] * ct.cv[i+1]), (a, b) -> a + b) DESC,
+             ct.cid DESC) AS rn
+    FROM tun u CROSS JOIN cent ct
+  ) WHERE rn = 1
+), eprobe AS (
+  SELECT nv, cluster FROM (
+    SELECT u.nv, ct.cid AS cluster,
+           row_number() OVER (PARTITION BY u.vec_id ORDER BY
+             list_reduce(list_transform(range(64),
+               i -> u.nv[i+1] * ct.cv[i+1]), (a, b) -> a + b) DESC,
+             ct.cid DESC) AS rn
+    FROM eun u CROSS JOIN cent ct
+  ) WHERE rn <= 2
+), hits AS (
+  SELECT t.id,
+         max(list_reduce(list_transform(range(64),
+           i -> t.nv[i+1] * e.nv[i+1]), (p, q) -> p + q)) AS max_cos_eval,
+         CAST(count(*) AS BIGINT) AS n_eval_hits
+  FROM tassign t JOIN eprobe e ON t.cluster = e.cluster
+  WHERE list_reduce(list_transform(range(64),
+          i -> t.nv[i+1] * e.nv[i+1]), (p, q) -> p + q) >= 0.9
+  GROUP BY t.id
+)
+SELECT t.id,
+       h.max_cos_eval IS NOT NULL AS contaminated,
+       round(h.max_cos_eval, 6) AS max_cos_eval,
+       coalesce(h.n_eval_hits, 0) AS n_eval_hits
+FROM tassign t LEFT JOIN hits h ON h.id = t.id
+"""
+
+
+def q_semantic_skew_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pre-flight (dedup.semantic_cluster_skew — the
+    band_bucket_skew of the semantic path): top-5 most-occupied
+    clusters with the quadratic in-cluster pair count each would
+    cost. A hot cluster is planted by stamping vector 0's embedding
+    onto 100 new ids — all land in one cluster, which must dominate
+    the report. One aggregate + TakeOrderedAndProject; the oracle
+    replays codebook, assignment, occupancy, and the deterministic
+    (n_docs desc, cluster asc) top-5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    hot = (
+        emb.filter(F.col("vec_id") < 100)
+        .select((F.col("vec_id") + 500000).alias("vec_id"))
+        .crossJoin(
+            F.broadcast(
+                emb.filter(F.col("vec_id") == 0).select("embedding")
+            )
+        )
+    )
+    spiked = emb.select("vec_id", "embedding").unionByName(hot)
+    return dedup.semantic_cluster_skew(spiked, n_lists=8, top=5)
+
+
+def _sql_semantic_skew() -> str:
+    return """
+WITH src AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT e.vec_id + 500000 AS vec_id, z.embedding
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) z
+  WHERE e.vec_id < 100
+), un AS (
+  SELECT vec_id, list_transform(
+           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           x -> x / sqrt(list_reduce(
+             list_transform(list_transform(embedding,
+               y0 -> CAST(y0 AS DOUBLE)), y -> y * y), (a, b) -> a + b))
+         ) AS nv
+  FROM src
+  WHERE sqrt(list_reduce(list_transform(list_transform(embedding,
+          y0 -> CAST(y0 AS DOUBLE)), y -> y * y), (a, b) -> a + b)) > 0
+), cent AS (
+  SELECT row_number() OVER (
+           ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                         AS BIGINT), vec_id
+         ) - 1 AS cid,
+         nv AS cv
+  FROM un
+  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT),
+           vec_id
+  LIMIT 8
+), assign AS (
+  SELECT id, cluster FROM (
+    SELECT u.vec_id AS id, ct.cid AS cluster,
+           row_number() OVER (PARTITION BY u.vec_id ORDER BY
+             list_reduce(list_transform(range(64),
+               i -> u.nv[i+1] * ct.cv[i+1]), (a, b) -> a + b) DESC,
+             ct.cid DESC) AS rn
+    FROM un u CROSS JOIN cent ct
+  ) WHERE rn = 1
+), counts AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs
+  FROM assign GROUP BY cluster
+)
+SELECT cluster, n_docs,
+       CAST(n_docs * (n_docs - 1) / 2 AS BIGINT) AS est_pairs
+FROM counts ORDER BY n_docs DESC, cluster ASC LIMIT 5
+"""
+
+
+def q_streaming_alignment_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Windowed alignment monitor (streaming.windowed_alignment_
+    metrics): the alignment_embeddings pairing (even-id = image side,
+    odd-id successor = caption side; every 13th pair NULLed
+    unscorable, every 7th perfectly aligned) with a synthetic
+    event-time of 2024-01-01 + (pair_id % 30) days — 30 daily
+    windows of (n_pairs, n_unscorable, n_below, aligned_frac).
+    Executed on the batch path; pytest proves streaming execution
+    over the same frame emits identical rows."""
+    from invalid_spark import streaming
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.floor(F.col("vec_id") / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("img_emb"),
+    )
+    b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.floor(F.col("vec_id") / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("cap_emb"),
+    )
+    paired = a.join(b, "pair_id").select(
+        "pair_id",
+        "img_emb",
+        F.when(F.col("pair_id") % 13 == 5, F.lit(None).cast("array<float>"))
+        .when(F.col("pair_id") % 7 == 0, F.col("img_emb"))
+        .otherwise(F.col("cap_emb"))
+        .alias("cap_emb"),
+        (
+            F.to_timestamp(F.lit("2024-01-01"))
+            + F.make_dt_interval(days=(F.col("pair_id") % 30).cast("int"))
+        ).alias("ts"),
+    )
+    out = streaming.windowed_alignment_metrics(
+        paired, "img_emb", "cap_emb", 0.1, window="1 day"
+    )
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.col("window_end").cast("string").alias("window_end"),
+        "n_pairs",
+        "n_unscorable",
+        "n_below",
+        "aligned_frac",
+    )
+
+
+def _sql_streaming_alignment_windows() -> str:
+    return """
+WITH a AS (
+  SELECT CAST(floor(vec_id / 2.0) AS BIGINT) AS pair_id,
+         embedding AS img FROM embeddings WHERE vec_id % 2 = 0
+), b0 AS (
+  SELECT CAST(floor(vec_id / 2.0) AS BIGINT) AS pair_id,
+         embedding AS cap FROM embeddings WHERE vec_id % 2 = 1
+), p AS (
+  SELECT a.pair_id,
+         TIMESTAMP '2024-01-01' + (a.pair_id % 30) * INTERVAL 1 DAY AS ts,
+         list_transform(a.img, x -> CAST(x AS DOUBLE)) AS va,
+         CASE WHEN a.pair_id % 13 = 5 THEN NULL
+              WHEN a.pair_id % 7 = 0
+                THEN list_transform(a.img, x -> CAST(x AS DOUBLE))
+              ELSE list_transform(b0.cap, x -> CAST(x AS DOUBLE)) END AS vb
+  FROM a JOIN b0 ON a.pair_id = b0.pair_id
+), n AS (
+  SELECT pair_id, ts, va, vb,
+         sqrt(list_reduce(list_transform(va, y -> y * y),
+                          (s, t) -> s + t)) AS na,
+         CASE WHEN vb IS NULL THEN NULL
+              ELSE sqrt(list_reduce(list_transform(vb, y -> y * y),
+                                    (s, t) -> s + t)) END AS nb
+  FROM p
+), scored AS (
+  SELECT ts,
+         coalesce(va IS NULL OR vb IS NULL OR len(va) <> len(vb)
+                  OR na = 0 OR nb = 0, TRUE) AS uns,
+         CASE WHEN NOT coalesce(va IS NULL OR vb IS NULL
+                                OR len(va) <> len(vb)
+                                OR na = 0 OR nb = 0, TRUE)
+              THEN list_reduce(list_transform(range(64),
+                     i -> (va[i+1] / na) * (vb[i+1] / nb)),
+                     (s, t) -> s + t) END AS cos
+  FROM n
+), w AS (
+  SELECT date_trunc('day', ts) AS ws,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN uns THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unscorable,
+         CAST(sum(CASE WHEN NOT uns AND cos < 0.1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_below
+  FROM scored GROUP BY 1
+)
+SELECT CAST(CAST(ws AS TIMESTAMP) AS VARCHAR) AS window_start,
+       CAST(ws + INTERVAL 1 DAY AS VARCHAR) AS window_end,
+       n_pairs, n_unscorable, n_below,
+       round(CAST(n_pairs - n_unscorable - n_below AS DOUBLE)
+             / CAST(n_pairs AS DOUBLE), 6) AS aligned_frac
+FROM w
 """

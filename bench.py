@@ -208,6 +208,20 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
         in_headline=False,
     )
 
+    timed(
+        "semantic_contamination",
+        lambda: (entry.q_semantic_contamination_embeddings(
+            spark, sf_dir).count(), 0)[1],
+        in_headline=False,
+    )
+
+    timed(
+        "alignment_windows",
+        lambda: (entry.q_streaming_alignment_windows(
+            spark, sf_dir).count(), 0)[1],
+        in_headline=False,
+    )
+
     # skew handling: salted uniqueness with a hot key on 10% of rows
     skew_n = 50_000
     skew_df = synth.images_df(spark, skew_n, partitions=CPUS * 2, skew=True)

@@ -131,6 +131,33 @@ def vector_violations(
     )
 
 
+def alignment_score(col_a: str, col_b: str):
+    """The shared (unscorable, cosine) expression pair behind every
+    alignment surface — :func:`alignment_violations` (batch/runner)
+    and :func:`invalid_spark.streaming.windowed_alignment_metrics`
+    use the SAME expressions, so the streaming monitor and the batch
+    gate can never disagree on what "aligned" means. The cosine is
+    the strict left-fold dot of the unit-normalized double vectors
+    (oracle-replayable IEEE op order)."""
+    from invalid_spark.pipeline.similarity import as_double, dot
+
+    a = as_double(F.col(col_a))
+    b = as_double(F.col(col_b))
+    na = F.sqrt(dot(a, a))
+    nb = F.sqrt(dot(b, b))
+    unscorable = (
+        F.col(col_a).isNull()
+        | F.col(col_b).isNull()
+        | (F.size(F.col(col_a)) != F.size(F.col(col_b)))
+        | (na == 0)
+        | (nb == 0)
+    )
+    cos = dot(
+        F.transform(a, lambda x: x / na), F.transform(b, lambda x: x / nb)
+    )
+    return unscorable, cos
+
+
 def alignment_violations(
     df: DataFrame,
     col_a: str,
@@ -160,22 +187,7 @@ def alignment_violations(
     engine-reproducible. Scale shape: a pure row-local projection over
     the pruned (key, a, b) scan; zero shuffles, zero joins.
     """
-    from invalid_spark.pipeline.similarity import as_double, dot
-
-    a = as_double(F.col(col_a))
-    b = as_double(F.col(col_b))
-    na = F.sqrt(dot(a, a))
-    nb = F.sqrt(dot(b, b))
-    unscorable = (
-        F.col(col_a).isNull()
-        | F.col(col_b).isNull()
-        | (F.size(F.col(col_a)) != F.size(F.col(col_b)))
-        | (na == 0)
-        | (nb == 0)
-    )
-    cos = dot(
-        F.transform(a, lambda x: x / na), F.transform(b, lambda x: x / nb)
-    )
+    unscorable, cos = alignment_score(col_a, col_b)
     checks = [
         F.when(
             unscorable,

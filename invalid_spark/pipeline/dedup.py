@@ -1539,3 +1539,111 @@ def semantic_dedup_vs_state(
             "cos_batch",
         )
     )
+
+
+def semantic_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    centroids,
+    threshold: float = 0.95,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space train/eval contamination: flag every TRAIN
+    document whose embedding cosine vs ANY eval-set embedding clears
+    ``threshold`` — the semantic sibling of
+    :func:`invalid_spark.pipeline.text.contamination_flags` (n-gram
+    overlap misses paraphrased eval leakage; Yang et al. 2023,
+    arXiv:2311.04850, found paraphrased benchmark contamination
+    survives string dedup). Returns one row per train doc:
+    ``(id, contaminated, max_cos_eval, n_eval_hits)``.
+
+    Scale shape (the asymmetry is the design): the TRAIN side —
+    the 10¹²-row side — is assigned to exactly ONE cluster per doc
+    (one Arrow pass vs the broadcast codebook, never replicated);
+    the EVAL side — benchmarks, thousands of rows — is probed into
+    ``nprobe`` clusters (explode) and BROADCAST into the join, so
+    recall improves by replicating the small side only and the train
+    corpus never shuffles at all. Misses require the train doc's
+    single assignment to fall outside all ``nprobe`` eval probes —
+    raise ``nprobe`` for recall, cost grows only in the eval frame.
+    ``centroids`` is required (not derived): contamination screens
+    run per-batch against a FIXED eval set, and the codebook must be
+    the one the eval probes were built with (the
+    :func:`semantic_state` contract)."""
+    from invalid_spark.pipeline import similarity
+
+    spark = train.sparkSession
+    t = _semantic_assigned(train, centroids, vec_col, key_col)
+    nearest = similarity.nearest_lists_udf(spark, centroids, nprobe)
+    ev = similarity.with_norm(eval_df, vec_col, key_col)
+    ep = ev.select(
+        F.col("nv").alias("__env"),
+        F.explode(nearest(F.col("nv"))).alias("cluster"),
+    )
+    hits = (
+        t.join(F.broadcast(ep), "cluster")
+        .select(
+            "id",
+            similarity.dot(F.col("nv"), F.col("__env")).alias("c"),
+        )
+        .filter(F.col("c") >= threshold)
+        .groupBy("id")
+        .agg(
+            F.max("c").alias("max_cos_eval"),
+            F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+        )
+    )
+    return (
+        t.select("id")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.col("max_cos_eval").isNotNull().alias("contaminated"),
+            "max_cos_eval",
+            F.coalesce("n_eval_hits", F.lit(0).cast("long")).alias(
+                "n_eval_hits"
+            ),
+        )
+    )
+
+
+def semantic_cluster_skew(
+    df: DataFrame,
+    n_lists: int = 16,
+    centroids=None,
+    top: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """The SemDeDup pre-flight, mirroring :func:`band_bucket_skew`
+    for the semantic path: the ``top`` most-occupied clusters with
+    the in-cluster candidate-pair count each would contribute
+    (``n·(n−1)/2``). :func:`semantic_dedup`'s cost driver is exactly
+    these — per-cluster cost is quadratic, so one cluster holding
+    10⁵ of 10⁸ docs costs 5·10⁹ cosine verifications on its own; the
+    report says "raise ``n_lists``" (or k-means the codebook) BEFORE
+    paying that. One aggregate + TakeOrderedAndProject (never a
+    global sort); deterministic (n_docs desc, cluster asc) order."""
+    from invalid_spark.pipeline import similarity
+
+    if centroids is None:
+        centroids = similarity.ivf_md5_centroids(
+            df, n_lists=n_lists, vec_col=vec_col, key_col=key_col
+        )
+    a = _semantic_assigned(df, centroids, vec_col, key_col)
+    counts = a.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        counts.orderBy(F.col("n_docs").desc(), F.col("cluster").asc())
+        .limit(top)
+        .select(
+            "cluster",
+            "n_docs",
+            (F.col("n_docs") * (F.col("n_docs") - 1) / 2)
+            .cast("long")
+            .alias("est_pairs"),
+        )
+    )

@@ -653,3 +653,71 @@ def windowed_profile(
         "vmax",
         F.round("mean", 6).alias("mean"),
     )
+
+
+def windowed_alignment_metrics(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    min_cos: float,
+    window: str = "1 day",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Paired-embedding alignment health per event-time window:
+    ``(window_start, window_end, n_pairs, n_unscorable, n_below,
+    aligned_frac)`` — the streaming monitor for the
+    :func:`invalid_spark.checks.vector.alignment_violations` gate. An
+    upstream encoder that silently degrades (starts emitting zeros,
+    wrong dims, drifting alignment) shows up as a falling
+    ``aligned_frac`` within one window instead of at the next batch
+    audit.
+
+    Shares the gate's exact score expressions
+    (:func:`invalid_spark.checks.vector.alignment_score`), so monitor
+    and gate can never disagree. Streaming-legal shape: a stateless
+    row-local projection (HOF folds, zero joins) followed by ONE
+    watermarked windowed aggregation — per-window state is the five
+    counters, regardless of arrival volume. Works identically on a
+    batch frame (the oracle-checked entry query runs this exact code
+    on the batch path)."""
+    from invalid_spark.checks.vector import alignment_score
+
+    unscorable, cos = alignment_score(col_a, col_b)
+    scored = df.select(
+        F.col(ts_col),
+        unscorable.alias("__uns"),
+        F.when(~unscorable, cos).alias("__cos"),
+    )
+    agg = (
+        scored.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("__uns").cast("long")).cast("long").alias(
+                "n_unscorable"
+            ),
+            F.sum(
+                (F.col("__cos") < F.lit(float(min_cos)))
+                .cast("long")
+            ).cast("long").alias("n_below"),
+        )
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_pairs",
+        F.coalesce("n_unscorable", F.lit(0).cast("long")).alias(
+            "n_unscorable"
+        ),
+        F.coalesce("n_below", F.lit(0).cast("long")).alias("n_below"),
+        F.round(
+            (
+                F.col("n_pairs")
+                - F.coalesce("n_unscorable", F.lit(0).cast("long"))
+                - F.coalesce("n_below", F.lit(0).cast("long"))
+            )
+            / F.col("n_pairs"),
+            6,
+        ).alias("aligned_frac"),
+    )

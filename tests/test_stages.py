@@ -2518,3 +2518,68 @@ def test_semantic_incremental_decisions(spark):
     assert got[9003]["decision"] == "dup_in_batch"
     assert got[9003]["cos_batch"] > 0.99
     assert got[3]["decision"] == "new"
+
+
+def test_semantic_contamination_planted(spark):
+    """Embedding-space contamination: train docs that are exact
+    copies of eval vectors flag at cosine 1.0; genuinely disjoint
+    random vectors never clear 0.9. The train side joins via its
+    SINGLE cluster assignment; the eval side probes nprobe clusters
+    and broadcasts (plan has a BroadcastHashJoin, no cartesian)."""
+    from invalid_spark.pipeline import dedup, similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    ev = emb.filter(F.col("vec_id") % 2 == 0)
+    train = emb.filter(F.col("vec_id") % 2 == 1).unionByName(
+        ev.filter(F.col("vec_id") % 10 == 0).withColumn(
+            "vec_id", F.col("vec_id") + 400000
+        )
+    )
+    cents = similarity.ivf_md5_centroids(ev, n_lists=8)
+    out = dedup.semantic_contamination(
+        train, ev, cents, threshold=0.9, nprobe=2
+    ).cache()
+    planted = {r["id"] for r in out.filter("id >= 400000").collect()}
+    flagged = {r["id"] for r in out.filter("contaminated").collect()}
+    # every planted leak is an exact eval copy: same cluster, cos 1.0
+    assert planted <= flagged
+    for r in out.filter("id >= 400000").collect():
+        assert r["max_cos_eval"] == pytest.approx(1.0, abs=1e-9)
+        assert r["n_eval_hits"] >= 1
+    # random disjoint 64-dim vectors never reach 0.9 cosine
+    assert out.filter("contaminated AND id < 400000").count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    out.unpersist()
+
+
+def test_semantic_cluster_skew_hot_cluster(spark):
+    """The SemDeDup pre-flight: 100 copies of one vector all land in
+    one cluster, which must lead the occupancy report with the
+    quadratic pair estimate; the plan uses TakeOrderedAndProject,
+    never a global Sort."""
+    from invalid_spark.pipeline import dedup
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    hot = (
+        emb.filter(F.col("vec_id") < 100)
+        .select((F.col("vec_id") + 500000).alias("vec_id"))
+        .crossJoin(
+            F.broadcast(emb.filter(F.col("vec_id") == 0).select("embedding"))
+        )
+    )
+    rep = dedup.semantic_cluster_skew(
+        emb.unionByName(hot), n_lists=8, top=5
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = rep.collect()
+    assert len(rows) == 5
+    top = rows[0]
+    # ~500/8 ≈ 62 base occupancy; the hot cluster adds 100
+    assert top["n_docs"] >= 100
+    assert top["est_pairs"] == top["n_docs"] * (top["n_docs"] - 1) // 2
+    assert rows[0]["n_docs"] >= rows[1]["n_docs"] + 80

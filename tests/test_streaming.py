@@ -554,3 +554,66 @@ def test_windowed_profile_batch_and_stream(spark, tmp_path):
         bb = out[str(r["window_start"])]
         for c in ("n_rows", "n_null", "vmin", "vmax", "mean"):
             assert r[c] == bb[c], (c, r, bb)
+
+
+def test_windowed_alignment_metrics_batch_and_stream(spark, tmp_path):
+    """Alignment monitor: per-window counts classify aligned /
+    below-threshold / unscorable pairs exactly, and streaming
+    execution emits the same rows as the batch path for closed
+    windows."""
+    import math
+
+    def vec(*xs):
+        return [float(x) for x in xs]
+
+    rows = [
+        # window A: aligned, below, unscorable(null), unscorable(zero)
+        (1, vec(1, 0), vec(1, 0), "2024-01-01 00:00:05"),
+        (2, vec(1, 0), vec(0, 1), "2024-01-01 00:01:00"),
+        (3, vec(1, 0), None, "2024-01-01 00:02:00"),
+        (4, vec(1, 0), vec(0, 0), "2024-01-01 00:03:00"),
+        # window B: one aligned, one dim-mismatch
+        (5, vec(0, 1), vec(0, 1), "2024-01-01 00:05:10"),
+        (6, vec(0, 1), vec(0, 1, 0), "2024-01-01 00:06:00"),
+        # sentinel far ahead: closes A and B past the watermark
+        (7, vec(1, 1), vec(1, 1), "2024-01-01 02:00:00"),
+    ]
+    src = spark.createDataFrame(
+        rows, "pid long, a array<double>, b array<double>, ts_s string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+    batch = {
+        str(r["window_start"]): r
+        for r in streaming.windowed_alignment_metrics(
+            src, "a", "b", 0.5, window="5 minutes", watermark="5 minutes"
+        ).collect()
+    }
+    a = batch["2024-01-01 00:00:00"]
+    assert (a["n_pairs"], a["n_unscorable"], a["n_below"]) == (4, 2, 1)
+    assert a["aligned_frac"] == pytest.approx(0.25)
+    b = batch["2024-01-01 00:05:00"]
+    assert (b["n_pairs"], b["n_unscorable"], b["n_below"]) == (2, 1, 0)
+    assert b["aligned_frac"] == pytest.approx(0.5)
+
+    d = str(tmp_path / "al_src")
+    src.coalesce(1).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(src.schema).parquet(d)
+    mq = streaming.windowed_alignment_metrics(
+        sdf, "a", "b", 0.5, window="5 minutes", watermark="5 minutes"
+    )
+    sink = str(tmp_path / "al_sink")
+    h = mq.writeStream.format("parquet").outputMode("append").option(
+        "checkpointLocation", str(tmp_path / "al_ck")
+    ).option("path", sink).trigger(availableNow=True).start()
+    h.awaitTermination(120)
+    got = spark.read.parquet(sink).collect()
+    closed = {str(r["window_start"]) for r in got}
+    assert {"2024-01-01 00:00:00", "2024-01-01 00:05:00"} <= closed, closed
+    for r in got:
+        bb = batch[str(r["window_start"])]
+        assert (
+            r["n_pairs"], r["n_unscorable"], r["n_below"], r["aligned_frac"]
+        ) == (
+            bb["n_pairs"], bb["n_unscorable"], bb["n_below"],
+            bb["aligned_frac"],
+        )
