@@ -1337,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_mi_events": q_stats_mi_events,
         "hot_keys_events": q_hot_keys_events,
         "suggest_rules_documents": q_suggest_rules_documents,
+        "suggest_vector_embeddings": q_suggest_vector_embeddings,
         "rowcheck_json_docs": q_rowcheck_json_docs,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
@@ -5005,6 +5006,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_mi_events": _sql_stats_mi_events(),
         "hot_keys_events": _sql_hot_keys_events(),
         "suggest_rules_documents": _sql_suggest_rules(),
+        "suggest_vector_embeddings": _sql_suggest_vector_embeddings(),
         "rowcheck_json_docs": _sql_rowcheck_json_docs(),
         "dedup_exact_documents": _sql_dedup_exact(),
         "dedup_jaccard_documents": _sql_dedup_jaccard(),
@@ -5651,4 +5653,79 @@ SELECT CAST(CAST(ws AS TIMESTAMP) AS VARCHAR) AS window_start,
        round(CAST(n_pairs - n_unscorable - n_below AS DOUBLE)
              / CAST(n_pairs AS DOUBLE), 6) AS aligned_frac
 FROM w
+"""
+
+
+def q_suggest_vector_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suggestion over an EMBEDDING table
+    (invalid_spark.suggest): the array<float> column yields a $vector
+    suggestion — constant dim, outward-rounded L2-norm band — plus
+    the $arr/$constraint structural rule the DSL requires; scalar
+    columns get the usual range/unique suggestions. The oracle
+    replays the profile aggregates (dim, norm fold, 6dp outward
+    rounding) in SQL."""
+    import yaml as _y
+
+    from invalid_spark import suggest
+
+    emb = _t(spark, sf_dir, "embeddings")
+    parsed = _y.safe_load(
+        suggest.suggest_rules(emb, row_key="vec_id", exact_ndv=True)
+    )
+    rows = []
+    for col_name, r in parsed.items():
+        rng = r.get("$range") or {}
+        vec = r.get("$vector") or {}
+        nb = vec.get("norm") or {}
+        rows.append((
+            col_name, r["$type"], r.get("$constraint"),
+            bool(r.get("$optional", False)),
+            float(rng["$min"]) if rng else None,
+            float(rng["$max"]) if rng else None,
+            int(vec["dim"]) if "dim" in vec else None,
+            float(nb["min"]) if nb else None,
+            float(nb["max"]) if nb else None,
+            bool(r.get("$unique", False)),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "col_name string, rule_type string, constraint string, "
+        "optional boolean, range_min double, range_max double, "
+        "vec_dim int, norm_min double, norm_max double, "
+        "is_unique boolean",
+    )
+
+
+def _sql_suggest_vector_embeddings() -> str:
+    return """
+WITH norms AS (
+  SELECT len(embedding) AS d,
+         sqrt(list_reduce(list_transform(
+           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           y -> y * y), (a, b) -> a + b)) AS nrm
+  FROM embeddings WHERE embedding IS NOT NULL
+), prof AS (
+  SELECT min(d) AS dmin, max(d) AS dmax,
+         floor(min(nrm) * 1e6) / 1e6 AS nmin,
+         ceil(max(nrm) * 1e6) / 1e6 AS nmax
+  FROM norms
+)
+SELECT 'vec_id' AS col_name, '$int' AS rule_type,
+       CAST(NULL AS VARCHAR) AS "constraint", FALSE AS optional,
+       CAST(min(vec_id) AS DOUBLE) AS range_min,
+       CAST(max(vec_id) AS DOUBLE) AS range_max,
+       CAST(NULL AS INT) AS vec_dim, CAST(NULL AS DOUBLE) AS norm_min,
+       CAST(NULL AS DOUBLE) AS norm_max, TRUE AS is_unique
+FROM embeddings
+UNION ALL
+SELECT 'embedding', '$arr', '$float', FALSE,
+       NULL, NULL,
+       CASE WHEN dmin = dmax THEN CAST(dmin AS INT) END,
+       nmin, nmax, FALSE
+FROM prof
+UNION ALL
+SELECT 'label', '$int', NULL, FALSE,
+       CAST(min(label) AS DOUBLE), CAST(max(label) AS DOUBLE),
+       NULL, NULL, NULL, FALSE
+FROM embeddings
 """

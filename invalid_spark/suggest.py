@@ -58,6 +58,14 @@ def _rule_type(dt: T.DataType) -> str | None:
     return None  # maps/structs/timestamps: no row rule suggested
 
 
+def _is_float_vector(dt: T.DataType) -> bool:
+    """array<float>/array<double> — the embedding-column shape whose
+    profile can back a ``$vector`` suggestion."""
+    return isinstance(dt, T.ArrayType) and isinstance(
+        dt.elementType, (T.FloatType, T.DoubleType)
+    )
+
+
 def suggest_rules(
     df: DataFrame,
     row_key: str | None = None,
@@ -87,6 +95,40 @@ def suggest_rules(
         if rt in ("$int", "$float"):
             aggs.append(F.min(c).alias(f"min_{name}"))
             aggs.append(F.max(c).alias(f"max_{name}"))
+        elif rt == "$arr" and _is_float_vector(dt):
+            # embedding-column profile → $vector suggestion: constant
+            # dim, NaN/Inf occurrences, zero vectors, L2-norm band.
+            # HOF folds are fine here — this is the one-off profile
+            # pass, not the per-run row-check projection.
+            inf = F.lit(float("inf"))
+            bad = F.exists(
+                c,
+                lambda x: x.isNull()
+                | F.isnan(x.cast("double"))
+                | (F.abs(x.cast("double")) == inf),
+            )
+            norm = F.sqrt(
+                F.aggregate(
+                    c,
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            )
+            aggs.append(F.min(F.size(c)).alias(f"dmin_{name}"))
+            aggs.append(F.max(F.size(c)).alias(f"dmax_{name}"))
+            aggs.append(F.sum(bad.cast("long")).alias(f"vnan_{name}"))
+            aggs.append(
+                F.sum(
+                    (F.forall(c, lambda x: x == 0) & (F.size(c) > 0))
+                    .cast("long")
+                ).alias(f"vzero_{name}")
+            )
+            aggs.append(
+                F.min(F.when(~bad, norm)).alias(f"vnmin_{name}")
+            )
+            aggs.append(
+                F.max(F.when(~bad, norm)).alias(f"vnmax_{name}")
+            )
         elif rt == "$str":
             ndv = (
                 F.count_distinct(c) if exact_ndv
@@ -165,6 +207,41 @@ def suggest_rules(
                         "$min": int(lmin) if lmin > 0 else 0,
                         "$max": int(lmax),
                     }
+        elif rt == "$arr":
+            # the DSL (reference parity) requires every $arr rule to
+            # declare its element constraint
+            el = _rule_type(dt.elementType)
+            rule["$constraint"] = el if el is not None else "$str"
+        if rt == "$arr" and _is_float_vector(dt):
+            import math as _math
+
+            vec: dict = {}
+            dmin, dmax = prof[f"dmin_{name}"], prof[f"dmax_{name}"]
+            if dmin is not None and dmin == dmax:
+                vec["dim"] = int(dmin)
+            # defaults are strict (no_nan/no_zero True); a table that
+            # currently CONTAINS NaN or zero vectors must get the
+            # explicit false, or the suggested ruleset would violate
+            # its own snapshot
+            if (prof[f"vnan_{name}"] or 0) > 0:
+                vec["no_nan"] = False
+            if (prof[f"vzero_{name}"] or 0) > 0:
+                vec["no_zero"] = False
+            nlo, nhi = prof[f"vnmin_{name}"], prof[f"vnmax_{name}"]
+            if (
+                nlo is not None and nhi is not None
+                and _math.isfinite(float(nlo)) and _math.isfinite(float(nhi))
+                and float(nlo) > 0
+            ):
+                # round the band OUTWARD at 6dp so YAML decimal
+                # round-trip can never turn an observed bound into a
+                # violation of itself
+                vec["norm"] = {
+                    "min": _math.floor(float(nlo) * 1e6) / 1e6,
+                    "max": _math.ceil(float(nhi) * 1e6) / 1e6,
+                }
+            if vec:
+                rule["$vector"] = vec
         if row_key is not None and name == row_key:
             rule["$unique"] = True
         rules[name] = rule

@@ -2583,3 +2583,61 @@ def test_semantic_cluster_skew_hot_cluster(spark):
     assert top["n_docs"] >= 100
     assert top["est_pairs"] == top["n_docs"] * (top["n_docs"] - 1) // 2
     assert rows[0]["n_docs"] >= rows[1]["n_docs"] + 80
+
+
+def test_suggest_rules_vector_profile(spark, tmp_path):
+    """Embedding columns get a $vector suggestion: constant dim, an
+    outward-rounded L2-norm band, and explicit no_nan/no_zero=false
+    ONLY when the snapshot itself contains such vectors — the
+    suggested ruleset must pass its own snapshot through the full
+    runner."""
+    from invalid_spark import runner, suggest
+    from invalid_spark.dsl import load_rules
+    import yaml as _y
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    yml = suggest.suggest_rules(emb, row_key="vec_id")
+    parsed = _y.safe_load(yml)
+    vec = parsed["embedding"]["$vector"]
+    assert vec["dim"] == 64
+    assert 0 < vec["norm"]["min"] <= vec["norm"]["max"]
+    assert "no_nan" not in vec and "no_zero" not in vec  # table is clean
+    rules = load_rules(yml)
+    res = runner.validate(
+        spark, emb, rules, "vec_id", str(tmp_path / "sv_audit")
+    )
+    assert res.violations(spark).count() == 0
+
+    # a snapshot CONTAINING zero/NaN vectors suggests the permissive
+    # flags so the round-trip still holds
+    dirty = emb.unionByName(
+        emb.limit(2).select(
+            (F.col("vec_id") + 900000).alias("vec_id"),
+            F.when(
+                F.col("vec_id") % 2 == 0,
+                F.array_repeat(F.lit(0.0).cast("float"), 64),
+            )
+            .otherwise(
+                F.array_repeat(F.lit(float("nan")).cast("float"), 64)
+            )
+            .alias("embedding"),
+            F.col("label"),
+        )
+    )
+    yml2 = suggest.suggest_rules(dirty, row_key="vec_id")
+    p2 = _y.safe_load(yml2)
+    v2 = p2["embedding"]["$vector"]
+    assert v2["no_nan"] is False and v2["no_zero"] is False
+    from invalid_spark.checks.rows import run_row_checks
+    from invalid_spark.checks.vector import vector_violations
+
+    norm2 = v2.get("norm") or {}
+    assert (
+        vector_violations(
+            dirty, "embedding", "vec_id",
+            dim=v2.get("dim"), no_nan=False, no_zero=False,
+            norm_min=norm2.get("min"), norm_max=norm2.get("max"),
+        ).count()
+        == 0
+    )
+    assert run_row_checks(dirty, load_rules(yml2), "vec_id").count() == 0
