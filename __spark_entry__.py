@@ -1355,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_incremental_embeddings": q_semantic_incremental_embeddings,
         "semantic_contamination_embeddings": q_semantic_contamination_embeddings,
         "semantic_skew_embeddings": q_semantic_skew_embeddings,
+        "semantic_diversity_embeddings": q_semantic_diversity_embeddings,
         "streaming_alignment_windows": q_streaming_alignment_windows,
         "alignment_embeddings": q_alignment_embeddings,
         "top_fraction_documents": q_top_fraction_documents,
@@ -5030,6 +5031,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_incremental_embeddings": _sql_semantic_incremental(),
         "semantic_contamination_embeddings": _sql_semantic_contamination(),
         "semantic_skew_embeddings": _sql_semantic_skew(),
+        "semantic_diversity_embeddings": _sql_semantic_diversity(),
         "streaming_alignment_windows": _sql_streaming_alignment_windows(),
         "alignment_embeddings": _sql_alignment_embeddings(),
         "top_fraction_documents": _sql_top_fraction_documents(),
@@ -5728,4 +5730,103 @@ SELECT 'label', '$int', NULL, FALSE,
        CAST(min(label) AS DOUBLE), CAST(max(label) AS DOUBLE),
        NULL, NULL, NULL, FALSE
 FROM embeddings
+"""
+
+
+def q_semantic_diversity_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus diversity over the semantic codebook
+    (curate.semantic_diversity): cluster-occupancy entropy,
+    normalized entropy, effective clusters (perplexity), hottest
+    share — computed for the base corpus AND a skew-planted variant
+    (200 copies of vector 0) against the SAME codebook (the fixed
+    side of a before/after comparison). The plant must show up as a
+    diversity DROP. The oracle replays codebook, both assignments,
+    and the cluster-sorted entropy fold bit-for-bit."""
+    from invalid_spark.pipeline import curate
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = similarity.ivf_md5_centroids(emb, n_lists=8)
+    hot = (
+        emb.filter(F.col("vec_id") < 200)
+        .select((F.col("vec_id") + 500000).alias("vec_id"))
+        .crossJoin(
+            F.broadcast(emb.filter(F.col("vec_id") == 0).select("embedding"))
+        )
+    )
+    base = curate.semantic_diversity(emb, centroids=cents).select(
+        F.lit("base").alias("stage"), "*"
+    )
+    skew = curate.semantic_diversity(
+        emb.unionByName(hot), centroids=cents
+    ).select(F.lit("skewed").alias("stage"), "*")
+    return base.unionByName(skew)
+
+
+def _sql_semantic_diversity() -> str:
+    return """
+WITH un AS (
+  SELECT vec_id, list_transform(
+           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           x -> x / sqrt(list_reduce(
+             list_transform(list_transform(embedding,
+               y0 -> CAST(y0 AS DOUBLE)), y -> y * y), (a, b) -> a + b))
+         ) AS nv
+  FROM embeddings
+  WHERE sqrt(list_reduce(list_transform(list_transform(embedding,
+          y0 -> CAST(y0 AS DOUBLE)), y -> y * y), (a, b) -> a + b)) > 0
+), cent AS (
+  SELECT row_number() OVER (
+           ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                         AS BIGINT), vec_id
+         ) - 1 AS cid,
+         nv AS cv
+  FROM un
+  ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT),
+           vec_id
+  LIMIT 8
+), src AS (
+  SELECT 'base' AS stage, vec_id, nv FROM un
+  UNION ALL
+  SELECT 'skewed', vec_id, nv FROM un
+  UNION ALL
+  SELECT 'skewed', u.vec_id + 500000 AS vec_id, z.nv
+  FROM un u CROSS JOIN (SELECT nv FROM un WHERE vec_id = 0) z
+  WHERE u.vec_id < 200
+), assign AS (
+  SELECT stage, id, cluster FROM (
+    SELECT s.stage, s.vec_id AS id, ct.cid AS cluster,
+           row_number() OVER (PARTITION BY s.stage, s.vec_id ORDER BY
+             list_reduce(list_transform(range(64),
+               i -> s.nv[i+1] * ct.cv[i+1]), (a, b) -> a + b) DESC,
+             ct.cid DESC) AS rn
+    FROM src s CROSS JOIN cent ct
+  ) WHERE rn = 1
+), counts AS (
+  SELECT stage, cluster, CAST(count(*) AS BIGINT) AS cnt
+  FROM assign GROUP BY stage, cluster
+), tot AS (
+  SELECT stage, cluster, cnt, sum(cnt) OVER (PARTITION BY stage) AS n
+  FROM counts
+), terms AS (
+  SELECT stage, cluster, cnt, n,
+         (CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+           * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+  FROM tot
+), folded AS (
+  SELECT stage,
+         CAST(max(n) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         -list_reduce(list(term ORDER BY cluster), (a, b) -> a + b)
+           AS ent,
+         CAST(max(cnt) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS top_share
+  FROM terms GROUP BY stage
+)
+SELECT stage, n_docs, n_clusters,
+       round(ent, 6) AS entropy,
+       round(ent / ln(8.0), 6) AS normalized_entropy,
+       round(exp(ent), 6) AS effective_clusters,
+       round(top_share, 6) AS top_share
+FROM folded
 """

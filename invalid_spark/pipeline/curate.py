@@ -27,7 +27,9 @@ oracle-checked end-to-end in the driver gate (``curate_documents``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from invalid_spark.pipeline import dedup
@@ -543,4 +545,75 @@ def top_fraction(
             s.alias("score"),
             (s >= F.col("__thr")).alias("keep"),
         )
+    )
+
+
+def semantic_diversity(
+    df: DataFrame,
+    n_lists: int = 16,
+    centroids=None,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus diversity over the semantic codebook — the metric the
+    SemDeDup line of work tracks through a curation pipeline (does
+    dedup/filtering collapse the corpus onto few semantic regions?).
+    One summary row: ``(n_docs, n_clusters, entropy,
+    normalized_entropy, effective_clusters, top_share)`` where
+    entropy is the Shannon entropy (nats) of the cluster-occupancy
+    distribution, ``normalized_entropy`` divides by ``ln(n_lists)``
+    (capacity), ``effective_clusters = exp(entropy)`` (perplexity —
+    "the corpus behaves as if spread over this many regions"), and
+    ``top_share`` is the hottest cluster's mass.
+
+    Run it before and after a curation stage and diff: a dedup pass
+    that REDUCES normalized entropy collapsed diversity, the
+    opposite of what diversity-preserving keeper selection promises.
+
+    Scale shape: one Arrow assignment pass (broadcast codebook), one
+    count aggregation to ≤ ``n_lists`` rows, and a driver-free fold
+    over the cluster-sorted count list — the
+    :func:`invalid_spark.checks.stats.column_entropy` canonical-order
+    trick, so any SQL engine replays the float bit-for-bit."""
+    from invalid_spark.pipeline import similarity
+    from invalid_spark.pipeline.dedup import _semantic_assigned
+
+    if centroids is None:
+        centroids = similarity.ivf_md5_centroids(
+            df, n_lists=n_lists, vec_col=vec_col, key_col=key_col
+        )
+    n_cap = len(centroids)
+    a = _semantic_assigned(df, centroids, vec_col, key_col)
+    counts = a.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    t = counts.select(
+        "cluster", "cnt",
+        F.sum("cnt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    p = F.col("cnt").cast("double") / F.col("n").cast("double")
+    terms = t.select("cluster", (p * F.log(p)).alias("term"), "cnt", "n")
+    folded = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("cluster", "term"))),
+            lambda x: x["term"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return terms.groupBy().agg(
+        F.first("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.round(-folded, 6).alias("entropy"),
+        F.round(-folded / F.lit(math.log(n_cap)), 6).alias(
+            "normalized_entropy"
+        ),
+        F.round(F.exp(-folded), 6).alias("effective_clusters"),
+        F.round(
+            F.max("cnt").cast("double") / F.first("n").cast("double"), 6
+        ).alias("top_share"),
     )

@@ -2641,3 +2641,32 @@ def test_suggest_rules_vector_profile(spark, tmp_path):
         == 0
     )
     assert run_row_checks(dirty, load_rules(yml2), "vec_id").count() == 0
+
+
+def test_semantic_diversity_drop_on_skew(spark):
+    """Diversity report: a near-uniform random corpus reads
+    normalized entropy ~1; planting 200 copies of one vector (same
+    codebook) drops entropy, effective clusters, and raises
+    top_share — the before/after diff a curation pipeline watches."""
+    from invalid_spark.pipeline import curate, similarity
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    cents = similarity.ivf_md5_centroids(emb, n_lists=8)
+    base = curate.semantic_diversity(emb, centroids=cents).collect()[0]
+    assert base["n_docs"] == 500 and base["n_clusters"] == 8
+    assert base["normalized_entropy"] > 0.98
+    assert base["effective_clusters"] == pytest.approx(8.0, abs=0.5)
+
+    hot = emb.filter(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + 500000).alias("vec_id")
+    ).crossJoin(
+        F.broadcast(emb.filter(F.col("vec_id") == 0).select("embedding"))
+    )
+    skew = curate.semantic_diversity(
+        emb.unionByName(hot), centroids=cents
+    ).collect()[0]
+    assert skew["normalized_entropy"] < base["normalized_entropy"] - 0.05
+    assert skew["effective_clusters"] < base["effective_clusters"] - 1
+    assert skew["top_share"] > base["top_share"] + 0.2
