@@ -1343,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
         "dedup_minhash_lsh_documents": q_dedup_minhash_lsh_documents,
         "dedup_decisions_documents": q_dedup_decisions_documents,
+        "dedup_keeper_score_documents": q_dedup_keeper_score_documents,
         "cluster_weights_documents": q_cluster_weights_documents,
         "dedup_simhash_documents": q_dedup_simhash_documents,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -5013,6 +5014,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_documents": _sql_dedup_jaccard(),
         "dedup_minhash_lsh_documents": _sql_dedup_minhash_lsh(),
         "dedup_decisions_documents": _sql_dedup_decisions(),
+        "dedup_keeper_score_documents": _sql_dedup_keeper_score(),
         "cluster_weights_documents": _sql_cluster_weights(),
         "dedup_simhash_documents": _sql_dedup_simhash(),
         "dedup_simhash_pairs": _sql_dedup_simhash_pairs(),
@@ -5829,4 +5831,45 @@ SELECT stage, n_docs, n_clusters,
        round(exp(ent), 6) AS effective_clusters,
        round(top_share, 6) AS top_share
 FROM folded
+"""
+
+
+def q_dedup_keeper_score_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-keeper dedup (dedup.dedup_decisions_by_score): the
+    LSH near-dup components again, but the keeper is the member with
+    the LONGEST text (n_chars) instead of the smallest id — "keep
+    the best copy" when duplicate copies differ. Oracle replays
+    components (recursive min-label reachability) plus the
+    score-ranked keeper window."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(d, threshold=0.8)
+    return dedup.dedup_decisions_by_score(
+        pairs, d.select("doc_id", F.col("n_chars").alias("score")),
+        key_col="doc_id",
+    )
+
+
+def _sql_dedup_keeper_score() -> str:
+    return f"""
+WITH RECURSIVE {_sql_minhash_pairs_ctes()},
+edges AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION
+  SELECT b AS u, a AS v FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+),
+labels AS (
+  SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+)
+SELECT l.id, l.cluster_id, CAST(d.n_chars AS DOUBLE) AS score,
+       row_number() OVER (PARTITION BY l.cluster_id
+                          ORDER BY CAST(d.n_chars AS DOUBLE)
+                            DESC NULLS LAST, l.id ASC) = 1 AS keep
+FROM labels l LEFT JOIN documents d ON d.doc_id = l.id
 """

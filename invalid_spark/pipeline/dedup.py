@@ -1002,6 +1002,52 @@ def dedup_decisions(pairs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_decisions_by_score(
+    pairs: DataFrame,
+    scores: DataFrame,
+    key_col: str = "doc_id",
+    score_col: str = "score",
+    descending: bool = True,
+) -> DataFrame:
+    """Keeper by QUALITY instead of by id: within each duplicate
+    component keep the member with the best ``score_col`` (longest
+    text, highest quality-classifier score, newest crawl — whatever
+    the pipeline ranks by), ties and NULL scores falling back to the
+    smaller id. :func:`dedup_decisions`' min-id keeper is arbitrary —
+    when copies DIFFER (truncated mirror vs full article), arbitrary
+    keeps the truncated one half the time; this variant feeds the
+    filter stage the best copy. Returns ``(id, cluster_id, score,
+    keep)`` for clustered documents only (singletons implicitly
+    keep).
+
+    Scale shape: components via the same O(log diameter)
+    pointer-jumping labels; ``scores`` joins the LABELS frame
+    (duplicate members only, pairs-sized) on an id equi-join — the
+    corpus-sized score frame is filtered by the join, never
+    shuffled whole; keeper rank is a per-component window over
+    component-sized groups."""
+    from pyspark.sql import Window
+
+    labels = dup_clusters(pairs)
+    s = scores.select(
+        F.col(key_col).alias("id"),
+        F.col(score_col).cast("double").alias("score"),
+    )
+    j = labels.join(s, "id", "left")
+    order = (
+        F.col("score").desc_nulls_last()
+        if descending
+        else F.col("score").asc_nulls_last()
+    )
+    w = Window.partitionBy("cluster_id").orderBy(order, F.col("id").asc())
+    return j.select(
+        "id",
+        "cluster_id",
+        "score",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 def cluster_weights(pairs: DataFrame) -> DataFrame:
     """SOFT dedup: instead of dropping near-duplicates, weight every
     member of a duplicate cluster by ``1 / cluster_size`` so the

@@ -109,6 +109,32 @@ def validate_stream(
                 parallelism=udf_parallelism,
             )
             v = v.unionByName(p.select(*cols), allowMissingColumns=True)
+    # $vector / $align are stateless row-local projections (HOF folds,
+    # zero joins, zero state) — streaming-legal as-is, same compiled
+    # expressions as the batch runner stages
+    for col, spec in plan.vector_specs:
+        from invalid_spark.checks import vector as vector_checks
+
+        norm = spec.get("norm") or {}
+        vv = vector_checks.vector_violations(
+            stream_df, col, row_key,
+            dim=spec.get("dim"),
+            no_nan=bool(spec.get("no_nan", True)),
+            no_zero=bool(spec.get("no_zero", True)),
+            norm_min=norm.get("min"),
+            norm_max=norm.get("max"),
+            run_id=run_id,
+        )
+        v = v.unionByName(vv.select(*cols), allowMissingColumns=True)
+    for col, spec in plan.align_specs:
+        from invalid_spark.checks import vector as vector_checks
+
+        av = vector_checks.alignment_violations(
+            stream_df, col, spec["with"], row_key,
+            min_cos=float(spec["min_cos"]),
+            run_id=run_id,
+        )
+        v = v.unionByName(av.select(*cols), allowMissingColumns=True)
     return v
 
 

@@ -2670,3 +2670,30 @@ def test_semantic_diversity_drop_on_skew(spark):
     assert skew["normalized_entropy"] < base["normalized_entropy"] - 0.05
     assert skew["effective_clusters"] < base["effective_clusters"] - 1
     assert skew["top_share"] > base["top_share"] + 0.2
+
+
+def test_dedup_keeper_by_score(spark):
+    """Quality keeper: within a duplicate component the member with
+    the best score survives (ties/NULLs -> smaller id), exactly one
+    keeper per component."""
+    from invalid_spark.pipeline import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (10, None), (11, 1.0)],
+        "doc_id long, score double",
+    )
+    out = {r["id"]: r for r in dedup.dedup_decisions_by_score(
+        pairs, scores
+    ).collect()}
+    # component {1,2,3}: 2 and 3 tie at 9.0 -> smaller id 2 keeps
+    assert out[2]["keep"] and not out[1]["keep"] and not out[3]["keep"]
+    # component {10,11}: NULL ranks last -> 11 keeps
+    assert out[11]["keep"] and not out[10]["keep"]
+    # ascending mode: keep the SMALLEST score (e.g. perplexity)
+    out2 = {r["id"]: r for r in dedup.dedup_decisions_by_score(
+        pairs, scores, descending=False
+    ).collect()}
+    assert out2[1]["keep"] and out2[11]["keep"]

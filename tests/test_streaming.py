@@ -617,3 +617,51 @@ def test_windowed_alignment_metrics_batch_and_stream(spark, tmp_path):
             bb["n_pairs"], bb["n_unscorable"], bb["n_below"],
             bb["aligned_frac"],
         )
+
+
+def test_validate_stream_vector_and_align(spark, tmp_path):
+    """$vector and $align rules ride the streaming validator as
+    stateless projections: planted dim/zero/misaligned rows flag in
+    streaming execution exactly as in batch."""
+    from invalid_spark.dsl import load_rules
+
+    rows = [
+        (1, [1.0, 0.0], [1.0, 0.0]),          # clean, aligned
+        (2, [0.0, 0.0], [1.0, 0.0]),          # zero vector (+unscorable)
+        (3, [1.0, 0.0, 0.0], [1.0, 0.0]),     # dim mismatch (+unscorable)
+        (4, [0.0, 1.0], [1.0, 0.0]),          # orthogonal: below min_cos
+    ]
+    src = spark.createDataFrame(
+        rows, "pid long, img array<double>, cap array<double>"
+    )
+    rules = load_rules(
+        "img: {$type: $arr, $constraint: $float, "
+        " $vector: {dim: 2, no_zero: true}, "
+        " $align: {with: cap, min_cos: 0.5}}\n"
+        "cap: {$type: $arr, $constraint: $float}\n"
+    )
+    batch = streaming.validate_stream(src, rules, "pid")
+    batch_set = {
+        (r["row_key"], r["error_type"]) for r in batch.collect()
+    }
+    assert ("2", "vectorMismatch") in batch_set       # zero vector
+    assert ("3", "vectorMismatch") in batch_set       # dim
+    assert ("2", "alignmentMismatch") in batch_set    # unscorable
+    assert ("3", "alignmentMismatch") in batch_set    # unscorable
+    assert ("4", "alignmentMismatch") in batch_set    # below threshold
+    assert not any(k == "1" for k, _ in batch_set)
+
+    d = str(tmp_path / "va_src")
+    src.coalesce(1).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(src.schema).parquet(d)
+    vq = streaming.validate_stream(sdf, rules, "pid")
+    sink = str(tmp_path / "va_sink")
+    h = vq.writeStream.format("parquet").outputMode("append").option(
+        "checkpointLocation", str(tmp_path / "va_ck")
+    ).option("path", sink).trigger(availableNow=True).start()
+    h.awaitTermination(120)
+    got = {
+        (r["row_key"], r["error_type"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == batch_set
