@@ -141,6 +141,37 @@ def main(argv: list[str] | None = None) -> int:
                     "instead of whitespace tokens")
     pk.add_argument("--local-cores", type=int, default=None)
 
+    pd_ = sub.add_parser(
+        "semdedup",
+        help="semantic dedup over an embedding table (SemDeDup: "
+        "cluster-then-compare): write decisions/ parquet plus a JSON "
+        "summary with the cluster-skew pre-flight and the "
+        "before/after diversity report",
+    )
+    pd_.add_argument("--table", required=True, help="embeddings parquet")
+    pd_.add_argument("--out", required=True, help="output dir")
+    pd_.add_argument("--row-key", default="vec_id")
+    pd_.add_argument("--vec-col", default="embedding")
+    pd_.add_argument("--threshold", type=float, default=0.95)
+    pd_.add_argument("--n-lists", type=int, default=16)
+    pd_.add_argument("--local-cores", type=int, default=None)
+
+    pct = sub.add_parser(
+        "contamination",
+        help="embedding-space train/eval contamination screen: flag "
+        "train rows within cosine threshold of any eval row, write "
+        "flags/ parquet plus a JSON summary",
+    )
+    pct.add_argument("--table", required=True, help="train embeddings")
+    pct.add_argument("--eval-table", required=True, help="eval embeddings")
+    pct.add_argument("--out", required=True, help="output dir")
+    pct.add_argument("--row-key", default="vec_id")
+    pct.add_argument("--vec-col", default="embedding")
+    pct.add_argument("--threshold", type=float, default=0.95)
+    pct.add_argument("--n-lists", type=int, default=16)
+    pct.add_argument("--nprobe", type=int, default=2)
+    pct.add_argument("--local-cores", type=int, default=None)
+
     pvs = sub.add_parser(
         "validate-suite",
         help="validate several tables under one audit root from a "
@@ -240,6 +271,80 @@ def main(argv: list[str] | None = None) -> int:
         packed = spark.read.parquet(os.path.join(args.out, "assignments"))
         s = pack_mod.pack_summary(packed, args.max_tokens).collect()[0]
         print(json.dumps(s.asDict(), sort_keys=True))
+        return 0
+
+    if args.cmd == "semdedup":
+        import os
+
+        from invalid_spark.pipeline import curate as curate_mod
+        from invalid_spark.pipeline import dedup as dedup_mod
+        from invalid_spark.pipeline import similarity as sim_mod
+
+        cents = sim_mod.ivf_md5_centroids(
+            df, n_lists=args.n_lists,
+            vec_col=args.vec_col, key_col=args.row_key,
+        )
+        dec = dedup_mod.semantic_dedup(
+            df, threshold=args.threshold, centroids=cents,
+            vec_col=args.vec_col, key_col=args.row_key,
+        )
+        dec.write.mode("overwrite").parquet(
+            os.path.join(args.out, "decisions")
+        )
+        dec = spark.read.parquet(os.path.join(args.out, "decisions"))
+        skew = dedup_mod.semantic_cluster_skew(
+            df, centroids=cents,
+            vec_col=args.vec_col, key_col=args.row_key,
+        ).collect()
+        before = curate_mod.semantic_diversity(
+            df, centroids=cents,
+            vec_col=args.vec_col, key_col=args.row_key,
+        ).collect()[0]
+        from pyspark.sql import functions as F
+
+        drop_keys = dec.filter(~F.col("keep")).select(
+            F.col("id").alias(args.row_key)
+        )
+        kept_df = df.join(drop_keys, args.row_key, "left_anti")
+        after = curate_mod.semantic_diversity(
+            kept_df, centroids=cents,
+            vec_col=args.vec_col, key_col=args.row_key,
+        ).collect()[0]
+        print(json.dumps({
+            "n_input": df.count(),
+            "n_dropped": dec.filter("NOT keep").count(),
+            "top_clusters": [r.asDict() for r in skew],
+            "diversity_before": before.asDict(),
+            "diversity_after": after.asDict(),
+        }, sort_keys=True))
+        return 0
+
+    if args.cmd == "contamination":
+        import os
+
+        from invalid_spark.pipeline import dedup as dedup_mod
+        from invalid_spark.pipeline import similarity as sim_mod
+
+        ev = spark.read.parquet(args.eval_table)
+        cents = sim_mod.ivf_md5_centroids(
+            ev, n_lists=args.n_lists,
+            vec_col=args.vec_col, key_col=args.row_key,
+        )
+        flags = dedup_mod.semantic_contamination(
+            df, ev, cents, threshold=args.threshold, nprobe=args.nprobe,
+            vec_col=args.vec_col, key_col=args.row_key,
+        )
+        flags.write.mode("overwrite").parquet(
+            os.path.join(args.out, "flags")
+        )
+        flags = spark.read.parquet(os.path.join(args.out, "flags"))
+        n = flags.count()
+        n_bad = flags.filter("contaminated").count()
+        print(json.dumps({
+            "n_train": n,
+            "n_contaminated": n_bad,
+            "rate": round(n_bad / n, 6) if n else None,
+        }, sort_keys=True))
         return 0
 
     if args.cmd == "curate":

@@ -228,3 +228,40 @@ def test_ks1_pvalue_consistent_with_lambda_critical():
     assert mathutil.ks_pvalue(0.05, 2000, 2000) == pytest.approx(
         mathutil.ks1_pvalue(0.05, 1000), rel=1e-12
     )
+
+
+def test_cli_semdedup_in_process(spark, tmp_path, capsys):
+    from invalid_spark import cli
+
+    rc = cli.main([
+        "semdedup",
+        "--table", "/root/testdata/sf0.001/embeddings.parquet",
+        "--out", str(tmp_path / "sd"),
+        "--n-lists", "4",
+        "--threshold", "0.9",
+        "--local-cores", "4",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_input"] > 0 and out["n_dropped"] == 0
+    assert len(out["top_clusters"]) <= 10
+    assert 0 < out["diversity_before"]["normalized_entropy"] <= 1
+    assert os.path.isdir(str(tmp_path / "sd" / "decisions"))
+
+
+def test_cli_contamination_in_process(spark, tmp_path, capsys):
+    from invalid_spark import cli
+
+    rc = cli.main([
+        "contamination",
+        "--table", "/root/testdata/sf0.001/embeddings.parquet",
+        "--eval-table", "/root/testdata/sf0.001/embeddings.parquet",
+        "--out", str(tmp_path / "ct"),
+        "--n-lists", "4",
+        "--threshold", "0.9",
+        "--local-cores", "4",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # train == eval: every row is its own exact leak
+    assert out["rate"] == 1.0
