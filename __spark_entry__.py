@@ -25,7 +25,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from invalid_spark.checks import drift, refint, relations, rows, stats, unique
@@ -1336,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_corr_lineitem": q_stats_corr_lineitem,
         "stats_mi_events": q_stats_mi_events,
         "hot_keys_events": q_hot_keys_events,
+        "cms_heavy_hitters_events": q_cms_heavy_hitters_events,
         "suggest_rules_documents": q_suggest_rules_documents,
         "suggest_vector_embeddings": q_suggest_vector_embeddings,
         "rowcheck_json_docs": q_rowcheck_json_docs,
@@ -1360,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_alignment_windows": q_streaming_alignment_windows,
         "alignment_embeddings": q_alignment_embeddings,
         "top_fraction_documents": q_top_fraction_documents,
+        "top_fraction_by_lang_documents": q_top_fraction_by_lang_documents,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "ann_brute_topk_embeddings": q_ann_brute_topk_embeddings,
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
@@ -1847,6 +1849,61 @@ SELECT "value", cnt,
             AS INT) AS rank
 FROM c
 ORDER BY cnt DESC, "value" ASC NULLS FIRST
+LIMIT 10
+"""
+
+
+def q_cms_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters (stats.cms_sketch/cms_estimate):
+    the bounded-state sibling of hot_keys — the exact profile shuffles
+    one row per DISTINCT key, the sketch shuffles at most depth*width
+    counter rows no matter the cardinality, and estimates never
+    undershoot. md5-derived hash rows make the whole sketch (buckets,
+    counters, min-estimates) bit-replayable by the SQL oracle. The
+    candidate set here is the distinct key frame (deterministic oracle
+    anchor, like percentiles_exact for the t-digest); the production
+    path (stats.heavy_hitters_cms) derives candidates map-side from
+    per-partition local top-k, pytest-covered with planted skew."""
+    ev = _t(spark, sf_dir, "events")
+    sk = stats.cms_sketch(ev, "user_id", depth=3, width=512, salt="cms-v1")
+    cand = ev.select("user_id").where(F.col("user_id").isNotNull()).distinct()
+    est = stats.cms_estimate(sk, cand, "user_id", depth=3, width=512, salt="cms-v1")
+    top = est.orderBy(F.col("est_cnt").desc(), F.asc("value")).limit(10)
+    rank_w = Window.orderBy(F.col("est_cnt").desc(), F.asc("value"))
+    return top.withColumn("rank", F.row_number().over(rank_w))
+
+
+def _sql_cms_heavy_hitters_events() -> str:
+    return """
+WITH v AS (
+  SELECT CAST(user_id AS VARCHAR) AS value FROM events
+  WHERE user_id IS NOT NULL
+),
+hi AS (SELECT unnest(range(3)) AS i),
+sk AS (
+  SELECT i,
+         CAST('0x' || substr(md5('cms-v1-' || CAST(i AS VARCHAR) || '-'
+                                 || value), 1, 8) AS BIGINT) % 512 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM v CROSS JOIN hi GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT value FROM v),
+r AS (
+  SELECT c.value, h.i,
+         CAST('0x' || substr(md5('cms-v1-' || CAST(h.i AS VARCHAR) || '-'
+                                 || c.value), 1, 8) AS BIGINT) % 512 AS bucket
+  FROM cand c CROSS JOIN hi h
+),
+est AS (
+  SELECT r.value, CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) AS est_cnt
+  FROM r LEFT JOIN sk s ON r.i = s.i AND r.bucket = s.bucket
+  GROUP BY r.value
+)
+SELECT value, est_cnt,
+       CAST(row_number() OVER (ORDER BY est_cnt DESC, value ASC) AS INT)
+         AS rank
+FROM est
+ORDER BY est_cnt DESC, value ASC
 LIMIT 10
 """
 
@@ -5007,6 +5064,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_corr_lineitem": _sql_stats_corr_lineitem(),
         "stats_mi_events": _sql_stats_mi_events(),
         "hot_keys_events": _sql_hot_keys_events(),
+        "cms_heavy_hitters_events": _sql_cms_heavy_hitters_events(),
         "suggest_rules_documents": _sql_suggest_rules(),
         "suggest_vector_embeddings": _sql_suggest_vector_embeddings(),
         "rowcheck_json_docs": _sql_rowcheck_json_docs(),
@@ -5037,6 +5095,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_alignment_windows": _sql_streaming_alignment_windows(),
         "alignment_embeddings": _sql_alignment_embeddings(),
         "top_fraction_documents": _sql_top_fraction_documents(),
+        "top_fraction_by_lang_documents": _sql_top_fraction_by_lang_documents(),
         "emb_neardup_lsh": _sql_emb_neardup_lsh(),
         "caption_eq_documents": _sql_caption_eq_documents(),
         "unique_phash_skew": _sql_unique_phash_skew(),
@@ -5255,6 +5314,37 @@ WITH t AS (
 SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
        CAST(n_chars AS DOUBLE) >= t.thr AS keep
 FROM documents, t
+"""
+
+
+def q_top_fraction_by_lang_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group top-fraction selection (curate.top_fraction_by_group):
+    keep the top 30% of each LANGUAGE by score — the per-language
+    variant of the DCLM/FineWeb-Edu pruning that a global threshold
+    gets wrong on multilingual corpora (English-centric classifiers
+    score other languages systematically lower, so the global cut
+    nearly empties them). One grouped quantile aggregate (one row per
+    language — broadcastable at any corpus scale) + one null-safe
+    broadcast join; no sort anywhere."""
+    from invalid_spark.pipeline import curate
+
+    d = _t(spark, sf_dir, "documents")
+    return curate.top_fraction_by_group(
+        d, "n_chars", 0.3, group_col="lang", key_col="doc_id"
+    )
+
+
+def _sql_top_fraction_by_lang_documents() -> str:
+    return """
+WITH t AS (
+  SELECT lang AS g, quantile_cont(CAST(n_chars AS DOUBLE), 0.7) AS thr
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS DOUBLE) AS score,
+       CAST(d.n_chars AS DOUBLE) >= t.thr AS keep
+FROM documents d LEFT JOIN t ON d.lang IS NOT DISTINCT FROM t.g
 """
 
 

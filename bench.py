@@ -306,6 +306,8 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
         ("stats_corr", entry.q_stats_corr_lineitem),
         ("stats_mi", entry.q_stats_mi_events),
         ("hot_keys", entry.q_hot_keys_events),
+        ("cms_heavy_hitters", entry.q_cms_heavy_hitters_events),
+        ("top_fraction_by_lang", entry.q_top_fraction_by_lang_documents),
         ("fd", entry.q_fd_lineitem),
         ("monotonic", entry.q_monotonic_events),
         ("reconcile", entry.q_reconcile_orders),

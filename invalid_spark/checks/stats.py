@@ -682,3 +682,157 @@ def histogram(
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         )
     )
+
+
+def _cms_bucket(value_s, i: int, width: int, salt: str):
+    """Row i's Count-Min bucket for a (string-rendered) value: the
+    first 8 hex chars of a salted md5, mod ``width``. md5-derived so
+    any SQL engine replays the sketch bit-exactly (the DSIR /
+    hash_sample construction)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}-{i}-"), value_s)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """Count-Min sketch of a key column (Cormode & Muthukrishnan
+    2005): ``depth`` hash rows of ``width`` counters each, built in
+    ONE partial+final aggregation. Output ``(i, bucket, cnt)`` —
+    sparse (absent pair = 0; :func:`cms_estimate` coalesces).
+
+    This is the bounded-state complement of :func:`hot_keys`: the
+    exact profile shuffles one row per DISTINCT key (fine for enum
+    columns, a full-cardinality shuffle for user/url/phash keys at
+    10^12 rows), while the sketch shuffles at most ``depth*width``
+    partial rows per partition NO MATTER the key cardinality, and two
+    snapshots' sketches merge by adding counters (the HLL/t-digest
+    story again). Point estimates overshoot by at most
+    ``e/width * N`` with probability ``1 - e^-depth`` (never
+    undershoot). NULL keys are excluded (profile them with
+    null_rates; hashing a sentinel would silently pool them with a
+    real value on collision).
+
+    The generalizing ancestor is the reference's enum/uniqueness
+    checks (rule.go:522-538) — "which values dominate this column" at
+    a scale where exact counting is itself the bottleneck.
+    """
+    if depth <= 0 or width <= 0:
+        raise ValueError(f"need depth/width > 0, got {depth}/{width}")
+    v = F.col(col).cast("string")
+    buckets = F.array(*[_cms_bucket(v, i, width, salt) for i in range(depth)])
+    return (
+        df.filter(v.isNotNull())
+        .select(F.posexplode(buckets).alias("i", "bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """Point-estimate candidate values against a :func:`cms_sketch`
+    built with the SAME (depth, width, salt). Output
+    ``(value, est_cnt)`` — the min over the value's ``depth``
+    counters, 0 for a bucket the sketch never saw (the left join +
+    coalesce is what makes the sparse sketch correct: dropping the
+    missing row would take the min over present counters only and
+    overestimate).
+
+    The sketch is at most ``depth*width`` rows, so it broadcasts; the
+    candidate frame is whatever the caller supplies (an explicit
+    value list, :func:`hot_keys` output, or the map-side local top-k
+    from :func:`heavy_hitters_cms`) — the corpus itself is never
+    rescanned."""
+    cand = candidates.select(F.col(col).cast("string").alias("value")).distinct()
+    v = F.col("value")
+    buckets = F.array(*[_cms_bucket(v, i, width, salt) for i in range(depth)])
+    rows = cand.select("value", F.posexplode(buckets).alias("i", "bucket"))
+    return (
+        rows.join(F.broadcast(sketch), ["i", "bucket"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )
+
+
+def heavy_hitters_cms(
+    df: DataFrame,
+    col: str,
+    min_share: float = 0.01,
+    depth: int = 4,
+    width: int = 2048,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """Heavy hitters (values with corpus share >= ``min_share``) with
+    BOUNDED state everywhere — nothing in the plan grows with key
+    cardinality:
+
+    1. candidates: each partition's exact local top-``ceil(1/s)``
+       values via one ``mapInPandas`` pass (a value with GLOBAL share
+       >= s has local share >= s in at least one partition, and at
+       most ``floor(1/s)`` values can clear s locally, so every true
+       heavy hitter is a candidate — the SpaceSaving merge guarantee
+       without per-row state). At most ``partitions * ceil(1/s)``
+       candidate rows ever shuffle.
+    2. counts: :func:`cms_estimate` against one :func:`cms_sketch` —
+       no second corpus scan, no full-cardinality aggregate.
+    3. verdict: ``est_share >= min_share`` over the candidate-sized
+       frame; N comes from sketch row 0 (every non-null value lands
+       in exactly one bucket there).
+
+    Estimates never undershoot, so no true heavy hitter is dropped;
+    a near-threshold value can be promoted by collisions (size
+    ``width`` accordingly). Output
+    ``(value, est_cnt, est_share, rank)`` — the :func:`hot_keys`
+    schema, deterministic order (est_cnt DESC, value ASC)."""
+    if not 0 < min_share <= 1:
+        raise ValueError(f"need 0 < min_share <= 1, got {min_share}")
+    cap = int(math.ceil(1.0 / min_share))
+
+    def _local_top(batches: Iterable[pd.DataFrame]):
+        from collections import Counter
+
+        c: Counter = Counter()
+        for pdf in batches:
+            c.update(pdf["value"].dropna())
+        yield pd.DataFrame({"value": [k for k, _ in c.most_common(cap)]})
+
+    vals = df.select(F.col(col).cast("string").alias("value"))
+    cand = vals.mapInPandas(_local_top, "value string").distinct()
+    sketch = cms_sketch(df, col, depth, width, salt).localCheckpoint(eager=False)
+    total = sketch.filter(F.col("i") == 0).agg(F.sum("cnt").alias("n"))
+    est = cms_estimate(sketch, cand, "value", depth, width, salt)
+    from pyspark.sql import Window
+
+    rank_w = Window.orderBy(F.col("est_cnt").desc(), F.asc_nulls_first("value"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("est_cnt").cast("double")
+            >= F.lit(float(min_share)) * F.col("n").cast("double")
+        )
+        .select(
+            "value",
+            "est_cnt",
+            F.round(
+                F.col("est_cnt").cast("double") / F.col("n").cast("double"), 6
+            ).alias("est_share"),
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+    )

@@ -548,6 +548,58 @@ def top_fraction(
     )
 
 
+def top_fraction_by_group(
+    df: DataFrame,
+    score_col: str,
+    frac: float,
+    group_col: str,
+    key_col: str = "doc_id",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group quality pruning — keep (approximately) the top
+    ``frac`` of EACH group by ``score_col`` (top p% per language /
+    source / domain). The global :func:`top_fraction` applied to a
+    multilingual corpus keeps almost nothing from a language whose
+    classifier scores run systematically lower (quality classifiers
+    are notoriously English-centric); per-group thresholds preserve
+    every group's share while still pruning within it.
+
+    Same two-step shape as the global variant, still no sort of any
+    kind: ONE grouped quantile aggregation produces a thresholds
+    frame with one row per group (groups are languages/sources —
+    bounded, so it broadcasts at any corpus scale), then one
+    broadcast join applies it. ``exact=True`` is the
+    oracle-replayable mode (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` per group); ``exact=False`` swaps in
+    ``percentile_approx`` (bounded-memory GK sketch with
+    partial-combine — the 100 TB path; grouped partials shuffle one
+    sketch per group per partition). The join is null-safe so a NULL
+    group is pruned against its own threshold, not silently dropped.
+    Ties at a group's threshold are all kept (``>=``), as in
+    :func:`top_fraction`. Returns (key, group, score, keep)."""
+    s = F.col(score_col).cast("double")
+    q = 1.0 - float(frac)
+    thr_expr = (
+        F.expr(f"percentile(CAST({score_col} AS DOUBLE), {q!r})")
+        if exact
+        else F.percentile_approx(s, F.lit(q), F.lit(10000))
+    )
+    thr = df.groupBy(F.col(group_col).alias("__g")).agg(thr_expr.alias("__thr"))
+    return (
+        df.join(
+            F.broadcast(thr),
+            F.col(group_col).eqNullSafe(F.col("__g")),
+            "left",
+        )
+        .select(
+            F.col(key_col),
+            F.col(group_col),
+            s.alias("score"),
+            (s >= F.col("__thr")).alias("keep"),
+        )
+    )
+
+
 def semantic_diversity(
     df: DataFrame,
     n_lists: int = 16,

@@ -2697,3 +2697,78 @@ def test_dedup_keeper_by_score(spark):
         pairs, scores, descending=False
     ).collect()}
     assert out2[1]["keep"] and out2[11]["keep"]
+
+
+def test_cms_sketch_estimates_exact_when_wide(spark):
+    """CMS point estimates: never undershoot, and with width >> ndv
+    (no collisions expected at 3 keys x 4 rows x 4096 buckets) they
+    equal the exact counts. Sketch is sparse: a value the corpus
+    never saw estimates 0 via the left-join coalesce."""
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20 + [(None,)],
+        "k string",
+    )
+    sk = stats.cms_sketch(df, "k", depth=4, width=4096)
+    cand = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], "k string")
+    est = {
+        r.value: r.est_cnt
+        for r in stats.cms_estimate(sk, cand, "k", depth=4, width=4096).collect()
+    }
+    assert est == {"a": 50, "b": 30, "c": 20, "zzz": 0}
+    # depth*width bound: sketch never exceeds the counter grid, and
+    # each hash row's counters sum to N (every non-null value lands
+    # in exactly one bucket per row)
+    rows = sk.collect()
+    assert len(rows) <= 4 * 4096
+    by_i = {}
+    for r in rows:
+        by_i[r.i] = by_i.get(r.i, 0) + r.cnt
+    assert by_i == {0: 100, 1: 100, 2: 100, 3: 100}
+
+
+def test_cms_heavy_hitters_planted_skew(spark):
+    """Planted 40%-share hot key across many partitions is found with
+    the right (never-undershooting) estimate; the light tail stays
+    out. The candidate pass is map-side (mapInPandas local top-k), so
+    nothing in the plan aggregates per distinct key."""
+    rows = [("hot",)] * 400 + [(f"u{i}",) for i in range(600)]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    out = stats.heavy_hitters_cms(df, "k", min_share=0.1, depth=4, width=2048)
+    got = out.collect()
+    assert got and got[0].value == "hot" and got[0].rank == 1
+    assert got[0].est_cnt >= 400  # CMS never undershoots
+    assert abs(got[0].est_share - got[0].est_cnt / 1000.0) < 1e-9
+    # no light key (share 1/1000) can clear the 10% gate unless 100+
+    # collisions pile on one bucket in EVERY hash row — not at this
+    # width; assert the tail stayed out
+    assert all(r.value == "hot" for r in got)
+
+
+def test_top_fraction_by_group_per_group_thresholds(spark):
+    """Per-group pruning: each group keeps its own top 50% even when
+    one group's scores are uniformly below the other's (the global
+    threshold would keep NOTHING from the low group); NULL group rows
+    prune against their own threshold via the null-safe join; no sort
+    in the plan."""
+    from invalid_spark.pipeline import curate
+
+    rows = (
+        [(i, "hi", float(100 + i)) for i in range(10)]
+        + [(100 + i, "lo", float(i)) for i in range(10)]
+        + [(200 + i, None, float(50 + i)) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+    out = curate.top_fraction_by_group(
+        df, "s", 0.5, group_col="lang", key_col="doc_id"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Sort " not in plan and "rangepartitioning" not in plan.lower()
+    kept = {r.doc_id for r in out.collect() if r.keep}
+    # exact percentile(0.5) over 0..9 (+offset) = x.5 -> top 5 kept per group
+    assert kept & set(range(100, 110)) == {105, 106, 107, 108, 109}
+    assert kept & set(range(0, 10)) == {5, 6, 7, 8, 9}
+    assert kept & {200, 201, 202, 203} == {202, 203}
+    # global cut at the same overall fraction would empty the lo group
+    glob = curate.top_fraction(df, "s", 0.5, key_col="doc_id")
+    gk = {r["doc_id"] for r in glob.collect() if r["keep"]}
+    assert not gk & set(range(100, 110))
