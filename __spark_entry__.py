@@ -1362,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alignment_embeddings": q_alignment_embeddings,
         "top_fraction_documents": q_top_fraction_documents,
         "top_fraction_by_lang_documents": q_top_fraction_by_lang_documents,
+        "weighted_sample_documents": q_weighted_sample_documents,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "ann_brute_topk_embeddings": q_ann_brute_topk_embeddings,
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
@@ -5096,6 +5097,7 @@ def oracle_sql() -> dict[str, str]:
         "alignment_embeddings": _sql_alignment_embeddings(),
         "top_fraction_documents": _sql_top_fraction_documents(),
         "top_fraction_by_lang_documents": _sql_top_fraction_by_lang_documents(),
+        "weighted_sample_documents": _sql_weighted_sample_documents(),
         "emb_neardup_lsh": _sql_emb_neardup_lsh(),
         "caption_eq_documents": _sql_caption_eq_documents(),
         "unique_phash_skew": _sql_unique_phash_skew(),
@@ -5314,6 +5316,38 @@ WITH t AS (
 SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
        CAST(n_chars AS DOUBLE) >= t.thr AS keep
 FROM documents, t
+"""
+
+
+def q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (curate.weighted_sample, Efraimidis-Spirakis A-ES): 50 documents
+    drawn with probability proportional to n_chars (the token-budget
+    subsampling shape — a long doc is proportionally likelier). The
+    rank key ln(u)/w is row-local with u md5-derived from the salted
+    key, so top-k is TakeOrderedAndProject (no global sort, no RNG
+    state) and the ENTIRE draw replays in SQL."""
+    from invalid_spark.pipeline import curate
+
+    d = _t(spark, sf_dir, "documents")
+    out = curate.weighted_sample(d, "n_chars", 50, key_col="doc_id")
+    return out.select("doc_id", "weight", F.round("wkey", 9).alias("wkey"))
+
+
+def _sql_weighted_sample_documents() -> str:
+    return """
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         ln((CAST('0x' || substr(md5('wrs-v1-' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) + 1) / 4294967296.0)
+           / CAST(n_chars AS DOUBLE) AS wkey
+  FROM documents
+  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+)
+SELECT doc_id, weight, round(wkey, 9) AS wkey
+FROM w
+ORDER BY wkey DESC, doc_id ASC
+LIMIT 50
 """
 
 

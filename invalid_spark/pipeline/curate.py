@@ -548,6 +548,59 @@ def top_fraction(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "wrs-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — draw
+    ``k`` rows with inclusion probability proportional to
+    ``weight_col`` (token-weighted document subsampling: a 10k-token
+    doc should be 10x likelier in a token-budgeted subsample than a
+    1k-token one; :func:`hash_sample` is the uniform special case,
+    :func:`dsir_sample` the importance-scored one).
+
+    Algorithm A-ES (Efraimidis & Spirakis 2006): each row draws
+    ``u in (0, 1]`` and ranks by ``ln(u) / w`` — the top ``k`` ranks
+    are EXACTLY a weighted sample without replacement. Two properties
+    make it the right 100 TB shape:
+
+    - the rank key is row-local (one projection), and top-k compiles
+      to TakeOrderedAndProject — per-partition partial top-k, never a
+      global sort, never more than ``k`` rows past the shuffle;
+    - ``u`` is md5-derived from the salted key, so the draw is
+      reproducible across runs/engines (the :func:`hash_sample`
+      construction) and the ENTIRE sample replays in SQL — no RNG
+      state anywhere.
+
+    Rows with NULL or non-positive weight are excluded (a zero-weight
+    row has zero inclusion probability by definition; negative
+    weights are a caller bug surfaced by exclusion, not by a skewed
+    exponent). Ties (md5 collisions at 8 hex chars) break by key ASC.
+    Returns ``(key, weight, wkey)`` ordered by rank — join back on
+    ``key_col`` for the full rows."""
+    if k <= 0:
+        raise ValueError(f"need k > 0, got {k}")
+    key_s = F.col(key_col).cast("string")
+    w = F.col(weight_col).cast("double")
+    # u in (0, 1]: first 8 md5 hex chars + 1, over 2^32
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "-"), key_s)), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    wkey = F.log(u) / w  # ln(u)/w, monotone in u^(1/w); larger = keep
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(F.col(key_col), w.alias("weight"), wkey.alias("wkey"))
+        .orderBy(F.col("wkey").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
 def top_fraction_by_group(
     df: DataFrame,
     score_col: str,

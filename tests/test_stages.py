@@ -2772,3 +2772,37 @@ def test_top_fraction_by_group_per_group_thresholds(spark):
     glob = curate.top_fraction(df, "s", 0.5, key_col="doc_id")
     gk = {r["doc_id"] for r in glob.collect() if r["keep"]}
     assert not gk & set(range(100, 110))
+
+
+def test_weighted_sample_aes_exact_replay(spark):
+    """A-ES weighted sampling: the md5-derived draw is replicated
+    independently in Python (hashlib) and the engine's top-k must
+    equal it EXACTLY — no RNG state, the sample is a pure function of
+    (salt, key, weight). Zero/negative/NULL weights are excluded; the
+    plan is TakeOrderedAndProject (partial top-k), never a global
+    sort of the corpus."""
+    import hashlib
+    import math as m
+
+    from invalid_spark.pipeline import curate
+
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(200)]
+    rows += [(900, 0.0), (901, -3.0), (902, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double").repartition(8)
+    out = curate.weighted_sample(df, "w", 20, key_col="doc_id")
+    got = [(r.doc_id, r.weight) for r in out.collect()]
+
+    def wkey(i, w):
+        h = hashlib.md5(f"wrs-v1-{i}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 1) / 4294967296.0
+        return m.log(u) / w
+
+    exp = sorted(
+        ((i, w) for i, w in rows[:200]),
+        key=lambda t: (-wkey(t[0], t[1]), t[0]),
+    )[:20]
+    assert got == exp
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # heavier rows dominate: mean weight of winners >> corpus mean
+    assert sum(w for _, w in got) / 20 > sum(w for _, w in rows[:200]) / 200
