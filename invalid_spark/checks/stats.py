@@ -836,3 +836,20 @@ def heavy_hitters_cms(
         )
         .withColumn("rank", F.row_number().over(rank_w))
     )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge Count-Min sketches built with the SAME (depth, width,
+    salt) by adding counters — the property that makes the sketch a
+    snapshot-friendly state object (the HLL/t-digest story): profile
+    each ingest batch independently, merge the d·w-row frames, and
+    point estimates over the union corpus come out as if built in one
+    pass. Mixing sketches of different shapes silently mis-buckets —
+    keep the parameters in the table's metadata alongside the drift
+    state."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("i", "bucket").agg(F.sum("cnt").alias("cnt"))

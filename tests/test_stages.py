@@ -2806,3 +2806,23 @@ def test_weighted_sample_aes_exact_replay(spark):
     assert "TakeOrderedAndProject" in plan
     # heavier rows dominate: mean weight of winners >> corpus mean
     assert sum(w for _, w in got) / 20 > sum(w for _, w in rows[:200]) / 200
+
+
+def test_cms_merge_equals_single_pass(spark):
+    """Merged per-batch CMS sketches are bit-identical to the sketch
+    of the concatenated corpus — counters add (the snapshot-state
+    property)."""
+    a = spark.createDataFrame([("x",)] * 30 + [("y",)] * 5, "k string")
+    b = spark.createDataFrame([("x",)] * 10 + [("z",)] * 20, "k string")
+    kw = dict(depth=3, width=256)
+    merged = stats.cms_merge(
+        stats.cms_sketch(a, "k", **kw), stats.cms_sketch(b, "k", **kw)
+    )
+    whole = stats.cms_sketch(a.unionByName(b), "k", **kw)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    cand = spark.createDataFrame([("x",), ("y",), ("z",)], "k string")
+    est = {r.value: r.est_cnt
+           for r in stats.cms_estimate(merged, cand, "k", **kw).collect()}
+    assert est == {"x": 40, "y": 5, "z": 20}
