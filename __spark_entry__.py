@@ -1363,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_fraction_documents": q_top_fraction_documents,
         "top_fraction_by_lang_documents": q_top_fraction_by_lang_documents,
         "weighted_sample_documents": q_weighted_sample_documents,
+        "weighted_sample_by_lang_documents": q_weighted_sample_by_lang_documents,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "ann_brute_topk_embeddings": q_ann_brute_topk_embeddings,
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
@@ -5098,6 +5099,7 @@ def oracle_sql() -> dict[str, str]:
         "top_fraction_documents": _sql_top_fraction_documents(),
         "top_fraction_by_lang_documents": _sql_top_fraction_by_lang_documents(),
         "weighted_sample_documents": _sql_weighted_sample_documents(),
+        "weighted_sample_by_lang_documents": _sql_weighted_sample_by_lang_documents(),
         "emb_neardup_lsh": _sql_emb_neardup_lsh(),
         "caption_eq_documents": _sql_caption_eq_documents(),
         "unique_phash_skew": _sql_unique_phash_skew(),
@@ -5348,6 +5350,47 @@ SELECT doc_id, weight, round(wkey, 9) AS wkey
 FROM w
 ORDER BY wkey DESC, doc_id ASC
 LIMIT 50
+"""
+
+
+def q_weighted_sample_by_lang_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group A-ES weighted sampling (curate.weighted_sample_by_group):
+    10 documents PER LANGUAGE drawn proportional to n_chars. Grouped
+    top-k has no TakeOrderedAndProject, so the map side prunes first
+    — each (partition, group)'s local top-k by the md5 rank key
+    (exact: top-k is monotone) — and only the candidate frame reaches
+    the rank window. The oracle replays it as a plain per-group rank
+    over the full table (the result is partitioning-independent)."""
+    from invalid_spark.pipeline import curate
+
+    d = _t(spark, sf_dir, "documents")
+    out = curate.weighted_sample_by_group(
+        d, "n_chars", 10, group_col="lang", key_col="doc_id"
+    )
+    return out.select(
+        "doc_id", "lang", "weight", F.round("wkey", 9).alias("wkey"), "rank"
+    )
+
+
+def _sql_weighted_sample_by_lang_documents() -> str:
+    return """
+WITH w AS (
+  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS weight,
+         ln((CAST('0x' || substr(md5('wrs-v1-' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) + 1) / 4294967296.0)
+           / CAST(n_chars AS DOUBLE) AS wkey
+  FROM documents
+  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY wkey DESC, doc_id ASC) AS rank
+  FROM w
+)
+SELECT doc_id, lang, weight, round(wkey, 9) AS wkey, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 10
 """
 
 

@@ -309,6 +309,7 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
         ("cms_heavy_hitters", entry.q_cms_heavy_hitters_events),
         ("top_fraction_by_lang", entry.q_top_fraction_by_lang_documents),
         ("weighted_sample", entry.q_weighted_sample_documents),
+        ("weighted_sample_by_lang", entry.q_weighted_sample_by_lang_documents),
         ("fd", entry.q_fd_lineitem),
         ("monotonic", entry.q_monotonic_events),
         ("reconcile", entry.q_reconcile_orders),

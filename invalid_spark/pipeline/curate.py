@@ -583,6 +583,19 @@ def weighted_sample(
     ``key_col`` for the full rows."""
     if k <= 0:
         raise ValueError(f"need k > 0, got {k}")
+    w, wkey = _aes_wkey(key_col, weight_col, salt)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .select(F.col(key_col), w.alias("weight"), wkey.alias("wkey"))
+        .orderBy(F.col("wkey").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
+def _aes_wkey(key_col: str, weight_col: str, salt: str):
+    """The A-ES rank-key pair (weight expr, ln(u)/w expr) shared by
+    the global and per-group samplers — one definition so the two
+    draws agree on every row."""
     key_s = F.col(key_col).cast("string")
     w = F.col(weight_col).cast("double")
     # u in (0, 1]: first 8 md5 hex chars + 1, over 2^32
@@ -592,12 +605,70 @@ def weighted_sample(
         ).cast("double")
         + F.lit(1.0)
     ) / F.lit(4294967296.0)
-    wkey = F.log(u) / w  # ln(u)/w, monotone in u^(1/w); larger = keep
-    return (
+    return w, F.log(u) / w  # ln(u)/w, monotone in u^(1/w); larger = keep
+
+
+def weighted_sample_by_group(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wrs-v1",
+) -> DataFrame:
+    """Per-group A-ES weighted sampling without replacement — ``k``
+    rows PER GROUP with inclusion probability proportional to
+    ``weight_col`` within the group (per-language token-weighted
+    subsampling; :func:`weighted_sample` is the ungrouped form and
+    shares the exact same md5 draw, so the per-group winners of a
+    group are a superset property of the global draw restricted to
+    it).
+
+    Grouped top-k has no TakeOrderedAndProject, so the naive
+    rank-window shuffles the whole corpus. Instead the map side
+    prunes EXACTLY first: one ``mapInPandas`` pass keeps each
+    (partition, group)'s local top-``k`` by rank key — top-k is a
+    monotone selector, so every global per-group winner survives its
+    own partition's cut — and only the candidate frame (at most
+    partitions x groups x k rows of a 4-column projection) reaches
+    the rank window. Same shape as
+    :func:`invalid_spark.checks.stats.heavy_hitters_cms` candidates;
+    the result is EXACT and partitioning-independent (the oracle
+    replays it as a plain per-group rank over the full table).
+    Returns ``(key, group, weight, wkey, rank)``, rank 1..k per
+    group; NULL group is its own group."""
+    if k <= 0:
+        raise ValueError(f"need k > 0, got {k}")
+    w, wkey = _aes_wkey(key_col, weight_col, salt)
+    proj = (
         df.filter(w.isNotNull() & (w > 0))
-        .select(F.col(key_col), w.alias("weight"), wkey.alias("wkey"))
-        .orderBy(F.col("wkey").desc(), F.col(key_col).asc())
-        .limit(k)
+        .select(
+            F.col(key_col),
+            F.col(group_col),
+            w.alias("weight"),
+            wkey.alias("wkey"),
+        )
+    )
+
+    def _local_top(batches):
+        import pandas as pd
+
+        acc = [pdf for pdf in batches]
+        if not acc:
+            return
+        allp = pd.concat(acc, ignore_index=True)
+        allp = allp.sort_values(
+            ["wkey", key_col], ascending=[False, True]
+        )
+        yield allp.groupby(group_col, dropna=False).head(k)
+
+    cand = proj.mapInPandas(_local_top, proj.schema)
+    rank_w = Window.partitionBy(group_col).orderBy(
+        F.col("wkey").desc(), F.col(key_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
     )
 
 

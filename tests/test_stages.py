@@ -2826,3 +2826,44 @@ def test_cms_merge_equals_single_pass(spark):
     est = {r.value: r.est_cnt
            for r in stats.cms_estimate(merged, cand, "k", **kw).collect()}
     assert est == {"x": 40, "y": 5, "z": 20}
+
+
+def test_weighted_sample_by_group_prune_is_exact(spark):
+    """Per-group A-ES: the map-side (partition, group)-local top-k
+    prune is EXACT — across any repartitioning the result equals the
+    naive full rank window replayed in pandas; each group yields
+    exactly k winners; NULL group samples as its own group."""
+    import hashlib
+    import math as m
+
+    from invalid_spark.pipeline import curate
+
+    rows = [(i, ["a", "b", None][i % 3], float(1 + (i * 13) % 40))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    def _key(t):
+        return (t[0] is None, t[0] or "", t[1], t[2])
+
+    out = curate.weighted_sample_by_group(
+        df.repartition(7), "w", 5, group_col="g", key_col="doc_id"
+    )
+    got = sorted(((r.g, r.rank, r.doc_id) for r in out.collect()), key=_key)
+
+    def wkey(i, w):
+        h = hashlib.md5(f"wrs-v1-{i}".encode()).hexdigest()[:8]
+        return m.log((int(h, 16) + 1) / 4294967296.0) / w
+
+    exp = []
+    for g in ("a", "b", None):
+        grp = [(i, w) for i, w, in
+               ((i, w) for i, gg, w in rows if gg == g)]
+        win = sorted(grp, key=lambda t: (-wkey(t[0], t[1]), t[0]))[:5]
+        exp += [(g, r + 1, i) for r, (i, _) in enumerate(win)]
+    assert got == sorted(exp, key=_key)
+    # partitioning-independence: same winners at a different layout
+    out2 = curate.weighted_sample_by_group(
+        df.repartition(2), "w", 5, group_col="g", key_col="doc_id"
+    )
+    assert sorted(
+        ((r.g, r.rank, r.doc_id) for r in out2.collect()), key=_key
+    ) == got
