@@ -1337,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_mi_events": q_stats_mi_events,
         "hot_keys_events": q_hot_keys_events,
         "cms_heavy_hitters_events": q_cms_heavy_hitters_events,
+        "streaming_watch_counts_events": q_streaming_watch_counts_events,
         "suggest_rules_documents": q_suggest_rules_documents,
         "suggest_vector_embeddings": q_suggest_vector_embeddings,
         "rowcheck_json_docs": q_rowcheck_json_docs,
@@ -3389,6 +3390,60 @@ def q_streaming_dedup_metrics_events(
     )
 
 
+def q_streaming_watch_counts_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Windowed watch-key monitor (streaming.windowed_watch_counts):
+    per event-time day, counts and shares of a watchlist of
+    event_types — the streaming hot-key alert (zero-filled, so a
+    flatlined key alerts like a spiking one). Row-local collapse to
+    watchlist|__other__ bounds per-window state by the watchlist
+    size, not the column's cardinality. Executed on the batch path
+    (pytest proves streaming execution emits identical rows), fully
+    SQL-replayable."""
+    from invalid_spark import streaming
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts").filter(
+        F.col("ts").isNotNull()
+    )
+    out = streaming.windowed_watch_counts(
+        ev, "event_type", ["click", "error"], window="1 day",
+        watermark="1 day",
+    )
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.col("window_end").cast("string").alias("window_end"),
+        "value",
+        "n",
+        "n_window",
+        "share",
+    )
+
+
+def _sql_streaming_watch_counts_events() -> str:
+    return """
+WITH w AS (
+  SELECT date_trunc('day', ts) AS ws,
+         CASE WHEN event_type IN ('click', 'error') THEN event_type
+              ELSE '__other__' END AS v
+  FROM events WHERE ts IS NOT NULL
+), c AS (
+  SELECT ws, v, count(*) AS c FROM w GROUP BY 1, 2
+), t AS (
+  SELECT ws, CAST(sum(c) AS BIGINT) AS n_window FROM c GROUP BY ws
+), watch(value) AS (VALUES ('click'), ('error'))
+SELECT CAST(CAST(t.ws AS TIMESTAMP) AS VARCHAR) AS window_start,
+       CAST(t.ws + INTERVAL 1 DAY AS VARCHAR) AS window_end,
+       watch.value AS value,
+       CAST(COALESCE(c.c, 0) AS BIGINT) AS n,
+       t.n_window,
+       round(CAST(COALESCE(c.c, 0) AS DOUBLE)
+             / CAST(t.n_window AS DOUBLE), 6) AS share
+FROM t CROSS JOIN watch
+LEFT JOIN c ON c.ws = t.ws AND c.v = watch.value
+"""
+
+
 def _sql_streaming_dedup_metrics_events() -> str:
     return """
 WITH w AS (
@@ -5067,6 +5122,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_mi_events": _sql_stats_mi_events(),
         "hot_keys_events": _sql_hot_keys_events(),
         "cms_heavy_hitters_events": _sql_cms_heavy_hitters_events(),
+        "streaming_watch_counts_events": _sql_streaming_watch_counts_events(),
         "suggest_rules_documents": _sql_suggest_rules(),
         "suggest_vector_embeddings": _sql_suggest_vector_embeddings(),
         "rowcheck_json_docs": _sql_rowcheck_json_docs(),

@@ -436,6 +436,69 @@ def windowed_dedup_metrics(
     )
 
 
+def windowed_watch_counts(
+    df: DataFrame,
+    col: str,
+    watch: list,
+    window: str = "1 day",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-window counts and shares of a WATCHLIST of key values —
+    the streaming hot-key monitor (which spam domain / bot UA /
+    quarantined source spiked THIS window), the alerting sibling of
+    the batch profilers (:func:`invalid_spark.checks.stats.hot_keys`
+    exact, ``heavy_hitters_cms`` bounded-state). One row per
+    (window, watched value) with the window total and the value's
+    share — INCLUDING zero rows for watched values that never
+    arrived, so a flatlined key (a source that silently stopped
+    shipping) alerts exactly like a spiking one.
+
+    Streaming-legal shape (the :func:`windowed_chi2_drift` pattern):
+    values collapse row-locally to ``value | __other__`` (state per
+    window is bounded by the watchlist size + 1, NO dependence on the
+    column's true cardinality), one watermarked (window, value)
+    aggregation, one same-window fold into a count map, then a
+    stateless zero-filled explode of the watchlist. Works identically
+    on a batch frame (the oracle-checked entry query runs this exact
+    code on the batch path; pytest proves streaming execution emits
+    the same rows)."""
+    vals = sorted({str(v) for v in watch})
+    if not vals:
+        raise ValueError("windowed_watch_counts needs a non-empty watchlist")
+    c = F.col(col).cast("string")
+    tag = F.when(c.isin(vals), c).otherwise(F.lit("__other__"))
+    counts = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), tag.alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_w = counts.groupBy("w").agg(
+        F.sum("c").alias("n_window"),
+        F.map_from_entries(F.collect_list(F.struct("v", "c"))).alias("m"),
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(v).alias("value"),
+                F.coalesce(F.col("m")[v], F.lit(0)).cast("long").alias("n"),
+            )
+            for v in vals
+        ]
+    )
+    e = per_w.select("w", "n_window", F.explode(entries).alias("x"))
+    return e.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("x.value").alias("value"),
+        F.col("x.n").alias("n"),
+        F.col("n_window").cast("long").alias("n_window"),
+        F.round(
+            F.col("x.n").cast("double") / F.col("n_window").cast("double"), 6
+        ).alias("share"),
+    )
+
+
 def minhash_screen_stream(
     df: DataFrame,
     state: DataFrame,

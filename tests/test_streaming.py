@@ -665,3 +665,61 @@ def test_validate_stream_vector_and_align(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert got == batch_set
+
+
+def test_windowed_watch_counts_batch_and_stream(spark, tmp_path):
+    """Watch-key monitor: per-window counts/shares of the watchlist
+    with zero-fill for absent watched values (flatline alerting),
+    unwatched values folded into the window total only; streaming
+    execution emits the same rows for closed windows."""
+    rows = [
+        ("bot", "2024-01-01 00:00:05"),
+        ("bot", "2024-01-01 00:01:00"),
+        ("spam", "2024-01-01 00:02:00"),
+        ("ok1", "2024-01-01 00:03:00"),
+        ("ok2", "2024-01-01 00:03:30"),
+        # window B: only unwatched traffic -> zero rows for both keys
+        ("ok1", "2024-01-01 00:05:10"),
+        # sentinel far ahead closes A and B
+        ("ok1", "2024-01-01 02:00:00"),
+    ]
+    src = spark.createDataFrame(rows, "k string, ts_s string").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    ).drop("ts_s")
+
+    batch = {
+        (str(r["window_start"]), r["value"]): r
+        for r in streaming.windowed_watch_counts(
+            src, "k", ["bot", "spam"], window="5 minutes",
+            watermark="5 minutes",
+        ).collect()
+    }
+    a_bot = batch[("2024-01-01 00:00:00", "bot")]
+    assert (a_bot["n"], a_bot["n_window"]) == (2, 5)
+    assert a_bot["share"] == pytest.approx(0.4)
+    a_spam = batch[("2024-01-01 00:00:00", "spam")]
+    assert (a_spam["n"], a_spam["share"]) == (1, pytest.approx(0.2))
+    b_bot = batch[("2024-01-01 00:05:00", "bot")]
+    assert (b_bot["n"], b_bot["n_window"], b_bot["share"]) == (0, 1, 0.0)
+
+    d = str(tmp_path / "wc_src")
+    src.coalesce(1).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(src.schema).parquet(d)
+    mq = streaming.windowed_watch_counts(
+        sdf, "k", ["bot", "spam"], window="5 minutes", watermark="5 minutes"
+    )
+    sink = str(tmp_path / "wc_sink")
+    h = mq.writeStream.format("parquet").outputMode("append").option(
+        "checkpointLocation", str(tmp_path / "wc_ck")
+    ).option("path", sink).trigger(availableNow=True).start()
+    h.awaitTermination(120)
+    got = spark.read.parquet(sink).collect()
+    closed = {(str(r["window_start"]), r["value"]) for r in got}
+    assert {("2024-01-01 00:00:00", "bot"),
+            ("2024-01-01 00:00:00", "spam"),
+            ("2024-01-01 00:05:00", "bot")} <= closed, closed
+    for r in got:
+        bb = batch[(str(r["window_start"]), r["value"])]
+        assert (r["n"], r["n_window"], r["share"]) == (
+            bb["n"], bb["n_window"], bb["share"]
+        )
