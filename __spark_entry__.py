@@ -1323,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_composite_lineitem": q_unique_composite_lineitem,
         "rowcheck_format_documents": q_rowcheck_format_documents,
         "freshness_events": q_freshness_events,
+        "freshness_by_group_events": q_freshness_by_group_events,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "mix_report_documents": q_mix_report_documents,
         "mix_sample_documents": q_mix_sample_documents,
@@ -2727,6 +2728,47 @@ SELECT 'ts' AS column_name,
        ({now_us} - epoch_us(max(ts))) <= {max_age_us} AS fresh
 FROM events""")
     return "\nUNION ALL\n".join(blocks)
+
+
+def q_freshness_by_group_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group freshness (stats.freshness_by_group): which
+    event_type stopped shipping — a dead source hides behind the
+    global max_ts, so the gate runs per group. To plant a stale
+    group, 'error' events after Jan 20 are dropped; against a Jan 31
+    anchor with a 7-day budget every other type is fresh and 'error'
+    is not. One grouped max aggregation, report-sized output."""
+    import datetime as dt
+
+    ev = _t(spark, sf_dir, "events").filter(
+        ~(
+            (F.col("event_type") == "error")
+            & (F.col("ts") >= F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        )
+    )
+    now = dt.datetime(2024, 1, 31, 12, 0, 0, tzinfo=dt.timezone.utc)
+    out = stats.freshness_by_group(ev, "ts", 7 * 86400.0, now, "event_type")
+    return out.select(
+        "group", "column_name", "max_ts", "age_seconds", "fresh"
+    )
+
+
+def _sql_freshness_by_group_events() -> str:
+    import datetime as dt
+
+    now = dt.datetime(2024, 1, 31, 12, 0, 0, tzinfo=dt.timezone.utc)
+    now_us = int(now.timestamp() * 1_000_000)
+    max_age_us = int(7 * 86400.0 * 1_000_000)
+    return f"""
+SELECT event_type AS "group", 'ts' AS column_name,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
+       CAST({now_us} - epoch_us(max(ts)) AS DOUBLE) / 1e6 AS age_seconds,
+       ({now_us} - epoch_us(max(ts))) <= {max_age_us} AS fresh
+FROM events
+WHERE NOT (event_type = 'error' AND ts >= TIMESTAMP '2024-01-20 00:00:00')
+GROUP BY event_type
+"""
 
 
 def q_snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5109,6 +5151,7 @@ def oracle_sql() -> dict[str, str]:
         "unique_composite_lineitem": _sql_unique_composite_lineitem(),
         "rowcheck_format_documents": _sql_rowcheck_format_documents(),
         "freshness_events": _sql_freshness_events(),
+        "freshness_by_group_events": _sql_freshness_by_group_events(),
         "snapshot_diff_documents": _sql_snapshot_diff_documents(),
         "mix_report_documents": _sql_mix_report_documents(),
         "mix_sample_documents": _sql_mix_sample_documents(),

@@ -311,6 +311,7 @@ def _validated_rows(spark, sf_dir: str) -> tuple[int, dict[str, float]]:
         ("weighted_sample", entry.q_weighted_sample_documents),
         ("weighted_sample_by_lang", entry.q_weighted_sample_by_lang_documents),
         ("streaming_watch_counts", entry.q_streaming_watch_counts_events),
+        ("freshness_by_group", entry.q_freshness_by_group_events),
         ("fd", entry.q_fd_lineitem),
         ("monotonic", entry.q_monotonic_events),
         ("reconcile", entry.q_reconcile_orders),

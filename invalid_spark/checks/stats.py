@@ -629,6 +629,41 @@ def freshness(
     )
 
 
+def freshness_by_group(
+    df: DataFrame,
+    ts_col: str,
+    max_age_seconds: float,
+    now,
+    group_col: str,
+) -> DataFrame:
+    """Per-group freshness — WHICH source/shard/partition stopped
+    shipping, where the global :func:`freshness` gate only says that
+    SOMETHING did (a healthy firehose hides one dead source's max_ts
+    behind every other source's fresh rows; this is the batch sibling
+    of the streaming flatline alert in
+    :func:`invalid_spark.streaming.windowed_watch_counts`). One row
+    per group (group, max_ts, age_seconds, fresh) from ONE grouped
+    max aggregation — groups are sources/shards, bounded, so the
+    output frame is report-sized at any corpus scale. Same exact
+    integer-microsecond arithmetic and explicit ``now`` anchor as the
+    global gate; NULL group is its own group."""
+    import datetime as _dt
+
+    now_us = int(now.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000) \
+        if now.tzinfo is None else int(now.timestamp() * 1_000_000)
+    max_us = F.unix_micros(F.max(F.col(ts_col)).cast("timestamp"))
+    return df.groupBy(F.col(group_col).alias("group")).agg(
+        F.lit(ts_col).alias("column_name"),
+        F.date_format(
+            F.max(F.col(ts_col)), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("max_ts"),
+        ((F.lit(now_us) - max_us).cast("double") / F.lit(1e6))
+        .alias("age_seconds"),
+        ((F.lit(now_us) - max_us)
+         <= F.lit(int(max_age_seconds * 1_000_000))).alias("fresh"),
+    )
+
+
 def histogram(
     df: DataFrame,
     col: str,

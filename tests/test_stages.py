@@ -2867,3 +2867,26 @@ def test_weighted_sample_by_group_prune_is_exact(spark):
     assert sorted(
         ((r.g, r.rank, r.doc_id) for r in out2.collect()), key=_key
     ) == got
+
+
+def test_freshness_by_group_names_the_stale_group(spark):
+    """Per-group freshness: the group whose newest row is beyond the
+    budget flags alone; NULL group is its own group; ages are exact
+    integer-microsecond arithmetic vs the explicit anchor."""
+    import datetime as dt
+
+    rows = [
+        ("a", "2024-01-31 11:00:00"),
+        ("a", "2024-01-01 00:00:00"),
+        ("b", "2024-01-10 00:00:00"),
+        (None, "2024-01-31 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts_s string").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    )
+    now = dt.datetime(2024, 1, 31, 12, 0, 0, tzinfo=dt.timezone.utc)
+    out = {r.group: r for r in
+           stats.freshness_by_group(df, "ts", 86400.0, now, "g").collect()}
+    assert out["a"].fresh and out["a"].age_seconds == 3600.0
+    assert not out["b"].fresh
+    assert out[None].fresh and out[None].age_seconds == 43200.0
